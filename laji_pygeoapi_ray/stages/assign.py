@@ -1,0 +1,89 @@
+"""PIPAssigner — the stateful point-in-polygon actor stage.
+
+The engine's replacement for the reference's warehouse-interpreted
+``municipalityDisplayname`` / ``biogeographicalProvinceDisplayname`` columns
+(consumed at ``/root/reference/pygeoapi/scripts/compute_variables.py:227-228``)
+and for PostGIS ``ST_Contains`` at query time: every record's point is
+labelled with its municipality + province, and the ELY / Elinvoimakeskus
+areas are attached by the broadcast dict lookup that mirrors
+``compute_areas`` (``compute_variables.py:79-98``).
+
+Usage (actor pool — the index is built ONCE per actor)::
+
+    layers_ref = put_layers()                      # ray.put on the driver, once
+    ds = ds.map_batches(PIPAssigner, fn_constructor_args=(layers_ref,),
+                        batch_format="pyarrow", batch_size=32768,
+                        concurrency=(2, 8), num_cpus=1)
+
+On a multi-node cluster the ``ray.put`` handle broadcasts the polygon layers
+through the object store once per node instead of shipping them per batch.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.pip import GridIndex
+from ..state import fixtures
+
+
+def put_layers():
+    """Broadcast the fixture layers + lookup dicts once; returns an ObjectRef."""
+    return ray.put({
+        "provinces": fixtures.province_layer(),
+        "municipalities": fixtures.municipality_layer(),
+        "ely": fixtures.ely_mapping(),
+        "elinvoima": fixtures.elinvoima_mapping(),
+    })
+
+
+def _label_array(pids: np.ndarray, names: list[str]) -> pa.Array:
+    """pid per point (-1 → null) → string labels via a dictionary take."""
+    idx = pids.astype(np.int64)
+    mask = idx < 0
+    idx = np.where(mask, 0, idx)
+    arr = np.asarray(names, dtype=object)[idx]
+    arr[mask] = None
+    return pa.array(arr, type=pa.string())
+
+
+class PIPAssigner:
+    """Actor-pool stage: label each row with province / municipality / ELY /
+    Elinvoimakeskus from its (x, y) point. Index build happens once per actor."""
+
+    def __init__(self, layers_ref=None):
+        # Accept an ObjectRef (actor constructors may or may not auto-resolve
+        # top-level refs depending on how map_batches forwards them), the
+        # resolved dict, or nothing (build locally — used by unit tests).
+        if layers_ref is None:
+            layers = {
+                "provinces": fixtures.province_layer(),
+                "municipalities": fixtures.municipality_layer(),
+                "ely": fixtures.ely_mapping(),
+                "elinvoima": fixtures.elinvoima_mapping(),
+            }
+        elif isinstance(layers_ref, ray.ObjectRef):
+            layers = ray.get(layers_ref)
+        else:
+            layers = layers_ref
+        self.prov_index = GridIndex(layers["provinces"])
+        self.muni_index = GridIndex(layers["municipalities"])
+        self.prov_names = [p.name for p in layers["provinces"]]
+        self.muni_names = [p.name for p in layers["municipalities"]]
+        # vectorized municipality-pid → (ely, elinvoima) lookup tables
+        self.ely_by_pid = np.asarray(
+            [layers["ely"].get(n) for n in self.muni_names], dtype=object)
+        self.ev_by_pid = np.asarray(
+            [layers["elinvoima"].get(n) for n in self.muni_names], dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["x"].to_numpy(zero_copy_only=False)
+        py = batch["y"].to_numpy(zero_copy_only=False)
+        prov_pid = self.prov_index.assign(px, py)
+        muni_pid = self.muni_index.assign(px, py)
+        batch = batch.append_column("province", _label_array(prov_pid, self.prov_names))
+        batch = batch.append_column("municipality", _label_array(muni_pid, self.muni_names))
+        batch = batch.append_column("ely_area", _label_array(muni_pid, list(self.ely_by_pid)))
+        batch = batch.append_column("elinvoimakeskus", _label_array(muni_pid, list(self.ev_by_pid)))
+        return batch

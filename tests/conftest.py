@@ -1,0 +1,60 @@
+"""Session-scoped Ray fixture — ONE ray.init per pytest session."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+import ray
+
+SF_UNIT = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    yield
+    ray.shutdown()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh DuckDB connection with the testdata tables registered as views
+    (mirrors the driver's correctness harness)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def normalize(df):
+    """Driver-style compare normalization: sort columns by name, then rows."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def to_pandas(result):
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def assert_query_matches_oracle(name: str, sf_dir: str = SF_ORACLE):
+    """Run queries()[name] and oracle_sql()[name] and compare exactly."""
+    import pandas as pd
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+    q = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    got = normalize(to_pandas(q(sf_dir)))
+    con = duck_con(sf_dir)  # keep alive until .df() finishes
+    exp = normalize(con.sql(sql).df())
+    assert list(got.columns) == list(exp.columns), (list(got.columns), list(exp.columns))
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)

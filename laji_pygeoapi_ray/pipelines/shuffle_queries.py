@@ -1,0 +1,110 @@
+"""Shuffle-operator queries: exact dedup (keep-latest / keep-first) and the
+CSV-spec merge aggregate, each with an exact DuckDB oracle.
+
+Reference semantics: ``remove_duplicates`` (``edit_db.py:333-379``),
+``merge_similar_observations`` (``edit_db.py:381-460``),
+``get_quality_frequency`` (``edit_db.py:160-187``)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from ..stages.dedup import dedup_keep_latest
+from ..stages.merge import MergeSpec, merge_similar
+from .registry import register
+
+
+@register("dedup_events_latest", sql="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1""")
+def dedup_events_latest(sf_dir: str):
+    """Keep-latest-per-key dedup (``DISTINCT ON … ORDER BY load_date DESC``,
+    ``edit_db.py:364-369``) over the events stream: key=user_id,
+    order=(ts, event_id) DESC."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return dedup_keep_latest(ds, ["user_id"], ["ts", "event_id"])
+
+
+@register("dedup_docs_first", sql="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+    FROM documents GROUP BY text""")
+def dedup_docs_first(sf_dir: str):
+    """Exact content dedup: one row per distinct document text, keeping the
+    smallest doc_id (first-arrival semantics, SURVEY.md §2.5 anti/semi-join
+    note). The training-data 'exact dedup' primitive."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dedup_keep_latest(ds, ["text"], ["doc_id"], descending=False)
+
+
+MERGE_SPEC_LINEITEM = MergeSpec(
+    groupby=["l_partkey", "l_suppkey"],
+    order=["l_orderkey", "l_linenumber"],
+    first=["l_returnflag"],
+    aggregate=["orderkey_str"],
+    sum=["l_quantity"],
+    max=["l_extendedprice"],
+    count_col="yhdistetty",
+)
+
+
+@register("merge_similar_lineitem", sql="""
+    SELECT l_partkey, l_suppkey,
+           first(l_returnflag ORDER BY l_orderkey, l_linenumber) AS l_returnflag,
+           string_agg(CAST(l_orderkey AS VARCHAR), ', '
+                      ORDER BY l_orderkey, l_linenumber) AS orderkey_str,
+           SUM(l_quantity) AS l_quantity,
+           MAX(l_extendedprice) AS l_extendedprice,
+           CAST(COUNT(*) AS BIGINT) AS yhdistetty
+    FROM lineitem GROUP BY l_partkey, l_suppkey""")
+def merge_similar_lineitem(sf_dir: str):
+    """The merge_similar_observations semantics (FIRST / AGGREGATE / SUM /
+    MAX / Yhdistetty, ``edit_db.py:381-460``) exercised on lineitem:
+    GROUPBY (l_partkey, l_suppkey), deterministic in-group order
+    (l_orderkey, l_linenumber). l_quantity is integral so the distributed
+    SUM is bit-exact vs the oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+                 "l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def add_strcol(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.append_column(
+            "orderkey_str", pc.cast(t["l_orderkey"], pa.string()))
+
+    ds = ds.map_batches(add_strcol, batch_format="pyarrow")
+    return merge_similar(ds, MERGE_SPEC_LINEITEM)
+
+
+@register("quality_freq_events", sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor(CAST(COUNT(*) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM events) AS DOUBLE)
+                 * CAST(100.0 AS DOUBLE) * CAST(100.0 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS pct
+    FROM events GROUP BY event_type""")
+def quality_freq_events(sf_dir: str):
+    """``get_quality_frequency`` (``edit_db.py:160-187``): grouped count ÷
+    total × 100, rounded to 2 decimals — round-half-up implemented as
+    floor(x·100 + 0.5)/100 identically on both sides (numpy rounds
+    half-to-even, DuckDB half-away; floor is unambiguous)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    total = ds.count()
+    agg = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def add_pct(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pct = np.floor(n / np.float64(total) * np.float64(100.0)
+                       * np.float64(100.0) + np.float64(0.5)) / np.float64(100.0)
+        t = t.append_column("pct", pa.array(pct))
+        return t.rename_columns(["event_type", "n", "pct"])
+
+    return agg.map_batches(add_pct, batch_format="pyarrow")

@@ -1,0 +1,51 @@
+"""Bucketed shuffle-apply — the engine's scalable grouped-operator substrate.
+
+A bare ``ds.groupby(high_cardinality_key).map_groups(fn)`` calls Python once
+per group; at 10^12-row scale (millions of groups) the per-group interpreter
+overhead dominates. Instead we shuffle ONCE on a low-cardinality hash bucket
+of the key (`bucket = stable_hash(key) % B`), and inside each bucket run a
+*vectorized* pandas/pyarrow group-aggregate over thousands of key-groups at
+C speed. Skewed *individual* keys don't skew buckets (hash mixes them);
+a pathological giant single key is handled by the two-phase salted path in
+``stages/merge.py``.
+
+This reproduces the role of the reference's PostGIS-pushed grouped SQL
+(``/root/reference/pygeoapi/scripts/edit_db.py:333-460``) as a Ray Data
+shuffle: one all-to-all exchange on ``__bucket``, then embarrassingly
+parallel per-bucket compute.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+
+BUCKET_COL = "__bucket"
+
+
+def add_bucket(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
+    """Append a stable hash-bucket column of the key tuple (deterministic
+    across processes: pandas.util.hash_pandas_object uses a fixed key)."""
+    h = pd.util.hash_pandas_object(
+        df[list(key_cols)].astype("string"), index=False).to_numpy()
+    df = df.copy(deep=False)
+    df[BUCKET_COL] = (h % num_buckets).astype("int64")
+    return df
+
+
+def grouped_apply(ds, key_cols: list[str],
+                  bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                  *, num_buckets: int = 64):
+    """Shuffle ``ds`` by hash bucket of ``key_cols`` and apply ``bucket_fn``
+    to each bucket (a pandas DataFrame holding *all* rows of *all* keys in
+    the bucket — bucket_fn must do its own within-bucket groupby).
+
+    num_buckets sizes the shuffle parallelism: ~2-4× the cluster cores,
+    bounded so each bucket fits a worker's heap.
+    """
+    ds = ds.map_batches(lambda df: add_bucket(df, key_cols, num_buckets),
+                        batch_format="pandas")
+    return (ds.groupby(BUCKET_COL)
+              .map_groups(lambda df: bucket_fn(df.drop(columns=[BUCKET_COL])),
+                          batch_format="pandas"))

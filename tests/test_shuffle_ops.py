@@ -1,0 +1,99 @@
+"""Planted-case tests for dedup + merge (golden semantics mirroring the
+reference's test_edit_db.py:262-352) and salted-vs-plain merge equality."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+from laji_pygeoapi_ray.stages.dedup import dedup_keep_latest
+from laji_pygeoapi_ray.stages.merge import MergeSpec, merge_similar, merge_salted
+
+
+def _planted_df():
+    # two mergeable groups + one singleton; exercises FIRST/AGGREGATE/SUM/MAX,
+    # NULL + 'nan' filtering, and Yhdistetty counts
+    return pd.DataFrame({
+        "species": ["susi", "susi", "karhu", "karhu", "ilves"],
+        "date":    ["2024-01-01"] * 2 + ["2024-02-02"] * 2 + ["2024-03-03"],
+        "obs_id":  ["obs1", "obs2", "obs3", "obs4", "obs5"],
+        "notes":   ["a", None, "nan", "b", None],
+        "count":   [5, 3, None, None, 7],
+        "acc":     [10.0, 100.0, 50.0, 25.0, 1.0],
+        "name":    [None, "Wolf", "Bear", "Bear2", "Lynx"],
+        "ord":     [1, 2, 1, 2, 1],
+    })
+
+
+SPEC = MergeSpec(groupby=["species", "date"], order=["ord"],
+                 first=["name"], aggregate=["obs_id", "notes"],
+                 sum=["count"], max=["acc"], count_col="Yhdistetty")
+
+
+def _run(fn):
+    ds = ray.data.from_pandas(_planted_df())
+    out = fn(ds, SPEC, num_buckets=4).to_pandas()
+    return out.sort_values("species").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("fn", [merge_similar, merge_salted])
+def test_merge_planted_golden(fn):
+    out = _run(fn)
+    by = out.set_index("species")
+    # SUM: 5+3=8 (the reference's golden value, test_edit_db.py:288-352)
+    assert by.loc["susi", "count"] == 8
+    # all-NULL SUM stays NULL
+    assert pd.isna(by.loc["karhu", "count"])
+    # AGGREGATE joins in ord order
+    assert by.loc["susi", "obs_id"] == "obs1, obs2"
+    # AGGREGATE filters NULL and literal 'nan'
+    assert by.loc["susi", "notes"] == "a"
+    assert by.loc["karhu", "notes"] == "b"
+    assert pd.isna(by.loc["ilves", "notes"])
+    # FIRST includes a NULL first value (ARRAY_AGG[1] semantics)
+    assert pd.isna(by.loc["susi", "name"])
+    assert by.loc["karhu", "name"] == "Bear"
+    # MAX + Yhdistetty
+    assert by.loc["susi", "acc"] == 100.0
+    assert by.loc["susi", "Yhdistetty"] == 2
+    assert by.loc["ilves", "Yhdistetty"] == 1
+    assert len(out) == 3
+
+
+def test_salted_merge_equals_plain():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n),          # giant keys (heavy skew)
+        "ord": np.arange(n),
+        "s": [f"v{i}" for i in range(n)],
+        "q": rng.integers(0, 100, n).astype("float64"),
+    })
+    spec = MergeSpec(groupby=["k"], order=["ord"], first=["s"],
+                     aggregate=["s"], sum=["q"], max=["q"],
+                     count_col="n")
+    # first+aggregate+sum+max on same col would collide; use separate specs
+    spec = MergeSpec(groupby=["k"], order=["ord"], first=[],
+                     aggregate=["s"], sum=["q"], max=[], count_col="n")
+    a = merge_similar(ray.data.from_pandas(df), spec, num_buckets=4).to_pandas()
+    b = merge_salted(ray.data.from_pandas(df), spec, salt_mod=8,
+                     num_buckets=4).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values("k").reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_dedup_keep_latest_planted():
+    df = pd.DataFrame({
+        "id":   ["a", "a", "a", "b"],
+        "load": ["2024-01-01", "2024-03-01", "2024-02-01", "2024-01-01"],
+        "v":    [1, 2, 3, 4],
+    })
+    out = dedup_keep_latest(ray.data.from_pandas(df), ["id"], ["load", "v"],
+                            num_buckets=2).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["v"].tolist() == [2, 4]          # keep-latest by load date
+    first = dedup_keep_latest(ray.data.from_pandas(df), ["id"], ["load", "v"],
+                              descending=False, num_buckets=2).to_pandas()
+    assert sorted(first["v"].tolist()) == [1, 4]

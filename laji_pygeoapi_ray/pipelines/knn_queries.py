@@ -1,0 +1,57 @@
+"""kNN nearest-occurrence queries with exact DuckDB oracles (k=5, query set
+= every 100th document's derived point)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions import points
+from ..stages.derive import derive_points
+from ..stages.knn import knn_broadcast
+from .registry import register
+
+K = 5
+QUERY_MOD = 100
+
+
+def _query_points(sf_dir: str) -> pd.DataFrame:
+    """Driver-side load of the (tiny) query side — the broadcast pattern."""
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    qids = ids[ids % QUERY_MOD == 0].astype(np.int64)
+    qx, qy = points.derive_xy(qids)
+    return pd.DataFrame({"id": qids, "x": qx, "y": qy})
+
+
+def _points_ds(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(derive_points("doc_id"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(lambda t: t.rename_columns(["id", "x", "y"]),
+                          batch_format="pyarrow")
+
+
+def _knn_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    q AS (SELECT * FROM pts WHERE id % {QUERY_MOD} = 0),
+    d AS (SELECT q.id AS query_id, p.id AS neighbor_id,
+                 (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2
+          FROM q, pts p WHERE p.id <> q.id)
+    SELECT query_id, neighbor_id, d2, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank FROM d)
+    WHERE rank <= {K}"""
+
+
+@register("knn_nearest_occurrence", sql=_knn_sql)
+def knn_nearest_occurrence(sf_dir: str):
+    """k=5 nearest occurrence points per query point (broadcast strategy;
+    SURVEY.md §2.5 north-star kNN). Distances bit-match the oracle (shared
+    op order); ties break by neighbor id."""
+    return knn_broadcast(_points_ds(sf_dir), _query_points(sf_dir), K)

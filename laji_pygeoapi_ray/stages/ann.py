@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Training-data-pipeline capability (not in the reference, which has no
+embeddings; required by the engine brief): approximate-nearest-neighbor over
+``embeddings.embedding`` with
+
+- :func:`ann_topk_broadcast` — exact brute-force baseline: the Q query
+  vectors are broadcast (``ray.put`` once), each batch does one numpy
+  matmul against them, emits per-batch top-k candidates, and a tiny
+  ``groupby(query_id)`` merge finishes. Scores are *quantized-integer dot
+  products*: both numpy and the DuckDB oracle first map every component
+  through ``floor(x·10⁶ + 0.5)`` (float64), so all products/sums stay below
+  2⁵³ and are EXACT regardless of summation order — bit-identical scores,
+  deterministic ranking (ties by neighbor id).
+
+- :class:`LshAnnIndex` / :func:`ann_topk_lsh` — the scale path: sign-random-
+  projection LSH buckets (B bits → 2^B buckets, T tables); candidates =
+  bucket collisions in any table, then exact re-score. Recall is asserted
+  vs the brute-force baseline in tests.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+SCALE = 1_000_000.0
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    """float32/64 (n, d) → integer-valued float64 (exact dot products)."""
+    return np.floor(mat.astype(np.float64) * SCALE + 0.5)
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """Embedding column → (n, d) ndarray; handles Arrow list arrays and
+    Ray's ArrowTensorArray extension (from_pandas round-trips to the latter)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if hasattr(arr, "flatten") and isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // len(batch)
+        return flat.reshape(len(batch), d)
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    return np.stack(list(np_arr)) if np_arr.dtype == object else np.asarray(np_arr)
+
+
+def ann_topk_broadcast(emb_ds, queries: pd.DataFrame, k: int,
+                       *, id_col: str = "vec_id", emb_col: str = "embedding",
+                       exclude_self: bool = True):
+    """Exact top-k by quantized dot product for each broadcast query vector.
+    Returns a Dataset (query_id, neighbor_id, score, rank)."""
+    qid = queries[id_col].to_numpy(np.int64)
+    qm = quantize(np.stack(queries[emb_col].to_numpy()))
+    q_ref = ray.put((qid, qm))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bqid, bqm = ray.get(q_ref)
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pm = quantize(_emb_matrix(batch, emb_col))
+        scores = bqm @ pm.T                      # (Q, n) exact integers
+        if exclude_self:
+            scores = np.where(bqid[:, None] == pid[None, :], -np.inf, scores)
+        kk = min(k, scores.shape[1])
+        order = np.lexsort((np.broadcast_to(pid, scores.shape), -scores),
+                           axis=1)[:, :kk]
+        oq = np.repeat(bqid, kk)
+        op = pid[order].ravel()
+        os = np.take_along_axis(scores, order, axis=1).ravel()
+        keep = np.isfinite(os)
+        return pa.table({"query_id": oq[keep], "neighbor_id": op[keep],
+                         "score": os[keep]})
+
+    cands = emb_ds.map_batches(scan, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df
+
+    return cands.groupby("query_id").map_groups(finish, batch_format="pandas")
+
+
+class LshAnnIndex:
+    """Actor-pool ANN stage: sign-random-projection LSH over a broadcast
+    corpus shard. ``__init__`` (once per actor) draws the deterministic
+    projection planes, hashes the corpus into T bucket tables; ``__call__``
+    hashes each query batch, gathers bucket collisions, exact-rescored."""
+
+    def __init__(self, corpus_ref, k: int, n_bits: int = 12,
+                 n_tables: int = 4, seed: int = 42):
+        cid, cm = (ray.get(corpus_ref)
+                   if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref)
+        self.k = k
+        self.cid = cid
+        self.cm = quantize(cm)
+        d = cm.shape[1]
+        rng = np.random.default_rng(seed)
+        self.planes = [rng.standard_normal((d, n_bits)) for _ in range(n_tables)]
+        self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+        self.tables = []
+        for P in self.planes:
+            codes = ((self.cm @ P) > 0) @ self.weights
+            order = np.argsort(codes, kind="stable")
+            self.tables.append((codes[order], order))
+
+    def _candidates(self, qm: np.ndarray) -> list[np.ndarray]:
+        per_query = [[] for _ in range(len(qm))]
+        for P, (codes_sorted, order) in zip(self.planes, self.tables):
+            qcodes = ((qm @ P) > 0) @ self.weights
+            lo = np.searchsorted(codes_sorted, qcodes, side="left")
+            hi = np.searchsorted(codes_sorted, qcodes, side="right")
+            for i, (a, b) in enumerate(zip(lo, hi)):
+                if b > a:
+                    per_query[i].append(order[a:b])
+        return [np.unique(np.concatenate(c)) if c else np.empty(0, np.int64)
+                for c in per_query]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = quantize(_emb_matrix(batch, "embedding"))
+        oq, op, os, orank = [], [], [], []
+        for i, cand in enumerate(self._candidates(qm)):
+            cand = cand[self.cid[cand] != qid[i]]
+            if cand.size == 0:
+                continue
+            scores = self.cm[cand] @ qm[i]
+            sel = np.lexsort((self.cid[cand], -scores))[:self.k]
+            oq.append(np.full(len(sel), qid[i]))
+            op.append(self.cid[cand][sel])
+            os.append(scores[sel])
+            orank.append(np.arange(1, len(sel) + 1))
+        if not oq:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64())})
+        return pa.table({"query_id": np.concatenate(oq),
+                         "neighbor_id": np.concatenate(op),
+                         "score": np.concatenate(os),
+                         "rank": np.concatenate(orank)})
+
+
+def ann_topk_lsh(emb_table: pa.Table, queries_ds, k: int, **lsh_kw):
+    """LSH ANN: corpus broadcast once (``ray.put``), queries stream through
+    an actor pool. At cluster scale the corpus side shards per actor and a
+    per-query merge combines shard results (same pattern as knn_broadcast)."""
+    cid = emb_table["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cm = _emb_matrix(emb_table, "embedding")
+    corpus_ref = ray.put((cid, cm))
+    return queries_ds.map_batches(
+        LshAnnIndex, fn_constructor_args=(corpus_ref, k),
+        fn_constructor_kwargs=lsh_kw, batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 4), num_cpus=1)

@@ -1,0 +1,54 @@
+"""kNN / ANN tests: oracle parity, cogroup-vs-broadcast agreement, LSH recall."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from tests.conftest import SF_UNIT, assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", ["knn_nearest_occurrence", "ann_topk_dot"])
+def test_query_matches_oracle(name):
+    assert_query_matches_oracle(name, SF_UNIT)
+
+
+def test_knn_cell_cogroup_matches_broadcast():
+    from laji_pygeoapi_ray.pipelines.knn_queries import (_points_ds,
+                                                         _query_points)
+    from laji_pygeoapi_ray.stages.knn import knn_broadcast, knn_cell_cogroup
+
+    pts = _points_ds(SF_UNIT)
+    qdf = _query_points(SF_UNIT)
+    exact = knn_broadcast(pts, qdf, 5).to_pandas()
+    qds = ray.data.from_pandas(qdf)
+    cg = knn_cell_cogroup(_points_ds(SF_UNIT), qds, res=3, k=5,
+                          ring=1, num_buckets=8).to_pandas()
+    key = ["query_id", "rank"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    cg = cg.sort_values(key).reset_index(drop=True)
+    # res-3 cells (~1.5°) are wide vs kth-neighbor distances: ring-1 exact
+    assert len(cg) == len(exact)
+    agree = (exact["neighbor_id"].to_numpy() == cg["neighbor_id"].to_numpy())
+    assert agree.mean() >= 0.99, agree.mean()
+
+
+def test_lsh_ann_recall():
+    from laji_pygeoapi_ray.pipelines.ann_queries import _queries_df
+    from laji_pygeoapi_ray.stages.ann import ann_topk_broadcast, ann_topk_lsh
+
+    emb = pq.read_table(f"{SF_UNIT}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qdf = _queries_df(SF_UNIT)
+    ds = ray.data.read_parquet(f"{SF_UNIT}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = ann_topk_broadcast(ds, qdf, 5).to_pandas()
+    qds = ray.data.from_pandas(qdf)
+    approx = ann_topk_lsh(emb, qds, 5, n_bits=4, n_tables=16).to_pandas()
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(got & set(g["neighbor_id"])) / len(g))
+    assert np.mean(recalls) >= 0.8, recalls  # 4-bit codes × 16 tables: 0.96

@@ -1,0 +1,146 @@
+"""Text-analysis + near-dup queries over the documents table.
+
+SQL-checkable: token/quality stats, MD5 fingerprint dedup, word-3-gram
+Jaccard pairs. Rows-only (no SQL twin exists for salted hashes): MinHash-LSH
+clusters, SimHash pairs, language-ID — each covered by planted-fixture
+pytest instead."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions import textkernels as tk
+from ..stages import simdedup
+from ..stages.text import LangIdStage, fingerprint_stage, text_stats_stage
+from .registry import register
+
+JACCARD_MAX_ID = 30  # pairwise query subset bound
+
+
+@register("text_stats", sql="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+      CAST(len(list_filter(string_split(text, ' '),
+            t -> t = 'the' OR t = 'a')) AS BIGINT) AS stop_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+      CAST(len(list_filter(string_split(text, ' '),
+            t -> t = 'the' OR t = 'a')) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+    FROM documents""")
+def text_stats(sf_dir: str):
+    """Token counting + quality scoring (type-token ratio, stopword ratio)
+    — the text-quality primitives of a training-data pipeline."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(text_stats_stage(), batch_format="pyarrow")
+    return ds.drop_columns(["text"])
+
+
+@register("doc_fingerprint_dedup", sql="""
+    SELECT doc_id, md5(text) AS fp,
+           CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS cluster_id
+    FROM documents""")
+def doc_fingerprint_dedup(sf_dir: str):
+    """Content fingerprinting (MD5) + exact-dup cluster id (min doc_id per
+    fingerprint) — hash-partitioned, no full-text shuffle (only the 32-byte
+    fingerprint moves)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_stage(), batch_format="pyarrow")
+    ds = ds.drop_columns(["text"])
+
+    def attach_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cluster_id"] = df.groupby("fp")["doc_id"].transform("min")
+        return df
+
+    from ..stages.shuffle import grouped_apply
+    return grouped_apply(ds, ["fp"], attach_min, num_buckets=32)
+
+
+def _jacc_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id < {JACCARD_MAX_ID}),
+    sh AS (SELECT doc_id, t[g] || ' ' || t[g + 1] || ' ' || t[g + 2] AS gram
+           FROM toks, (SELECT unnest(generate_series(1, 4000)) AS g) gs
+           WHERE g <= len(t) - 2),
+    shd AS (SELECT DISTINCT doc_id, gram FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS i
+              FROM shd a JOIN shd b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+           CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b"""
+
+
+@register("ngram_jaccard_pairs", sql=_jacc_sql)
+def ngram_jaccard_pairs(sf_dir: str):
+    """Word-3-gram Jaccard similarity for all doc pairs with ≥1 shared
+    shingle (doc_id < 30 subset) — the exact-verify stage of the near-dup
+    family, distributed as shingle-explode → gram-bucket shuffle → pair-sum."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pa.dataset.field("doc_id") < JACCARD_MAX_ID))
+    # per-doc shingle counts: tiny subset, computed once on the driver and
+    # broadcast into the jaccard finisher
+    sub = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", JACCARD_MAX_ID)])
+    counts = {int(i): len(tk.word_shingles(t, 3))
+              for i, t in zip(sub["doc_id"].to_pylist(),
+                              sub["text"].to_pylist())}
+    grams = ds.map_batches(simdedup.shingle_explode(), batch_format="pyarrow")
+    return simdedup.jaccard_pairs(grams, counts, threshold=0.0,
+                                  num_buckets=16)
+
+
+@register("minhash_dedup_clusters")  # rows-only: salted hashing has no SQL twin
+def minhash_dedup_clusters(sf_dir: str):
+    """MinHash+LSH near-dup clustering → (doc_id, cluster_id). Candidate
+    pairs from band-bucket collisions; union-find labels (driver-side,
+    |pairs| ≪ corpus). Verified on planted near-dups in pytest."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = simdedup.minhash_lsh_pairs(ds).to_pandas()
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    return simdedup.cluster_pairs(pairs, np.sort(ids))
+
+
+@register("simhash_near_pairs")  # rows-only
+def simhash_near_pairs(sf_dir: str):
+    """SimHash near-dup candidate pairs (Hamming ≤ 8 over 64-bit simhash,
+    16-bit band blocking)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simdedup.simhash_pairs(ds)
+
+
+@register("lang_id_pred")  # rows-only (model op)
+def lang_id_pred(sf_dir: str):
+    """Char-trigram language ID: profiles fit once per actor on a broadcast
+    labelled sample (every 5th doc), prediction streamed per batch."""
+    sample = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    mask = np.asarray(sample["doc_id"].to_numpy() % 5 == 0)
+    train_ref = ray.put((
+        [t for t, m in zip(sample["text"].to_pylist(), mask) if m],
+        [l for l, m in zip(sample["lang"].to_pylist(), mask) if m]))
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(LangIdStage, fn_constructor_args=(train_ref,),
+                        batch_format="pyarrow", batch_size=2048,
+                        concurrency=(1, 4), num_cpus=1)
+    return ds.drop_columns(["text"])

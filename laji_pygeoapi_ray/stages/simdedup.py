@@ -1,0 +1,212 @@
+"""Near-duplicate detection pipelines (training-data ops):
+exact-hash dedup is in stages/dedup.py; here live the similarity families —
+word-n-gram Jaccard, MinHash+LSH banding, SimHash — all built on the same
+shuffle shape: explode (id, bucket_key) → groupby(bucket) → candidate pairs
+→ exact verify → cluster.
+
+Scale notes (documented per SURVEY.md §2 custom-operator rule):
+- bucket groups larger than ``group_cap`` are skipped when
+  ``group_cap`` is set (standard LSH stop-bucket pruning; emitted pair
+  count is what the oracle checks for the capless n-gram query);
+- candidate-pair clustering uses driver-side union-find — valid while
+  candidates ≪ corpus (the LSH contract); an iterative min-label
+  propagation via groupby is the cluster-scale fallback.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import textkernels as tk
+from .shuffle import grouped_apply
+
+
+def shingle_explode(text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 3):
+    """map_batches stage: one (id, gram) row per DISTINCT word n-gram."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            sh = tk.word_shingles(t, n)
+            ids.extend([i] * len(sh))
+            grams.extend(sh)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+    return fn
+
+
+def _pairs_from_groups(df: pd.DataFrame, key: str, id_col: str,
+                       group_cap: int | None) -> pd.DataFrame:
+    """Within a bucket: for every bucket-key group, all unordered id pairs."""
+    outs_a, outs_b = [], []
+    for _, g in df.groupby(key, sort=False):
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2 or (group_cap and len(ids) > group_cap):
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        outs_a.append(ids[ia])
+        outs_b.append(ids[ib])
+    if not outs_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"id_a": np.concatenate(outs_a),
+                         "id_b": np.concatenate(outs_b)})
+
+
+def ngram_pair_intersections(ds, *, id_col: str = "doc_id",
+                             num_buckets: int = 32,
+                             group_cap: int | None = None):
+    """(id, gram) rows → (id_a, id_b, inter) with inter = |shared grams|.
+    One shuffle on the gram hash; pair counts summed in a second small
+    groupby."""
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _pairs_from_groups(df, "gram", id_col, group_cap)
+        if pairs.empty:
+            pairs["inter"] = pd.Series([], dtype="int64")
+            return pairs
+        return (pairs.groupby(["id_a", "id_b"], sort=False)
+                .size().rename("inter").reset_index())
+
+    partial = grouped_apply(ds, ["gram"], bucket_fn, num_buckets=num_buckets)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_a", "id_b"], sort=False)["inter"]
+                .sum().reset_index())
+
+    return grouped_apply(partial, ["id_a", "id_b"], combine,
+                         num_buckets=max(8, num_buckets // 4))
+
+
+def jaccard_pairs(ds, counts: dict[int, int], *, id_col: str = "doc_id",
+                  threshold: float = 0.0, num_buckets: int = 32):
+    """Full n-gram Jaccard: intersections + broadcast per-doc shingle counts
+    → jaccard = inter / (|A| + |B| − inter); keeps pairs > threshold."""
+    inter = ngram_pair_intersections(ds, id_col=id_col,
+                                     num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["id_a"].map(counts).to_numpy(np.float64)
+        nb = df["id_b"].map(counts).to_numpy(np.float64)
+        i = df["inter"].to_numpy(np.float64)
+        df = df.copy()
+        df["jaccard"] = i / (na + nb - i)
+        return df[df["jaccard"] > threshold]
+
+    return inter.map_batches(finish, batch_format="pandas")
+
+
+def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      shingle_n: int = 3, bands: int = 16,
+                      group_cap: int | None = 256, num_buckets: int = 32):
+    """MinHash+LSH candidate pairs: signature → band buckets → explode
+    (id, band_key) → groupby(band bucket) → pairs (deduped)."""
+    from .text import minhash_stage
+
+    sigs = ds.map_batches(minhash_stage(text_col, shingle_n, bands),
+                          batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bl = batch["bands"]
+        if isinstance(bl, pa.ChunkedArray):
+            bl = bl.combine_chunks()
+        flat = bl.flatten().to_numpy(zero_copy_only=False)
+        reps = np.asarray([len(x) for x in bl.to_pylist()])
+        return pa.table({id_col: np.repeat(ids, reps), "band_key": flat})
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_from_groups(df, "band_key", id_col, group_cap)
+
+    pairs = grouped_apply(exploded, ["band_key"], bucket_fn,
+                          num_buckets=num_buckets)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return grouped_apply(pairs, ["id_a", "id_b"], dedup,
+                         num_buckets=max(8, num_buckets // 4))
+
+
+def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 8, band_bits: int = 16,
+                  num_buckets: int = 16):
+    """SimHash near-dup pairs: 64-bit simhash blocked on its
+    ``64/band_bits`` bit-bands — a pair with Hamming < number-of-bands is
+    GUARANTEED to share a band (pigeonhole); exact Hamming verify inside
+    the bucket. band_bits trades recall vs bucket size: 16 bits (4 bands)
+    for web-scale corpora (small buckets), 8 bits (8 bands) for
+    high-recall small corpora."""
+    from .text import simhash_stage
+
+    hashed = ds.map_batches(simhash_stage(text_col), batch_format="pyarrow")
+    n_bands = 64 // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for b in range(n_bands):
+            band = ((sh >> np.uint64(band_bits * b)) & mask).astype(np.int64)
+            parts.append(pa.table({
+                id_col: ids, "simhash": sh.astype(np.int64),
+                "band_key": (np.int64(b) << 48) | band}))
+        return pa.concat_tables(parts)
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("band_key", sort=False):
+            g = g.drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy(np.int64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = tk.hamming64(hs[ia], hs[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
+                    "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
+                    "hamming": ham[keep].astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped_apply(exploded, ["band_key"], bucket_fn,
+                          num_buckets=num_buckets)
+    return grouped_apply(pairs, ["id_a", "id_b"],
+                         lambda df: df.drop_duplicates(),
+                         num_buckets=8)
+
+
+def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
+    """Driver-side union-find over candidate pairs → (id, cluster_id) where
+    cluster_id = min id of the component. Valid while |pairs| ≪ corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return pd.DataFrame({
+        "doc_id": all_ids,
+        "cluster_id": np.asarray([find(int(i)) for i in all_ids], dtype=np.int64),
+    })

@@ -1,0 +1,88 @@
+"""Text ops: oracle parity + planted near-dup fixtures for the rows-only
+(minhash/simhash/langid) operators."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from laji_pygeoapi_ray.functions import textkernels as tk
+from laji_pygeoapi_ray.stages import simdedup
+from tests.conftest import SF_UNIT, assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", [
+    "text_stats", "doc_fingerprint_dedup", "ngram_jaccard_pairs",
+])
+def test_query_matches_oracle(name):
+    assert_query_matches_oracle(name, SF_UNIT)
+
+
+def _planted_corpus() -> pd.DataFrame:
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(40):
+        toks = list(rng.choice(vocab, 60))
+        texts.append(" ".join(toks))
+        ids.append(i)
+    # planted near-dups: docs 100+i = doc i with one token changed
+    for i in range(5):
+        toks = texts[i].split(" ")
+        toks[20] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(100 + i)
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def test_minhash_finds_planted_dups():
+    df = _planted_corpus()
+    ds = ray.data.from_pandas(df)
+    pairs = simdedup.minhash_lsh_pairs(ds, num_buckets=8).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, 100 + i) in found, f"planted pair {i} missed: {found}"
+    # false-positive rate bounded: random 60-token docs shouldn't collide
+    assert len(found) <= 15, found
+
+    clusters = simdedup.cluster_pairs(pairs, df["doc_id"].to_numpy())
+    c = clusters.set_index("doc_id")["cluster_id"]
+    for i in range(5):
+        assert c[100 + i] == c[i] == i
+
+
+def test_simhash_finds_planted_dups():
+    df = _planted_corpus()
+    ds = ray.data.from_pandas(df)
+    pairs = simdedup.simhash_pairs(ds, max_hamming=10, band_bits=8,
+                                   num_buckets=8).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    hits = sum((i, 100 + i) in found for i in range(5))
+    assert hits >= 4, (hits, found)  # 8 bands: Hamming<8 pigeonhole-found
+
+
+def test_langid_profile_classifier():
+    train = {
+        "en": ["the quick brown fox jumps over the lazy dog and runs away",
+               "this is a sentence with common english words and letters"],
+        "fi": ["tämä on suomenkielinen lause jossa on yleisiä sanoja",
+               "metsässä kävelee karhu ja syö mustikoita aina välillä"],
+        "de": ["der schnelle braune fuchs springt über den faulen hund",
+               "dies ist ein deutscher satz mit häufigen wörtern und zeichen"],
+    }
+    texts = [t for v in train.values() for t in v]
+    labels = [k for k, v in train.items() for _ in v]
+    model = tk.LangProfile().fit(texts, labels)
+    preds = model.predict([
+        "the fox and the dog are friends",
+        "karhu kävelee metsässä mustikoita syöden",
+        "der hund springt über den zaun",
+    ])
+    assert preds == ["en", "fi", "de"], preds
+
+
+def test_simhash_hamming_kernel():
+    a = np.array([0b1011, 0], dtype=np.int64)
+    b = np.array([0b0001, -1], dtype=np.int64)
+    assert tk.hamming64(a, b).tolist() == [2, 64]

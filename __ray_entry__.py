@@ -17,9 +17,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline: derive points → encode tiles → PIP-label regions."""
-    from laji_pygeoapi_ray.pipelines.flagship import flagship
-    return flagship(SF_SMOKE)
+    """Flagship pipeline: image+caption table → decode/PSNR-verify →
+    derive point → tile → PIP-label regions → local id."""
+    from laji_pygeoapi_ray.pipelines.flagship import flagship_images
+    return flagship_images(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -30,3 +30,44 @@ def flagship(sf_dir: str, *, concurrency=(1, 4)) -> "ray.data.Dataset":
                         batch_format="pyarrow", batch_size=32768,
                         concurrency=concurrency, num_cpus=1)
     return ds
+
+
+def flagship_images(sf_dir: str, *, concurrency=(1, 4)) -> "ray.data.Dataset":
+    """The full north-star pipeline over the image+caption input table:
+
+    read (Parquet ≙ Lance fragments) → parse img_no from image_id →
+    decode + PSNR-verify + features (actor pool, small batches) →
+    derive point → encode res-7 tile → PIP region labels (actor pool) →
+    local id ('#'→'_'). Callers continue with phash dedup / tile agg /
+    partitioned write (see pipelines/image_queries.py and
+    pipelines/etl.py)."""
+    import pyarrow as pa
+
+    from ..functions import cells, points
+    from ..sources import images as imgsrc
+    from ..stages.images import ImageDecodeStage
+
+    ds = imgsrc.read_images(
+        imgsrc.materialize_images(_n_images(sf_dir)))
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=concurrency, num_cpus=1)
+
+    def derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        t = t.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+        return t.append_column("cell7", pa.array(cells.encode(x, y, 7)))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    layers_ref = assign.put_layers()
+    ds = ds.map_batches(assign.PIPAssigner,
+                        fn_constructor_args=(layers_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=concurrency, num_cpus=1)
+    return ds.map_batches(imgsrc.local_id, batch_format="pyarrow")
+
+
+def _n_images(sf_dir: str) -> int:
+    from .image_queries import n_images_for
+    return n_images_for(sf_dir)

@@ -1,0 +1,110 @@
+"""Queries over the primary image+caption table (synthesized per
+BASELINE.json input_hint; sources/images.py).
+
+The driver's DuckDB oracle runs over pre-registered testdata views, so these
+oracles read the deterministic /tmp parquet the query callable materializes
+(same engine, same files). SQL-checkable: phash dedup clusters, tile counts
+over points derived from the parsed image number. Rows-only: the full
+decode-verify pipeline (PSNR needs the codec, no SQL twin)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import cells, points
+from ..sources import images as imgsrc
+from ..stages import assign
+from ..stages.images import ImageDecodeStage
+from ..stages.shuffle import grouped_apply
+from .registry import register
+
+RES = 7
+N_BY_SF = {"sf0.001": 400, "sf0.01": 2000, "sf0.1": 20000}
+ORACLE_N = 2000  # the driver runs correctness at sf0.01
+
+
+def n_images_for(sf_dir: str) -> int:
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return N_BY_SF.get(base, 20000)
+
+
+def images_ds(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    path = imgsrc.materialize_images(n_images_for(sf_dir))
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _img_path_sql(n: int) -> str:
+    return f"read_parquet('/tmp/laji_ray_images/n{n}/*.parquet')"
+
+
+@register("image_phash_dedup", sql=lambda: f"""
+    SELECT image_id, phash,
+           MIN(image_id) OVER (PARTITION BY phash) AS cluster_id
+    FROM {_img_path_sql(ORACLE_N)}""")
+def image_phash_dedup(sf_dir: str):
+    """Exact near-dup grouping by 64-bit phash (identical pixels ⇒ identical
+    phash; planted dups at n ≡ 17 mod 50): cluster = min image_id. Only the
+    (image_id, phash) columns are read — the bytes column never moves
+    (prune-at-read)."""
+    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+
+    def attach_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cluster_id"] = df.groupby("phash")["image_id"].transform("min")
+        return df
+
+    return grouped_apply(ds, ["phash"], attach_min, num_buckets=32)
+
+
+def _img_no_sql() -> str:
+    return r"CAST(regexp_extract(image_id, 'IMG\.(\d+)#', 1) AS BIGINT)"
+
+
+@register("image_tile_counts", sql=lambda: f"""
+    WITH base AS (SELECT {_img_no_sql()} AS img_no, w, h
+                  FROM {_img_path_sql(ORACLE_N)}),
+    pts AS (SELECT img_no, w, h, {points.sql_xy('img_no')[0]} AS x,
+                   {points.sql_xy('img_no')[1]} AS y FROM base)
+    SELECT {cells.sql_cell('x', 'y', RES)} AS cell7,
+           COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h
+    FROM pts GROUP BY 1""")
+def image_tile_counts(sf_dir: str):
+    """Occurrence-point tiling of the image table: image number parsed from
+    image_id (vectorized regex), point derived, res-7 tile aggregation of
+    pixel-dimension payload."""
+    ds = images_ds(sf_dir, columns=["image_id", "w", "h"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        return t.append_column("cell7", pa.array(cells.encode(x, y, RES)))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    agg = ds.groupby("cell7").aggregate(
+        Count(alias_name="n"), Sum("w", alias_name="sum_w"),
+        Sum("h", alias_name="sum_h"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["cell7", "n", "sum_w", "sum_h"]),
+        batch_format="pyarrow")
+
+
+@register("image_decode_verify")  # rows-only: PSNR needs the codec
+def image_decode_verify(sf_dir: str):
+    """The flagship multimodal pipeline head: decode every image (actor
+    pool, small batches), verify the north-rule invariants (PSNR ≥ 40 dB,
+    lossless exact), and emit per-fmt verification stats."""
+    ds = images_ds(sf_dir)
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4), num_cpus=1)
+    agg = ds.groupby("fmt").aggregate(
+        Count(alias_name="n"), Min("psnr", alias_name="min_psnr"),
+        Mean("mean_lum", alias_name="avg_lum"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "n", "min_psnr", "avg_lum"]),
+        batch_format="pyarrow")

@@ -1,0 +1,71 @@
+"""Image map_batches stages (actor pools — wide binary rows, small batches).
+
+The multimodal plumbing demanded by the brief: decode / verify / feature-
+extract / thumbnail over the opaque ``bytes`` column, with the Ray-side
+contracts (schema, batch size, actor signature, zero-copy binary in/out)
+fully real; the codecs themselves are the engine's own (functions/codec.py —
+real PNG, deterministic lossy qz6; PIL/cv2 don't exist in this container)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codec
+from ..sources.images import content_seed
+
+
+class ImageDecodeStage:
+    """Actor stage: decode each row's bytes, emit pixel features and the
+    decode-verification metrics of the north rule:
+
+    - ``psnr``      vs the deterministically-reconstructed original
+                    (∞ → stored as 99.0 for lossless; ≥ 40 dB required),
+    - ``ahash_dec`` average-hash of the DECODED pixels,
+    - ``mean_lum``  mean luma (the per-tile aggregation payload).
+
+    Runs as an actor pool with small batches (rows are wide: bytes payload
+    dominates block size — SURVEY.md §7.4)."""
+
+    def __init__(self, check_psnr: bool = True):
+        self.check_psnr = check_psnr
+        self.luma_w = np.array([0.299, 0.587, 0.114])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        datas = batch["bytes"].to_pylist()
+        nos = batch["img_no"].to_numpy(zero_copy_only=False)
+        psnr = np.empty(len(batch), dtype=np.float64)
+        ahash = np.empty(len(batch), dtype=np.int64)
+        mean_lum = np.empty(len(batch), dtype=np.float64)
+        for i, (fmt, data) in enumerate(zip(fmts, datas)):
+            img = codec.decode(data, fmt)
+            ahash[i] = codec.ahash64(img)
+            mean_lum[i] = float(np.mean(img.astype(np.float64) @ self.luma_w))
+            if self.check_psnr:
+                orig = codec.procedural_image(content_seed(int(nos[i])),
+                                              img.shape[0], img.shape[1])
+                p = codec.psnr(img, orig)
+                psnr[i] = 99.0 if p == float("inf") else p
+            else:
+                psnr[i] = np.nan
+        batch = batch.append_column("psnr", pa.array(psnr))
+        batch = batch.append_column("ahash_dec", pa.array(ahash))
+        batch = batch.append_column("mean_lum", pa.array(mean_lum))
+        return batch
+
+
+class ThumbnailStage:
+    """Actor stage: block-mean 16×16 thumbnail re-encoded as PNG into a new
+    binary column (the resize/feature-extract plumbing op)."""
+
+    def __init__(self, size: int = 16):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for fmt, data in zip(batch["fmt"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            img = codec.decode(data, fmt)
+            thumb = codec.block_resize(img, self.size, self.size)
+            out.append(codec.png_encode(thumb))
+        return batch.append_column("thumb_png", pa.array(out, pa.binary()))

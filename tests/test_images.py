@@ -1,0 +1,86 @@
+"""Image payload tests: codec round-trips, PSNR invariant, phash dups,
+pipeline stages, oracle parity for the image queries."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from laji_pygeoapi_ray.functions import codec
+from laji_pygeoapi_ray.sources import images as imgsrc
+from tests.conftest import SF_UNIT, assert_query_matches_oracle, duck_con, normalize, to_pandas
+
+
+def test_png_roundtrip_exact():
+    img = codec.procedural_image(7, 64, 32)
+    assert np.array_equal(codec.png_decode(codec.png_encode(img)), img)
+
+
+def test_qz6_psnr_above_40():
+    for seed in range(10):
+        img = codec.procedural_image(seed, 64, 64)
+        dec = codec.qz6_decode(codec.qz6_encode(img))
+        assert codec.psnr(img, dec) >= 40.0, seed
+
+
+def test_ahash_dup_and_resize():
+    a = codec.procedural_image(3, 64, 64)
+    b = codec.procedural_image(3, 64, 64)
+    c = codec.procedural_image(4, 64, 64)
+    assert codec.ahash64(a) == codec.ahash64(b)
+    assert codec.ahash64(a) != codec.ahash64(c)
+    th = codec.block_resize(a, 16, 16)
+    assert th.shape == (16, 16, 3)
+
+
+def test_images_table_schema_and_planted_dups():
+    t = imgsrc.images_table(120)
+    assert t.schema.equals(imgsrc.IMAGE_SCHEMA)
+    ph = t["phash"].to_pylist()
+    ids = t["image_id"].to_pylist()
+    # n=67 duplicates n=17's pixels → same phash, different id
+    assert ph[67] == ph[17] and ids[67] != ids[17]
+    assert ph[66] != ph[16]
+    # captions carry diacritics; ids carry '#'
+    assert "ä" in t["caption"][0].as_py()
+    assert "#" in ids[0]
+
+
+def test_decode_stage_invariants():
+    import pyarrow as pa
+    from laji_pygeoapi_ray.stages.images import ImageDecodeStage
+    t = imgsrc.images_table(60)
+    t = imgsrc.parse_image_no(t)
+    out = ImageDecodeStage()(t)
+    psnr = np.asarray(out["psnr"].to_pylist())
+    fmts = np.asarray(out["fmt"].to_pylist())
+    assert (psnr >= 40.0).all()
+    assert (psnr[fmts == "png"] == 99.0).all()       # lossless exact
+    # caption byte-equality through the stage
+    assert out["caption"].to_pylist() == t["caption"].to_pylist()
+
+
+def test_local_id_roundtrip():
+    t = imgsrc.images_table(5)
+    out = imgsrc.local_id(t)
+    lid = out["local_id"][0].as_py()
+    assert "#" not in lid and "_" in lid
+    # decode inverse (lajiapi_provider.py:147): '_'→'#' restores the id
+    head, _, tail = lid.rpartition("_")
+    assert head + "#" + tail == t["image_id"][0].as_py()
+
+
+@pytest.mark.parametrize("name", ["image_phash_dedup", "image_tile_counts"])
+def test_image_query_matches_oracle(name):
+    """Oracle parity at the unit scale (n=400): rebuild the oracle SQL for
+    the unit-sized /tmp table rather than the sf0.01-sized one."""
+    import __ray_entry__ as e
+    import pandas as pd
+    from laji_pygeoapi_ray.pipelines import image_queries as iq
+
+    got = normalize(to_pandas(e.queries()[name](SF_UNIT)))
+    n_unit = iq.n_images_for(SF_UNIT)
+    sql = e.oracle_sql()[name].replace(f"/n{iq.ORACLE_N}/", f"/n{n_unit}/")
+    con = duck_con(SF_UNIT)
+    exp = normalize(con.sql(sql).df())
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)

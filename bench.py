@@ -1,0 +1,218 @@
+"""Benchmark harness — prints ONE JSON line with headline wall times.
+
+Usage:
+    python bench.py               # env: GRAFT_SF_DIR (default sf0.1),
+                                  #      RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling     # two fresh-process runs (8 vs 32 CPUs) on
+                                  # the same input → throughputs + scaling
+                                  # efficiency (the N→4N evidence protocol,
+                                  # BASELINE.md)
+
+The headline set covers every engine family: the spatial join (PIP over
+600k derived lineitem points), tile aggregation, the CSV-spec merge
+shuffle, keep-latest dedup, the image decode-verify pipeline, kNN, ANN,
+and the text/near-dup ops. Input synthesis (the /tmp image corpus) and OS
+page-cache warm-up run before timing.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "pip_lineitem_province_counts",   # spatial join (the north-star metric)
+    "tile_counts",
+    "merge_similar_lineitem",
+    "dedup_events_latest",
+    "image_decode_verify",
+    "image_phash_dedup",
+    "knn_nearest_occurrence",
+    "ann_topk_dot",
+    "text_stats",
+    "minhash_dedup_clusters",
+]
+
+
+def _consume(result) -> int:
+    """Force full streaming execution; returns the row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    total = 0
+    for batch in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        total += batch.num_rows
+    return total
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from laji_pygeoapi_ray.pipelines.image_queries import n_images_for
+    from laji_pygeoapi_ray.pipelines.registry import all_queries
+    from laji_pygeoapi_ray.sources.images import materialize_images
+
+    qs = all_queries()
+    materialize_images(n_images_for(sf_dir))          # input synthesis, untimed
+    for t in ("lineitem", "documents", "events", "embeddings"):
+        ray.data.read_parquet(f"{sf_dir}/{t}.parquet").count()  # warm cache
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    li_rows = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+    out = {
+        "metric": "headline pipeline wall time (spatial join + tiling + "
+                  "shuffle + image + knn/ann + text families)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "spatial_join_rows_per_sec": round(
+            li_rows / times["pip_lineitem_province_counts"]),
+    }
+    ray.shutdown()
+    return out
+
+
+SCALE_POINTS = 120_000_000    # spatial-join rows for the scaling job
+SCALE_IMAGES = 100_000        # image-pipeline rows for the scaling job
+
+
+def run_scale_job() -> dict:
+    """The compute-dominated job used for the N→4N scaling evidence: the
+    north-star metrics (spatial-join throughput + image tile-assignment
+    wall time) on inputs big enough that per-stage task overhead is noise.
+    The sf0.1 headline set finishes in ~20 s at 8 CPUs — overhead-bound, so
+    it cannot evidence scaling; this job is ~300 s of pure compute."""
+    import pyarrow as pa
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from ray.data.aggregate import Count
+
+    from laji_pygeoapi_ray.functions import cells, points
+    from laji_pygeoapi_ray.sources.images import materialize_images
+    from laji_pygeoapi_ray.stages import assign
+    from laji_pygeoapi_ray.stages.images import ImageDecodeStage
+    from laji_pygeoapi_ray.sources.images import parse_image_no
+
+    img_path = materialize_images(SCALE_IMAGES)       # untimed input synthesis
+
+    # --- spatial join: derive → tile → PIP → province counts over 120M pts
+    t0 = time.perf_counter()
+    ds = ray.data.range(SCALE_POINTS, override_num_blocks=ncpu * 8)
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t["id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(k)
+        return pa.table({"x": x, "y": y,
+                         "cell7": cells.encode(x, y, 7)})
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
+                        batch_size=131072, concurrency=max(2, ncpu - 2),
+                        num_cpus=1)
+    out = ds.groupby("province").aggregate(Count(alias_name="n"))
+    n_prov = sum(b.num_rows for b in out.iter_batches(batch_format="pyarrow"))
+    spatial_sec = time.perf_counter() - t0
+
+    # --- image pipeline: decode-verify → PIP → per-(province, fmt) counts
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(img_path, override_num_blocks=ncpu * 4)
+    ds = ds.map_batches(parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=max(2, ncpu - 2),
+                        num_cpus=1)
+
+    def img_derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    ds = ds.map_batches(img_derive, batch_format="pyarrow")
+    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
+                        batch_size=8192, concurrency=max(2, ncpu // 2),
+                        num_cpus=1)
+    out = ds.groupby("fmt").aggregate(Count(alias_name="n"),
+                                      )
+    img_rows = sum(b["n"].to_numpy().sum()
+                   for b in out.iter_batches(batch_format="pyarrow"))
+    image_sec = time.perf_counter() - t0
+
+    result = {
+        "metric": "scale job: spatial join (120M pts) + image pipeline (100k imgs)",
+        "value": round(spatial_sec + image_sec, 3),
+        "unit": "sec",
+        "queries": {"spatial_join_120M": round(spatial_sec, 3),
+                    "image_pipeline_100k": round(image_sec, 3)},
+        "spatial_join_rows_per_sec": round(SCALE_POINTS / spatial_sec),
+        "image_rows_per_sec": round(int(img_rows) / image_sec),
+        "num_cpus": ncpu,
+        "provinces": n_prov,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALE_JOB="1")
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N→4N (fresh ray.init at 8 vs 32 CPUs, "
+                  "same compute-dominated scale job)",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+        "spatial_join_rows_per_sec_8": r_lo["spatial_join_rows_per_sec"],
+        "spatial_join_rows_per_sec_32": r_hi["spatial_join_rows_per_sec"],
+        "image_rows_per_sec_8": r_lo["image_rows_per_sec"],
+        "image_rows_per_sec_32": r_hi["image_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif os.environ.get("GRAFT_SCALE_JOB"):
+        result = run_scale_job()
+    else:
+        result = run_bench()
+    print(json.dumps(result))

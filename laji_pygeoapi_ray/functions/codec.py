@@ -113,23 +113,37 @@ def ahash64(img: np.ndarray) -> np.int64:
     h, w = luma.shape
     blocks = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
     bits = (blocks > blocks.mean()).ravel()
-    v = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            v |= np.uint64(1) << np.uint64(i)
-    return v.astype(np.int64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits.astype(np.uint64) * weights).sum(dtype=np.uint64).astype(np.int64)
+
+
+_GRID_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _grids(h: int, w: int):
+    """Cached coordinate vectors + the (xx+yy)/(h+w) plane for (h, w)."""
+    key = (h, w)
+    if key not in _GRID_CACHE:
+        ys = np.arange(h, dtype=np.float64)
+        xs = np.arange(w, dtype=np.float64)
+        plane = (xs[None, :] + ys[:, None]) / (h + w)
+        _GRID_CACHE[key] = (ys, xs, plane)
+    return _GRID_CACHE[key]
 
 
 def procedural_image(seed: int, h: int, w: int) -> np.ndarray:
     """Deterministic procedural RGB image: per-channel phase-shifted sine
-    gradients keyed by ``seed`` (vectorized; no RNG state)."""
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    gradients keyed by ``seed``. The wave is separable (sin depends only on
+    x, cos only on y), so trig is O(h+w), combined by exact-commutative
+    outer adds — bit-identical to the dense formulation."""
+    ys, xs, plane = _grids(h, w)
     s = np.float64((seed * 2654435761) % 4294967296) / 4294967296.0
     img = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         f = 0.03 + 0.1 * ((s * (c + 2)) % 1.0)
         phase = 6.28318 * ((s * (c + 7)) % 1.0)
-        wave = (np.sin(xx * f + phase) + np.cos(yy * f * 1.3 + phase * 0.5)
-                + (xx + yy) / (h + w))
+        sin_row = np.sin(xs * f + phase)            # (w,)
+        cos_col = np.cos(ys * f * 1.3 + phase * 0.5)  # (h,)
+        wave = (sin_row[None, :] + cos_col[:, None]) + plane
         img[:, :, c] = np.clip((wave + 2.0) / 4.0 * 255.0, 0, 255).astype(np.uint8)
     return img

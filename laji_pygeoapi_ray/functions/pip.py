@@ -97,9 +97,12 @@ def sql_pip_assign(points_cte: str, key: str, edges_sql: str,
     ``{key}, x, y``) its containing polygon pid (and name when ``names_sql``
     given) via the identical crossing rule. LEFT-join semantics: points on no
     polygon surface → NULL label."""
+    # parity runs over DISTINCT points: duplicate keys (e.g. repeated
+    # lineitem (orderkey, linenumber) pairs in the synthetic data) would
+    # double the crossing counts and flip the parity
     parity = f"""
     SELECT p.{key} AS {key}, e.pid AS pid
-    FROM pts p, edges e
+    FROM (SELECT DISTINCT * FROM pts) p, edges e
     WHERE e.y1 <> e.y2
     GROUP BY p.{key}, e.pid
     HAVING SUM(CASE WHEN ((e.y1 > p.y) <> (e.y2 > p.y))

@@ -7,6 +7,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 import ray.data
 
+from ..sources.parquet import read_table
 from ..stages.ann import SCALE, ann_topk_broadcast
 from .registry import register
 
@@ -44,6 +45,5 @@ def _ann_sql() -> str:
 def ann_topk_dot(sf_dir: str):
     """Exact brute-force top-k by quantized dot product — the ANN baseline
     (one matmul per batch against the broadcast query matrix)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_topk_broadcast(ds, _queries_df(sf_dir), K)

@@ -32,7 +32,7 @@ def flagship(sf_dir: str, *, concurrency=(1, 4)) -> "ray.data.Dataset":
     return ds
 
 
-def flagship_images(sf_dir: str, *, concurrency=(1, 4)) -> "ray.data.Dataset":
+def flagship_images(sf_dir: str, *, concurrency=None) -> "ray.data.Dataset":
     """The full north-star pipeline over the image+caption input table:
 
     read (Parquet ≙ Lance fragments) → parse img_no from image_id →
@@ -47,8 +47,11 @@ def flagship_images(sf_dir: str, *, concurrency=(1, 4)) -> "ray.data.Dataset":
     from ..sources import images as imgsrc
     from ..stages.images import ImageDecodeStage
 
-    ds = imgsrc.read_images(
-        imgsrc.materialize_images(_n_images(sf_dir)))
+    from ..sources.parquet import default_pool
+    from .image_queries import images_ds
+    if concurrency is None:
+        concurrency = default_pool()
+    ds = images_ds(sf_dir)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
                         batch_size=256, concurrency=concurrency, num_cpus=1)

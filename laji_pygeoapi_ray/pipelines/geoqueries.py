@@ -16,6 +16,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import cells, points
+from ..sources.parquet import default_pool, read_table
 from ..functions.pip import sql_pip_assign
 from ..stages import assign
 from ..stages.derive import derive_and_encode
@@ -31,7 +32,7 @@ def _points_cte(table: str = "documents", key: str = "doc_id") -> str:
 
 
 def _docs_points(sf_dir: str, resolutions=(RES,)) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_table(sf_dir, "documents", ["doc_id"])
     return ds.map_batches(derive_and_encode("doc_id", tuple(resolutions)),
                           batch_format="pyarrow", zero_copy_batch=True)
 
@@ -60,8 +61,7 @@ def tile_counts(sf_dir: str):
     """Vector→raster tile aggregation: per-res-7-cell count + payload stats
     (the reference's closest analogue: per-table count/extent rollups,
     ``edit_db.py:235-260``)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "n_chars"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
     ds = ds.map_batches(derive_and_encode("doc_id", (RES,)),
                         batch_format="pyarrow", zero_copy_batch=True)
     agg = ds.groupby(f"cell{RES}").aggregate(
@@ -114,7 +114,7 @@ def pip_province(sf_dir: str):
     ``biogeographicalProvinceDisplayname`` (SURVEY.md §2.5)."""
     ds = _docs_points(sf_dir).map_batches(
         assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
-        concurrency=(1, 4), num_cpus=1)
+        concurrency=default_pool(), num_cpus=1)
     return ds.select_columns(["doc_id", "province"])
 
 
@@ -130,7 +130,7 @@ def pip_municipality_ely(sf_dir: str):
     chain (``compute_areas``, ``compute_variables.py:79-98``)."""
     ds = _docs_points(sf_dir).map_batches(
         assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
-        concurrency=(1, 4), num_cpus=1)
+        concurrency=default_pool(), num_cpus=1)
     return ds.select_columns(["doc_id", "municipality", "ely_area", "elinvoimakeskus"])
 
 
@@ -145,6 +145,45 @@ def province_counts(sf_dir: str):
     province holds ~30 % of rows."""
     ds = _docs_points(sf_dir).map_batches(
         assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
-        concurrency=(1, 4), num_cpus=1)
+        concurrency=default_pool(), num_cpus=1)
+    return ds.groupby("province").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: t.rename_columns(["province", "n"]), batch_format="pyarrow")
+
+# ------------------------------------------------------------ lineitem scale
+
+def _li_points_cte() -> str:
+    x, y = points.sql_xy("l_orderkey * 8 + l_linenumber")
+    return (f"SELECT l_orderkey * 8 + l_linenumber AS li_key, {x} AS x, "
+            f"{y} AS y FROM lineitem")
+
+
+def _li_ds(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.add(pc.multiply(t["l_orderkey"], pa.scalar(8, pa.int64())),
+                   pc.cast(t["l_linenumber"], pa.int64()))
+        return pa.table({"li_key": k})
+
+    ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return ds.map_batches(derive_and_encode("li_key", (RES,)),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("pip_lineitem_province_counts", sql=lambda: f"""
+    WITH assigned AS ({sql_pip_assign(_li_points_cte(), "li_key",
+                       fixtures.edges_values_sql(fixtures.province_layer()),
+                       fixtures.names_values_sql(fixtures.province_layer()))})
+    SELECT name AS province, COUNT(*) AS n FROM assigned GROUP BY name""")
+def pip_lineitem_province_counts(sf_dir: str):
+    """The headline spatial join at table scale: one derived point per
+    lineitem row (600k at sf0.1), PIP-labelled against the 21 province
+    polygons in the actor pool, counted per province. This is the bench's
+    throughput pipeline."""
+    ds = _li_ds(sf_dir).map_batches(
+        assign.PIPAssigner, batch_format="pyarrow", batch_size=65536,
+        concurrency=default_pool(), num_cpus=1)
     return ds.groupby("province").aggregate(Count(alias_name="n")).map_batches(
         lambda t: t.rename_columns(["province", "n"]), batch_format="pyarrow")

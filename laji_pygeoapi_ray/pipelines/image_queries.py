@@ -18,6 +18,7 @@ from ..functions import cells, points
 from ..sources import images as imgsrc
 from ..stages import assign
 from ..stages.images import ImageDecodeStage
+from ..sources.parquet import default_pool
 from ..stages.shuffle import grouped_apply
 from .registry import register
 
@@ -32,8 +33,19 @@ def n_images_for(sf_dir: str) -> int:
 
 
 def images_ds(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    import glob
+    import math
+    import os
+
+    from ..sources.parquet import TARGET_BLOCK_BYTES, cluster_cpus
+
     path = imgsrc.materialize_images(n_images_for(sf_dir))
-    return ray.data.read_parquet(path, columns=columns)
+    size = sum(os.path.getsize(f)
+               for f in glob.glob(os.path.join(path, "*.parquet")))
+    blocks = max(min(cluster_cpus(), 16),
+                 math.ceil(size / TARGET_BLOCK_BYTES))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
 
 
 def _img_path_sql(n: int) -> str:
@@ -101,7 +113,7 @@ def image_decode_verify(sf_dir: str):
     ds = images_ds(sf_dir)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                        batch_size=256, concurrency=(1, 4), num_cpus=1)
+                        batch_size=256, concurrency=default_pool(), num_cpus=1)
     agg = ds.groupby("fmt").aggregate(
         Count(alias_name="n"), Min("psnr", alias_name="min_psnr"),
         Mean("mean_lum", alias_name="avg_lum"))

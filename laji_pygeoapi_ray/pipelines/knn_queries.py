@@ -9,6 +9,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..functions import points
+from ..sources.parquet import read_table
 from ..stages.derive import derive_points
 from ..stages.knn import knn_broadcast
 from .registry import register
@@ -27,8 +28,7 @@ def _query_points(sf_dir: str) -> pd.DataFrame:
 
 
 def _points_ds(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = read_table(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(derive_points("doc_id"), batch_format="pyarrow",
                         zero_copy_batch=True)
     return ds.map_batches(lambda t: t.rename_columns(["id", "x", "y"]),

@@ -12,6 +12,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
+from ..sources.parquet import read_table
 from ..stages.dedup import dedup_keep_latest
 from ..stages.merge import MergeSpec, merge_similar
 from .registry import register
@@ -26,7 +27,7 @@ def dedup_events_latest(sf_dir: str):
     """Keep-latest-per-key dedup (``DISTINCT ON … ORDER BY load_date DESC``,
     ``edit_db.py:364-369``) over the events stream: key=user_id,
     order=(ts, event_id) DESC."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events")
     return dedup_keep_latest(ds, ["user_id"], ["ts", "event_id"])
 
 
@@ -37,8 +38,7 @@ def dedup_docs_first(sf_dir: str):
     """Exact content dedup: one row per distinct document text, keeping the
     smallest doc_id (first-arrival semantics, SURVEY.md §2.5 anti/semi-join
     note). The training-data 'exact dedup' primitive."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return dedup_keep_latest(ds, ["text"], ["doc_id"], descending=False)
 
 
@@ -68,10 +68,10 @@ def merge_similar_lineitem(sf_dir: str):
     GROUPBY (l_partkey, l_suppkey), deterministic in-group order
     (l_orderkey, l_linenumber). l_quantity is integral so the distributed
     SUM is bit-exact vs the oracle."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
-                 "l_returnflag", "l_quantity", "l_extendedprice"])
+    ds = read_table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+         "l_returnflag", "l_quantity", "l_extendedprice"])
 
     def add_strcol(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -95,8 +95,7 @@ def quality_freq_events(sf_dir: str):
     total × 100, rounded to 2 decimals — round-half-up implemented as
     floor(x·100 + 0.5)/100 identically on both sides (numpy rounds
     half-to-even, DuckDB half-away; floor is unambiguous)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type"])
+    ds = read_table(sf_dir, "events", ["event_type"])
     total = ds.count()
     agg = ds.groupby("event_type").aggregate(Count(alias_name="n"))
 

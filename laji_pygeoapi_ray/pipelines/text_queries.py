@@ -14,6 +14,7 @@ import ray
 import ray.data
 
 from ..functions import textkernels as tk
+from ..sources.parquet import default_pool, read_table
 from ..stages import simdedup
 from ..stages.text import LangIdStage, fingerprint_stage, text_stats_stage
 from .registry import register
@@ -36,8 +37,7 @@ JACCARD_MAX_ID = 30  # pairwise query subset bound
 def text_stats(sf_dir: str):
     """Token counting + quality scoring (type-token ratio, stopword ratio)
     — the text-quality primitives of a training-data pipeline."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(text_stats_stage(), batch_format="pyarrow")
     return ds.drop_columns(["text"])
 
@@ -50,8 +50,7 @@ def doc_fingerprint_dedup(sf_dir: str):
     """Content fingerprinting (MD5) + exact-dup cluster id (min doc_id per
     fingerprint) — hash-partitioned, no full-text shuffle (only the 32-byte
     fingerprint moves)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(fingerprint_stage(), batch_format="pyarrow")
     ds = ds.drop_columns(["text"])
 
@@ -111,8 +110,7 @@ def minhash_dedup_clusters(sf_dir: str):
     """MinHash+LSH near-dup clustering → (doc_id, cluster_id). Candidate
     pairs from band-bucket collisions; union-find labels (driver-side,
     |pairs| ≪ corpus). Verified on planted near-dups in pytest."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     pairs = simdedup.minhash_lsh_pairs(ds).to_pandas()
     ids = pq.read_table(f"{sf_dir}/documents.parquet",
                         columns=["doc_id"])["doc_id"].to_numpy()
@@ -123,8 +121,7 @@ def minhash_dedup_clusters(sf_dir: str):
 def simhash_near_pairs(sf_dir: str):
     """SimHash near-dup candidate pairs (Hamming ≤ 8 over 64-bit simhash,
     16-bit band blocking)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return simdedup.simhash_pairs(ds)
 
 
@@ -138,9 +135,8 @@ def lang_id_pred(sf_dir: str):
     train_ref = ray.put((
         [t for t, m in zip(sample["text"].to_pylist(), mask) if m],
         [l for l, m in zip(sample["lang"].to_pylist(), mask) if m]))
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(LangIdStage, fn_constructor_args=(train_ref,),
                         batch_format="pyarrow", batch_size=2048,
-                        concurrency=(1, 4), num_cpus=1)
+                        concurrency=default_pool(), num_cpus=1)
     return ds.drop_columns(["text"])

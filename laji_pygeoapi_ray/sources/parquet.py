@@ -1,0 +1,39 @@
+"""Parquet read helpers: prune columns at the read and size the block count
+to the file, not to the CPU count — Ray's default can shatter a 200 KB table
+into 64 blocks of ~80 rows, after which every downstream operator pays 64×
+task overhead (measured: a 5 000-row groupby at 10 s wall). Blocks are
+capped between ``min_blocks`` (keep CPU-bound downstream stages parallel)
+and one block per ~8 MiB (keep tasks meaningful)."""
+from __future__ import annotations
+
+import math
+import os
+
+import ray
+import ray.data
+
+TARGET_BLOCK_BYTES = 8 * 1024 * 1024
+
+
+def cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def read_table(sf_dir: str, name: str, columns=None, *,
+               min_blocks: int | None = None) -> "ray.data.Dataset":
+    path = f"{sf_dir}/{name}.parquet"
+    size = os.path.getsize(path)
+    lo = min_blocks if min_blocks is not None else min(8, cluster_cpus())
+    blocks = max(lo, math.ceil(size / TARGET_BLOCK_BYTES))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
+
+
+def default_pool(frac: float = 1.0) -> tuple[int, int]:
+    """Actor-pool sizing: (2, frac × (CPUs − 2)) — leaves headroom for the
+    read/write stages so the pool doesn't starve the pipeline."""
+    cpus = cluster_cpus()
+    return (2, max(2, int((cpus - 2) * frac)))

@@ -140,7 +140,8 @@ def run_scale_job() -> dict:
     ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
                         batch_size=131072, concurrency=max(2, ncpu - 2),
                         num_cpus=1)
-    out = ds.groupby("province").aggregate(Count(alias_name="n"))
+    from laji_pygeoapi_ray.stages.shuffle import partial_group_counts
+    out = partial_group_counts(ds, ["province"])
     n_prov = sum(b.num_rows for b in out.iter_batches(batch_format="pyarrow"))
     spatial_sec = time.perf_counter() - t0
 
@@ -162,8 +163,7 @@ def run_scale_job() -> dict:
     ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
                         batch_size=8192, concurrency=max(2, ncpu // 2),
                         num_cpus=1)
-    out = ds.groupby("fmt").aggregate(Count(alias_name="n"),
-                                      )
+    out = partial_group_counts(ds, ["fmt"])
     img_rows = sum(b["n"].to_numpy().sum()
                    for b in out.iter_batches(batch_format="pyarrow"))
     image_sec = time.perf_counter() - t0

@@ -1,0 +1,141 @@
+"""The bulk ETL job — the engine's equivalent of the reference's weekly
+CronJob (``main.py`` lifecycle, SURVEY.md §3.1), with per-shard
+checkpoint/resume and a maintenance pass:
+
+1. **Enrich + append** (per input shard, resumable): read the shard's
+   Lance-fragment files → parse img_no → decode-verify (PSNR) → derive
+   point + res-7 tile → PIP region labels → local id → write
+   ``out/shards/<shard>/`` partitioned Parquet + manifest marker with
+   lineage (input files, transform version) and counters. A rerun skips
+   shards whose marker exists (resume).
+2. **Maintenance** (mirrors the reference's background thread,
+   ``main.py:117-129``): global dedup by phash keep-first
+   (``remove_duplicates`` semantics) over all shard output → write
+   ``out/merged/`` → per-province metadata aggregates (bbox, counts,
+   quality≙PSNR stats; mirroring ``edit_metadata.py:24-86``) →
+   ``metadata.json``.
+
+Append-then-dedup makes resume exactly-once-equivalent: re-processing a
+shard only re-appends rows the dedup collapses (SURVEY.md §2.8 upsert).
+
+On a multi-node cluster each shard is an independent sub-job (``ray job
+submit`` per shard or one driver looping); locally the loop runs shards
+sequentially, each internally parallel.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import ray.data
+
+from .. import __version__
+from ..functions import cells, points
+from ..sources import images as imgsrc
+from ..sources.parquet import default_pool
+from ..stages import assign
+from ..stages.dedup import dedup_keep_latest
+from ..stages.images import ImageDecodeStage
+from ..stages.shuffle import partial_group_counts
+from ..state.checkpoint import RunManifest, atomic_write_json
+
+TRANSFORM_VERSION = f"enrich-v1+{__version__}"
+
+
+def _enrich(ds, layers_ref, concurrency) -> "ray.data.Dataset":
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=concurrency, num_cpus=1)
+
+    def derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        t = t.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+        return t.append_column("cell7", pa.array(cells.encode(x, y, 7)))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(assign.PIPAssigner, fn_constructor_args=(layers_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=concurrency, num_cpus=1)
+    return ds.map_batches(imgsrc.local_id, batch_format="pyarrow")
+
+
+def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
+            resume: bool = True) -> RunManifest:
+    """Enrich+append phase with per-shard resume."""
+    from .image_queries import n_images_for
+
+    img_path = imgsrc.materialize_images(n_images_for(sf_dir))
+    files = sorted(glob.glob(os.path.join(img_path, "*.parquet")))
+    groups = [files[i::shards] for i in range(shards)]
+    manifest = RunManifest(out_dir, TRANSFORM_VERSION)
+    if not resume:
+        manifest.data["shards"] = {}
+        manifest.save()
+    layers_ref = assign.put_layers()
+    for i, group in enumerate(groups):
+        if not group:
+            continue
+        shard_id = f"shard_{i:04d}"
+        shard_dir = os.path.join(out_dir, "shards", shard_id)
+        if resume and manifest.is_done(shard_id) and os.path.isdir(shard_dir):
+            continue
+        tmp = shard_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        ds = ray.data.read_parquet(group)
+        enriched = _enrich(ds, layers_ref, default_pool(0.5))
+        enriched.write_parquet(tmp)
+        os.makedirs(os.path.dirname(shard_dir), exist_ok=True)
+        os.replace(tmp, shard_dir)
+        import pyarrow.parquet as pq
+        rows = sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(os.path.join(shard_dir, "*.parquet")))
+        manifest.mark_done(shard_id, input_files=group, rows=rows,
+                           counters={"rows": rows})
+    return manifest
+
+
+def run_maintenance(out_dir: str) -> dict:
+    """Dedup + metadata pass over all shard output (the reference's
+    ``remove_duplicates`` → ``create_metadata`` chain)."""
+    shard_files = sorted(glob.glob(os.path.join(out_dir, "shards", "*",
+                                                "*.parquet")))
+    ds = ray.data.read_parquet(shard_files)
+    deduped = dedup_keep_latest(ds, ["phash"], ["image_id"],
+                                descending=False, num_buckets=32)
+    merged_dir = os.path.join(out_dir, "merged")
+    tmp = merged_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    deduped.write_parquet(tmp)
+    os.replace(tmp, merged_dir)
+
+    # per-province metadata (edit_metadata.py:122-207 analogue)
+    from ray.data.aggregate import Count, Max, Min
+
+    mds = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(merged_dir, "*.parquet"))))
+    agg = mds.groupby("province").aggregate(
+        Count(alias_name="count"),
+        Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),
+        Min("y", alias_name="min_y"), Max("y", alias_name="max_y"),
+        Min("psnr", alias_name="min_psnr"))
+    records = []
+    for row in agg.iter_rows():
+        prov = row["province"]
+        records.append({
+            "id": f"ID_{prov}",
+            "title": prov,
+            "bbox": [row["min_x"], row["min_y"], row["max_x"], row["max_y"]],
+            "count": row["count"],
+            "description": f"This dataset has {row['count']} point occurrence "
+                           f"features in {prov}",
+            "min_psnr_db": row["min_psnr"],
+        })
+    meta = {"collections": sorted(records, key=lambda r: r["id"]),
+            "total": int(sum(r["count"] for r in records))}
+    atomic_write_json(os.path.join(out_dir, "metadata.json"), meta)
+    return meta

@@ -182,8 +182,8 @@ def pip_lineitem_province_counts(sf_dir: str):
     lineitem row (600k at sf0.1), PIP-labelled against the 21 province
     polygons in the actor pool, counted per province. This is the bench's
     throughput pipeline."""
+    from ..stages.shuffle import partial_group_counts
     ds = _li_ds(sf_dir).map_batches(
         assign.PIPAssigner, batch_format="pyarrow", batch_size=65536,
         concurrency=default_pool(), num_cpus=1)
-    return ds.groupby("province").aggregate(Count(alias_name="n")).map_batches(
-        lambda t: t.rename_columns(["province", "n"]), batch_format="pyarrow")
+    return partial_group_counts(ds, ["province"])

@@ -49,3 +49,27 @@ def grouped_apply(ds, key_cols: list[str],
     return (ds.groupby(BUCKET_COL)
               .map_groups(lambda df: bucket_fn(df.drop(columns=[BUCKET_COL])),
                           batch_format="pandas"))
+
+
+def partial_group_counts(ds, key_cols: list[str], count_col: str = "n"):
+    """Pre-aggregated grouped COUNT: emit per-batch partial counts (a few
+    rows per batch) and sum them in a tiny final groupby — the wide input
+    never shuffles (the 'combine before groupby' rule, SURVEY.md §2.6 /
+    ray_guide 'Aggregation at scale'). Use instead of
+    ``groupby(key).aggregate(Count())`` whenever only counts are needed."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    keys = list(key_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(keys, sort=False, dropna=False)
+               .size().rename(count_col).reset_index())
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    agg = partials.groupby(keys).aggregate(
+        Sum(count_col, alias_name=count_col))
+    return agg.map_batches(lambda t: t.rename_columns(keys + [count_col]),
+                           batch_format="pyarrow")

@@ -1,0 +1,71 @@
+"""ETL checkpoint/resume: a resumed run must produce exactly the same merged
+output as a clean run (checkpoint commutes with dedup, SURVEY.md §7.4)."""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from laji_pygeoapi_ray.pipelines import etl
+from tests.conftest import SF_UNIT
+
+OUT_A = "/tmp/laji_etl_test_clean"
+OUT_B = "/tmp/laji_etl_test_resume"
+
+
+def _merged_table(out_dir):
+    files = sorted(glob.glob(os.path.join(out_dir, "merged", "*.parquet")))
+    t = pq.read_table(files)
+    return t.sort_by([("image_id", "ascending")])
+
+
+def test_etl_clean_then_resume_identical():
+    for d in (OUT_A, OUT_B):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # clean run
+    m = etl.run_etl(SF_UNIT, OUT_A, shards=4)
+    etl.run_maintenance(OUT_A)
+    assert len(m.data["shards"]) == 4
+    assert all(s["status"] == "done" for s in m.data["shards"].values())
+    # lineage recorded
+    any_shard = next(iter(m.data["shards"].values()))
+    assert any_shard["input_files"] and any_shard["rows"] > 0
+
+    # interrupted run: do a full run, then delete one shard + its marker to
+    # simulate a crash mid-run; resume must redo ONLY that shard
+    m2 = etl.run_etl(SF_UNIT, OUT_B, shards=4)
+    victim = "shard_0002"
+    shutil.rmtree(os.path.join(OUT_B, "shards", victim))
+    m2.data["shards"].pop(victim)
+    m2.save()
+    before = {s: os.path.getmtime(os.path.join(OUT_B, "shards", s))
+              for s in m2.data["shards"]}
+    m3 = etl.run_etl(SF_UNIT, OUT_B, shards=4, resume=True)
+    assert m3.is_done(victim)
+    for s, t in before.items():  # untouched shards not rewritten
+        assert os.path.getmtime(os.path.join(OUT_B, "shards", s)) == t
+    etl.run_maintenance(OUT_B)
+
+    a, b = _merged_table(OUT_A), _merged_table(OUT_B)
+    assert a.equals(b), "resumed run differs from clean run"
+
+    # metadata written with per-province bbox/count + PSNR floor
+    meta = json.load(open(os.path.join(OUT_A, "metadata.json")))
+    assert meta["total"] == a.num_rows
+    assert all(c["min_psnr_db"] >= 40.0 for c in meta["collections"])
+    # planted dups removed: 400 images, dups at n%50==17 (n>=50) → 7 removed
+    assert a.num_rows == 400 - 7
+
+
+def test_transform_version_invalidates():
+    from laji_pygeoapi_ray.state.checkpoint import RunManifest
+    d = "/tmp/laji_etl_test_tv"
+    shutil.rmtree(d, ignore_errors=True)
+    m = RunManifest(d, "v1")
+    m.mark_done("shard_0000", input_files=["f"], rows=1)
+    m2 = RunManifest(d, "v2")
+    assert not m2.is_done("shard_0000")  # stale lineage → redo

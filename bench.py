@@ -97,8 +97,8 @@ def run_bench() -> dict:
     return out
 
 
-SCALE_POINTS = 120_000_000    # spatial-join rows for the scaling job
-SCALE_IMAGES = 100_000        # image-pipeline rows for the scaling job
+SCALE_POINTS = 100_000_000    # spatial-join rows for the scaling job
+SCALE_IMAGES = 400_000        # image-pipeline rows for the scaling job
 
 
 def run_scale_job() -> dict:
@@ -128,7 +128,7 @@ def run_scale_job() -> dict:
 
     # --- spatial join: derive → tile → PIP → province counts over 120M pts
     t0 = time.perf_counter()
-    ds = ray.data.range(SCALE_POINTS, override_num_blocks=ncpu * 8)
+    ds = ray.data.range(SCALE_POINTS, override_num_blocks=512)
 
     def derive(t: pa.Table) -> pa.Table:
         k = t["id"].to_numpy(zero_copy_only=False)
@@ -137,8 +137,10 @@ def run_scale_job() -> dict:
                          "cell7": cells.encode(x, y, 7)})
 
     ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
-                        batch_size=131072, concurrency=max(2, ncpu - 2),
+    ds = ds.map_batches(assign.PIPAssigner,
+                        fn_constructor_kwargs={"hierarchy": True},
+                        batch_format="pyarrow",
+                        batch_size=32768, concurrency=(2, max(2, ncpu - 2)),
                         num_cpus=1)
     from laji_pygeoapi_ray.stages.shuffle import partial_group_counts
     out = partial_group_counts(ds, ["province"])
@@ -147,10 +149,10 @@ def run_scale_job() -> dict:
 
     # --- image pipeline: decode-verify → PIP → per-(province, fmt) counts
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(img_path, override_num_blocks=ncpu * 4)
+    ds = ray.data.read_parquet(img_path, override_num_blocks=256)
     ds = ds.map_batches(parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                        batch_size=256, concurrency=max(2, ncpu - 2),
+                        batch_size=256, concurrency=(2, max(2, ncpu * 5 // 8)),
                         num_cpus=1)
 
     def img_derive(t: pa.Table) -> pa.Table:
@@ -160,8 +162,10 @@ def run_scale_job() -> dict:
         return t.append_column("y", pa.array(y))
 
     ds = ds.map_batches(img_derive, batch_format="pyarrow")
-    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
-                        batch_size=8192, concurrency=max(2, ncpu // 2),
+    ds = ds.map_batches(assign.PIPAssigner,
+                        fn_constructor_kwargs={"hierarchy": True},
+                        batch_format="pyarrow",
+                        batch_size=8192, concurrency=(2, max(2, ncpu // 4)),
                         num_cpus=1)
     out = partial_group_counts(ds, ["fmt"])
     img_rows = sum(b["n"].to_numpy().sum()
@@ -169,11 +173,11 @@ def run_scale_job() -> dict:
     image_sec = time.perf_counter() - t0
 
     result = {
-        "metric": "scale job: spatial join (120M pts) + image pipeline (100k imgs)",
+        "metric": f"scale job: spatial join ({SCALE_POINTS} pts) + image pipeline ({SCALE_IMAGES} imgs)",
         "value": round(spatial_sec + image_sec, 3),
         "unit": "sec",
-        "queries": {"spatial_join_120M": round(spatial_sec, 3),
-                    "image_pipeline_100k": round(image_sec, 3)},
+        "queries": {"spatial_join": round(spatial_sec, 3),
+                    "image_pipeline": round(image_sec, 3)},
         "spatial_join_rows_per_sec": round(SCALE_POINTS / spatial_sec),
         "image_rows_per_sec": round(int(img_rows) / image_sec),
         "num_cpus": ncpu,

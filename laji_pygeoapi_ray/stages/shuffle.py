@@ -62,13 +62,20 @@ def partial_group_counts(ds, key_cols: list[str], count_col: str = "n"):
 
     keys = list(key_cols)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby(keys, sort=False, dropna=False)
-               .size().rename(count_col).reset_index())
-        return out
+    def partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        sel = t.select(keys)
+        # decode dictionary keys so downstream groupby sees plain strings
+        cols = [pc.cast(sel[k], pa.string())
+                if pa.types.is_dictionary(sel[k].type) else sel[k]
+                for k in keys]
+        sel = pa.table(dict(zip(keys, cols)))
+        out = sel.group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + [count_col])
 
-    partials = ds.map_batches(partial, batch_format="pandas",
-                              batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
     agg = partials.groupby(keys).aggregate(
         Sum(count_col, alias_name=count_col))
     return agg.map_batches(lambda t: t.rename_columns(keys + [count_col]),

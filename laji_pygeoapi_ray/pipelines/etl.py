@@ -86,7 +86,7 @@ def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(shard_dir, ignore_errors=True)
         ds = ray.data.read_parquet(group)
-        enriched = _enrich(ds, layers_ref, default_pool(0.5))
+        enriched = _enrich(ds, layers_ref, default_pool(0.3))
         enriched.write_parquet(tmp)
         os.makedirs(os.path.dirname(shard_dir), exist_ok=True)
         os.replace(tmp, shard_dir)

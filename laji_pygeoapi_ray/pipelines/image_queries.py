@@ -49,7 +49,9 @@ def images_ds(sf_dir: str, columns=None) -> "ray.data.Dataset":
 
 
 def _img_path_sql(n: int) -> str:
-    return f"read_parquet('/tmp/laji_ray_images/n{n}/*.parquet')"
+    from ..sources.images import CONTENT_VERSION
+    return (f"read_parquet('/tmp/laji_ray_images/"
+            f"n{n}v{CONTENT_VERSION}/*.parquet')")
 
 
 @register("image_phash_dedup", sql=lambda: f"""

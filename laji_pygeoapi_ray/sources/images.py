@@ -47,10 +47,16 @@ IMAGE_SCHEMA = pa.schema([
 ])
 
 
+CONTENT_VERSION = 2  # bump to invalidate cached /tmp corpora
+
+
 def content_seed(n: int) -> int:
-    """Pixel-content seed: duplicated rows reuse their source's seed."""
-    if n >= DUP_MOD and n % DUP_MOD == DUP_OFF:
-        return n - DUP_MOD
+    """Pixel-content seed: planted-dup rows (n ≡ 17 mod 50) collapse
+    recursively to the family root, so every member shares the SAME pixels
+    (v1 chained n→n−50 without collapsing, which made only the first pair
+    actual duplicates — fixed, CONTENT_VERSION bumped)."""
+    while n >= DUP_MOD and n % DUP_MOD == DUP_OFF:
+        n -= DUP_MOD
     return n
 
 
@@ -87,7 +93,7 @@ def materialize_images(n_images: int, base_dir: str = "/tmp/laji_ray_images",
                        *, shards: int = 16) -> str:
     """Generate the image table through Ray Data and write it sharded; the
     done-marker makes repeated calls no-ops (resume-friendly)."""
-    out = os.path.join(base_dir, f"n{n_images}")
+    out = os.path.join(base_dir, f"n{n_images}v{CONTENT_VERSION}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -97,7 +103,11 @@ def materialize_images(n_images: int, base_dir: str = "/tmp/laji_ray_images",
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
-    ds.write_parquet(tmp)
+    # one file per shard (write_parquet would otherwise coalesce small
+    # datasets into a single file, defeating fragment-parallel reads and
+    # the ETL's file-group sharding)
+    ds.repartition(max(shards, 1)).write_parquet(
+        tmp, min_rows_per_file=max(1, n_images // max(shards, 1)))
     os.replace(tmp, out)
     with open(marker, "w") as f:
         f.write(str(n_images))

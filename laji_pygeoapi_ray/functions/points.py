@@ -38,8 +38,12 @@ _HH = HEL_Y1 - HEL_Y0
 
 
 def _d(v: float) -> str:
-    """Exact float64 literal for SQL (CAST of repr round-trips bit-exactly)."""
-    return f"CAST({v!r} AS DOUBLE)"
+    """Exact float64 literal for SQL. The repr is passed as a STRING cast:
+    DuckDB parses bare numeric literals through DECIMAL, which rounds the
+    17th significant digit away (measured: 0.09773437500000001 → 0.097734375);
+    ``CAST('…' AS DOUBLE)`` uses the correctly-rounded strtod path and
+    round-trips bit-exactly."""
+    return f"CAST('{v!r}' AS DOUBLE)"
 
 
 def hash_xy(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,193 @@
+"""Stream-shaped / set-op / ordering queries with exact DuckDB oracles:
+tumbling windows, as-of join, top-k, upsert-as-union+dedup, a generic
+grouped-aggregate anchor, and the raster→vector tile polygons."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from ..functions import cells, points
+from ..sources.parquet import read_table
+from ..stages.dedup import dedup_keep_latest
+from ..stages.derive import derive_and_encode
+from ..stages.stream import (US_PER_HOUR, add_window_column, asof_join,
+                             topk_by)
+from .registry import register
+
+RES = 7
+
+
+@register("tumbling_hour_events", sql=f"""
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // {US_PER_HOUR} AS window,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2""")
+def tumbling_hour_events(sf_dir: str):
+    """Event-time tumbling-window aggregate (1 h) per event type — the
+    engine's window operator over the bounded events log (exact integer
+    window keys: epoch-µs floor-division)."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(add_window_column("ts"), batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "window"]).aggregate(
+        Count(alias_name="n"), Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+    return agg.map_batches(lambda t: t.rename_columns(
+        ["event_type", "window", "n", "min_value", "max_value"]),
+        batch_format="pyarrow")
+
+
+@register("asof_view_purchase", sql="""
+    WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_event_id
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(v.view_event_id AS DOUBLE) AS view_event_id, v.view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts""")
+def asof_view_purchase(sf_dir: str):
+    """As-of join: each purchase matched to the latest preceding view by the
+    same user (backward, inclusive) — the engine's merge_asof operator,
+    distributed by hashed key."""
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                       "event_type"])
+
+    def split(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(
+                ["event_type"])
+        return fn
+
+    left = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(split("view"), batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["view_event_id", "user_id", "view_ts"]),
+        batch_format="pyarrow")
+
+    out = asof_join(left, right, key="user_id", left_ts="ts",
+                    right_ts="view_ts")
+    return out.map_batches(
+        lambda df: df.assign(view_event_id=df["view_event_id"]
+                             .astype("float64")),
+        batch_format="pandas")
+
+
+@register("topk_orders", sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice, row_number() OVER (
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders)
+    WHERE rank <= 10""")
+def topk_orders(sf_dir: str):
+    """Distributed top-k (k=10 by total price, ties by key): per-batch
+    partial top-k + tiny final merge — no global sort (SURVEY.md §2.7)."""
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_totalprice"])
+    return topk_by(ds, "o_totalprice", 10, tie_col="o_orderkey")
+
+
+@register("upsert_events", sql=f"""
+    WITH delta AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+                          event_type, value + CAST(1000.0 AS DOUBLE) AS value,
+                          props
+                   FROM events WHERE event_id % 10 = 0),
+    unioned AS (SELECT * FROM events UNION ALL SELECT * FROM delta)
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn FROM unioned)
+    WHERE rn = 1""")
+def upsert_events(sf_dir: str):
+    """Upsert = append + keep-latest dedup (the reference's PAGES=latest
+    semantics, SURVEY.md §2.8): a delta batch (every 10th event re-delivered
+    1 h later with updated value) unioned onto the base then deduped by id
+    keeping the latest timestamp."""
+    base = read_table(sf_dir, "events")
+
+    def make_delta(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.equal(pc.subtract(t["event_id"],
+                                    pc.multiply(pc.divide(t["event_id"],
+                                                          pa.scalar(10, pa.int64())),
+                                                pa.scalar(10, pa.int64()))),
+                        pa.scalar(0, pa.int64()))
+        t = t.filter(keep)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts = ts + np.timedelta64(US_PER_HOUR, "us")
+        val = t["value"].to_numpy(zero_copy_only=False) + np.float64(1000.0)
+        return pa.table({"event_id": t["event_id"], "ts": pa.array(ts),
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "value": pa.array(val), "props": t["props"]})
+
+    delta = read_table(sf_dir, "events").map_batches(make_delta,
+                                                     batch_format="pyarrow")
+    unioned = base.union(delta)
+    return dedup_keep_latest(unioned, ["event_id"], ["ts"])
+
+
+@register("pricing_summary", sql="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus""")
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate anchor for the generic
+    filter→groupby→aggregate path (order-independent aggregates only, so
+    the distributed result is bit-exact)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"))
+    return agg.map_batches(lambda t: t.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order",
+         "min_price", "max_price"]), batch_format="pyarrow")
+
+
+def _tile_poly_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    cell = cells.sql_cell("x", "y", RES)
+    bx0, by0, bx1, by1 = cells.sql_cell_bounds("cell7", RES)
+    return f"""
+    WITH pts AS (SELECT doc_id, x, y, {cell} AS cell7
+                 FROM (SELECT doc_id, {x} AS x, {y} AS y FROM documents)),
+    agg AS (SELECT cell7, COUNT(*) AS n FROM pts GROUP BY cell7)
+    SELECT cell7, CAST(n AS BIGINT) AS n,
+           {bx0} AS x0, {by0} AS y0, {bx1} AS x1, {by1} AS y1
+    FROM agg"""
+
+
+@register("tile_polygons", sql=_tile_poly_sql)
+def tile_polygons(sf_dir: str):
+    """Raster→vector: each occupied res-7 tile becomes a vector feature
+    (its bbox polygon corners) with its occurrence count — the 'vectorize'
+    direction of the tile-aggregation requirement (SURVEY.md §2.6)."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(f"cell{RES}").aggregate(Count(alias_name="n"))
+
+    def bounds(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell7", "n"])
+        c = t["cell7"].to_numpy(zero_copy_only=False)
+        x0, y0, x1, y1 = cells.cell_bounds_np(c, RES)
+        for name, arr in zip(("x0", "y0", "x1", "y1"), (x0, y0, x1, y1)):
+            t = t.append_column(name, pa.array(arr))
+        return t
+
+    return agg.map_batches(bounds, batch_format="pyarrow")

@@ -1,0 +1,111 @@
+"""Stream-shaped operators over bounded logs (ray_guide 'Streaming-shaped
+workloads'): tumbling-window aggregation, as-of joins, session windows, and
+distributed top-k. Ray Data has no event-time runtime; these treat the input
+as an ordered, partitioned log — the ordering assumption of each operator is
+in its docstring. The reference itself is batch (SURVEY.md §2.8: no windows,
+watermark = a single date), so these extend the engine for the
+training-data/stream use cases the brief requires."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .shuffle import grouped_apply
+
+US_PER_HOUR = 3_600_000_000
+
+
+def tumbling_window_key(ts_us: np.ndarray, width_us: int) -> np.ndarray:
+    """Event-time tumbling-window id = floor-division of epoch-µs by the
+    window width (exact integer math; the DuckDB twin is
+    ``epoch_us(ts) // width``). Assumes non-negative epochs."""
+    return ts_us // np.int64(width_us)
+
+
+def add_window_column(ts_col: str, width_us: int = US_PER_HOUR,
+                      out_col: str = "window"):
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        w = tumbling_window_key(ts.astype(np.int64), width_us)
+        return t.append_column(out_col, pa.array(w))
+    return fn
+
+
+def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
+              right_ts: str, num_buckets: int = 32):
+    """As-of (backward, inclusive) join: for each left row, the latest right
+    row with the same ``key`` and ``right_ts <= left_ts``.
+
+    Distribution: both sides shuffle ONCE by hashed key into shared buckets
+    (tagged union), then a vectorized ``pandas.merge_asof`` per bucket.
+    Caller pre-renames right-side columns so only ``key`` collides.
+    Deterministic given unique (key, right_ts) pairs on the right."""
+    lcols = left_ds.schema().names
+    rcols = right_ds.schema().names
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: int, present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            out = {"__side": pa.array(np.full(len(t), side, dtype=np.int8))}
+            for c in all_cols:
+                out[c] = (t[c] if c in present
+                          else pa.nulls(len(t)))
+            return pa.table(out)
+        return fn
+
+    tagged = (left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(1, rcols),
+                                          batch_format="pyarrow")))
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0][lcols].sort_values(
+            left_ts, kind="mergesort")
+        right = df[df["__side"] == 1][rcols].sort_values(
+            right_ts, kind="mergesort")
+        if left.empty:
+            return pd.DataFrame(columns=all_cols)
+        return pd.merge_asof(left, right, left_on=left_ts,
+                             right_on=right_ts, by=key,
+                             direction="backward",
+                             allow_exact_matches=True)
+
+    return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets)
+
+
+def session_windows(df: pd.DataFrame, key: str, ts_col: str,
+                    gap_us: int) -> pd.DataFrame:
+    """Session windowing over one partition (driver/test-scale kernel, used
+    inside ``groupby(key).map_groups``): a new session starts when the gap
+    to the previous event of the same key exceeds ``gap_us``."""
+    df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    newkey = df[key].ne(df[key].shift()).to_numpy()
+    gap = np.empty(len(df), dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+    df["session_id"] = np.cumsum(newkey | gap) - 1
+    return df
+
+
+def topk_by(ds, value_col: str, k: int, *, tie_col: str,
+            descending: bool = True):
+    """Distributed top-k: per-batch partial top-k (vectorized lexsort) then
+    a single tiny driver-side merge — no global sort. Ties break by
+    ``tie_col`` ascending. Returns a pyarrow Table with a ``rank`` column."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -v if descending else v))[:k]
+        return t.take(pa.array(order))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")],
+        promote_options="default")
+    v = merged[value_col].to_numpy(zero_copy_only=False)
+    tie = merged[tie_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tie, -v if descending else v))[:k]
+    out = merged.take(pa.array(order))
+    return out.append_column("rank", pa.array(np.arange(1, len(out) + 1)))

@@ -1,0 +1,100 @@
+"""CLI entry point — the ``ray job submit`` surface (north rule: runs are
+launched as Ray jobs on a fixed-size cluster; locally the same module runs
+standalone).
+
+    ray job submit -- python -m laji_pygeoapi_ray etl --sf-dir /root/testdata/sf0.01 --out /tmp/laji_out
+    python -m laji_pygeoapi_ray maintenance --out /tmp/laji_out
+    python -m laji_pygeoapi_ray query --out /tmp/laji_out --bbox 60.0,24.6,60.4,25.3 --limit 5
+    python -m laji_pygeoapi_ray bench [--scaling]
+
+Owns its Ray session (guarded init + shutdown), per the driver contract —
+library code never calls ray.init.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False,
+              "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="laji_pygeoapi_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("etl", help="enrich+append with per-shard resume")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--shards", type=int, default=4)
+    pe.add_argument("--no-resume", action="store_true")
+
+    pm = sub.add_parser("maintenance", help="dedup + metadata pass")
+    pm.add_argument("--out", required=True)
+
+    pq = sub.add_parser("query", help="bbox query over ETL output")
+    pq.add_argument("--out", required=True)
+    pq.add_argument("--bbox", required=True,
+                    help="ymin,xmin,ymax,xmax (pygeoapi order)")
+    pq.add_argument("--limit", type=int, default=100)
+    pq.add_argument("--offset", type=int, default=0)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.add_argument("--scaling", action="store_true")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import os
+        import subprocess
+        cmd = [sys.executable, "bench.py"] + (["--scaling"] if args.scaling else [])
+        return subprocess.call(cmd, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+
+    _ensure_ray(args.num_cpus)
+    import ray
+    try:
+        if args.cmd == "etl":
+            from .pipelines.etl import run_etl
+            m = run_etl(args.sf_dir, args.out, shards=args.shards,
+                        resume=not args.no_resume)
+            print(json.dumps({"shards_done": len(m.data["shards"]),
+                              "manifest": m.path}))
+        elif args.cmd == "maintenance":
+            from .pipelines.etl import run_maintenance
+            meta = run_maintenance(args.out)
+            print(json.dumps({"total": meta["total"],
+                              "collections": len(meta["collections"])}))
+        elif args.cmd == "query":
+            import glob
+            import os
+
+            import ray.data
+
+            from .pipelines.query import bbox_query
+            files = sorted(glob.glob(os.path.join(args.out, "merged",
+                                                  "*.parquet")))
+            ds = ray.data.read_parquet(files)
+            bbox = [float(v) for v in args.bbox.split(",")]
+            t = bbox_query(ds, bbox, limit=args.limit, offset=args.offset)
+            cols = [c for c in ("image_id", "x", "y", "province",
+                                "municipality") if c in t.column_names]
+            print(json.dumps({"rows": t.num_rows,
+                              "sample": t.select(cols).slice(0, 3).to_pylist()},
+                             default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,3 +157,45 @@ def bbox_query(ds, bbox: list[float], res: int = 7,
     rows = pruned.limit(offset + limit).take_all()
     return pa.Table.from_pylist(rows[offset:offset + limit]) \
         if rows else pa.table({})
+
+
+# filters dispatched to per-value enumeration lookup in the reference
+# (convert_api_filters.py:22-23); here the same dicts are fixture-backed
+ENUM_VALUE_FILTERS = ("lifeStage", "sex", "recordQuality",
+                      "collectionQuality", "secureReason", "recordBasis")
+RANGE_VALUE_FILTERS = ("redListStatusId", "administrativeStatusId",
+                       "atlasClass", "atlasCode", "primaryHabitat")
+
+
+def convert_filters(properties, *, value_ranges: dict | None = None,
+                    enum_values: dict | None = None,
+                    municipality_ids: dict | None = None,
+                    params: dict | None = None) -> dict:
+    """The top-level filter dispatcher (``convert_api_filters.py:11-39``):
+    per (virva-name, value) pair — translate the name via the CSV spec,
+    strip id URL prefixes, then apply the name-specific value translation:
+    enum label→key, value-range reverse map, province name→ML id,
+    municipality name→id, time normalization, and the negative-filter
+    boolean swap for ``onlyNonStateLands``."""
+    params = dict(params or {})
+    value_ranges = value_ranges or {}
+    enum_values = enum_values or {}
+    municipality_ids = municipality_ids or {}
+    for name, value in properties:
+        name = translate_filter_name(name)
+        value = remove_id_prefix(str(value))
+        if name in ENUM_VALUE_FILTERS:
+            value = map_value_ranges(enum_values.get(name, {}), value)
+        elif name in RANGE_VALUE_FILTERS:
+            value = map_value_ranges(value_ranges, value)
+        elif name == "biogeographicalProvinceId":
+            value = map_biogeographical_provinces(value)
+        elif name == "finnishMunicipalityId":
+            value = map_municipality(municipality_ids, value)
+        elif name == "time":
+            value = convert_time(value)
+        elif name == "onlyNonStateLands":
+            # the upstream filter is negative: swap (convert_api_filters.py:33-37)
+            value = "False" if value.lower() == "true" else "True"
+        params[name] = value
+    return params

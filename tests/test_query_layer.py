@@ -95,3 +95,32 @@ def test_bbox_query_matches_bruteforce():
     x, y = P.derive_xy(keys)
     exp = ((x >= 24.6) & (x <= 25.3) & (y >= 60.0) & (y <= 60.4)).sum()
     assert out.num_rows == exp and exp > 0
+
+
+def test_convert_filters_dispatch():
+    vr = {"MX.37": "punainen"}
+    ev = {"sex": {"MALE": "koiras"}}
+    mids = {"Helsinki": "ML.660"}
+    out = query.convert_filters(
+        [("Aineiston_tunniste", "http://tun.fi/HR.95"),
+         ("Sukupuoli", "koiras"),
+         ("Uhanalaisuusluokka", "punainen"),
+         ("Eliomaakunta", "Ahvenanmaa"),
+         ("Kunta", "Helsinki"),
+         ("Aika", "2020.01.01 [9:41]"),
+         ("Valtion_maalla", "true")],
+        value_ranges=vr, enum_values=ev, municipality_ids=mids)
+    assert out == {
+        "collectionId": "HR.95",
+        "sex": "MALE",
+        "redListStatusId": "MX.37",
+        "biogeographicalProvinceId": "ML.251",
+        "finnishMunicipalityId": "ML.660",
+        "time": "2020.01.01",
+        "onlyNonStateLands": "False",
+    }
+
+
+def test_filtered_docs_bbox_oracle():
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle("filtered_docs_bbox", SF_UNIT)

@@ -151,7 +151,9 @@ def run_scale_job() -> dict:
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(img_path, override_num_blocks=256)
     ds = ds.map_batches(parse_image_no, batch_format="pyarrow")
-    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+    ds = ds.map_batches(ImageDecodeStage,
+                        fn_constructor_kwargs={"drop_bytes": True},
+                        batch_format="pyarrow",
                         batch_size=256, concurrency=(2, max(2, ncpu * 5 // 8)),
                         num_cpus=1)
 

@@ -46,7 +46,9 @@ TRANSFORM_VERSION = f"enrich-v1+{__version__}"
 
 def _enrich(ds, layers_ref, concurrency) -> "ray.data.Dataset":
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
-    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+    ds = ds.map_batches(ImageDecodeStage,
+                        fn_constructor_kwargs={"drop_bytes": True},
+                        batch_format="pyarrow",
                         batch_size=256, concurrency=concurrency, num_cpus=1)
 
     def derive(t: pa.Table) -> pa.Table:

@@ -53,7 +53,9 @@ def flagship_images(sf_dir: str, *, concurrency=None) -> "ray.data.Dataset":
         concurrency = default_pool()
     ds = images_ds(sf_dir)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
-    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+    ds = ds.map_batches(ImageDecodeStage,
+                        fn_constructor_kwargs={"drop_bytes": True},
+                        batch_format="pyarrow",
                         batch_size=256, concurrency=concurrency, num_cpus=1)
 
     def derive(t: pa.Table) -> pa.Table:

@@ -114,7 +114,9 @@ def image_decode_verify(sf_dir: str):
     lossless exact), and emit per-fmt verification stats."""
     ds = images_ds(sf_dir)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
-    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+    ds = ds.map_batches(ImageDecodeStage,
+                        fn_constructor_kwargs={"drop_bytes": True},
+                        batch_format="pyarrow",
                         batch_size=256, concurrency=default_pool(), num_cpus=1)
     agg = ds.groupby("fmt").aggregate(
         Count(alias_name="n"), Min("psnr", alias_name="min_psnr"),

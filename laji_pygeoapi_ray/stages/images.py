@@ -26,8 +26,13 @@ class ImageDecodeStage:
     Runs as an actor pool with small batches (rows are wide: bytes payload
     dominates block size — SURVEY.md §7.4)."""
 
-    def __init__(self, check_psnr: bool = True):
+    def __init__(self, check_psnr: bool = True, drop_bytes: bool = False):
+        # drop_bytes: once decoded+verified, the (dominant) binary payload
+        # need not travel further — downstream stages see only features.
+        # Keeping it in crossed the object store between the decode and PIP
+        # actor pools and cost ~20 % of the image-pipeline wall time.
         self.check_psnr = check_psnr
+        self.drop_bytes = drop_bytes
         self.luma_w = np.array([0.299, 0.587, 0.114])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -51,6 +56,8 @@ class ImageDecodeStage:
         batch = batch.append_column("psnr", pa.array(psnr))
         batch = batch.append_column("ahash_dec", pa.array(ahash))
         batch = batch.append_column("mean_lum", pa.array(mean_lum))
+        if self.drop_bytes and "bytes" in batch.column_names:
+            batch = batch.drop_columns(["bytes"])
         return batch
 
 

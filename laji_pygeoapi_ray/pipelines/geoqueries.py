@@ -187,3 +187,27 @@ def pip_lineitem_province_counts(sf_dir: str):
         assign.PIPAssigner, batch_format="pyarrow", batch_size=65536,
         concurrency=default_pool(), num_cpus=1)
     return partial_group_counts(ds, ["province"])
+
+
+@register("hot_cells", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell7
+                 FROM ({_points_cte()})),
+    agg AS (SELECT cell7, COUNT(*) AS n FROM pts GROUP BY cell7)
+    SELECT cell7, CAST(n AS BIGINT) AS n FROM agg
+    WHERE CAST(n AS DOUBLE) > CAST('8.0' AS DOUBLE)
+          * (SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             FROM agg)""")
+def hot_cells(sf_dir: str):
+    """The skew-detection pre-pass (SURVEY.md §4 'Skew'): res-7 cells whose
+    occurrence count exceeds 8× the mean occupied-cell load — these are the
+    keys the salted two-phase aggregation (stages/merge.merge_salted)
+    splits. The planted Helsinki cluster (~30 % of rows in a ~0.8°×0.5°
+    box) lights up here."""
+    ds = _docs_points(sf_dir)
+    agg = ds.groupby(f"cell{RES}").aggregate(Count(alias_name="n"))
+    agg = agg.map_batches(lambda t: t.rename_columns(["cell7", "n"]),
+                          batch_format="pyarrow")
+    counts = agg.to_pandas()    # occupied cells only: small (≤ 16k rows)
+    mean = counts["n"].to_numpy(np.float64).sum() / np.float64(len(counts))
+    out = counts[counts["n"].to_numpy(np.float64) > np.float64(8.0) * mean]
+    return out.reset_index(drop=True)

@@ -191,3 +191,28 @@ def tile_polygons(sf_dir: str):
         return t
 
     return agg.map_batches(bounds, batch_format="pyarrow")
+
+
+GAP_US = 30 * 60 * 1_000_000   # 30-minute session gap
+
+
+@register("session_windows_events", sql=f"""
+    WITH o AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR CAST(epoch_us(ts) AS BIGINT)
+                  - CAST(epoch_us(lag(ts) OVER w) AS BIGINT) > {GAP_US}
+             THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_id FROM o)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM s GROUP BY 1, 2""")
+def session_windows_events(sf_dir: str):
+    """Session windows (gap > 30 min) per user over the events log —
+    sessions numbered 1.. per user, aggregated to (n_events, start, end)."""
+    from ..stages.stream import session_windows_ds
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return session_windows_ds(ds, "user_id", "ts", GAP_US)

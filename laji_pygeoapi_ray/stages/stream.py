@@ -109,3 +109,39 @@ def topk_by(ds, value_col: str, k: int, *, tie_col: str,
     order = np.lexsort((tie, -v if descending else v))[:k]
     out = merged.take(pa.array(order))
     return out.append_column("rank", pa.array(np.arange(1, len(out) + 1)))
+
+
+def session_window_agg(df: pd.DataFrame, key: str, ts_col: str,
+                       gap_us: int) -> pd.DataFrame:
+    """Per-key session aggregation (one bucket): sessions numbered 1.. per
+    key (gap > gap_us starts a new one); emits (key, session_id, n_events,
+    start_ts, end_ts). Exact integer µs math — SQL twin uses lag/epoch_us."""
+    df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    newkey = df[key].ne(df[key].shift()).to_numpy()
+    gap = np.empty(len(df), dtype=bool)
+    if len(df):
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+    starts = (newkey | gap).astype(np.int64)
+    # per-key 1-based numbering: global cumsum minus the key's offset
+    g = np.cumsum(starts)
+    first_of_key = np.where(newkey)[0]
+    offsets = np.zeros(len(df), dtype=np.int64)
+    if len(first_of_key):
+        offsets = (g[first_of_key] - 1)[np.cumsum(newkey) - 1]
+    df["session_id"] = g - offsets
+    out = (df.groupby([key, "session_id"], sort=False)
+           .agg(n_events=(ts_col, "size"), start_ts=(ts_col, "min"),
+                end_ts=(ts_col, "max")).reset_index())
+    return out
+
+
+def session_windows_ds(ds, key: str, ts_col: str, gap_us: int,
+                       *, num_buckets: int = 32):
+    """Distributed session windows: one shuffle on the key hash, vectorized
+    per-bucket sessionization."""
+    return grouped_apply(ds, [key],
+                         lambda df: session_window_agg(df, key, ts_col,
+                                                       gap_us),
+                         num_buckets=num_buckets)

@@ -253,3 +253,25 @@ def names_values_sql(layer: list[Polygon]) -> str:
     """(pid, name) VALUES relation for joining labels in the oracle."""
     parts = [f"(CAST({p.pid} AS BIGINT), '{p.name}')" for p in layer]
     return "(VALUES " + ", ".join(parts) + ")"
+
+
+def region_table_name(province_id: str) -> str:
+    """``get_biogeographical_region_from_id`` (compute_variables.py:141-152):
+    'ML.253' → 'uusimaa'; unknown → the reference's fallback string,
+    snake-cased. Cleaning: spaces/'-'→'_', ä→a, ö→o, lowercase."""
+    name = PROVINCE_ID_MAPPING.get(province_id, "Empty biogeographical region")
+    return (name.replace(" ", "_").replace("-", "_")
+            .replace("ä", "a").replace("ö", "o").lower())
+
+
+def title_from_table_name(table_name: str) -> str:
+    """``get_title_name_from_table_name`` (compute_variables.py:100-139):
+    'sompion_lappi_polygons' → 'Sompion Lappi'; unknown base → 'Finland'.
+    The reverse map is derived from PROVINCE_ID_MAPPING instead of a
+    second hand-written dict."""
+    base = table_name.rsplit("_", 1)[0]
+    for name in PROVINCE_ID_MAPPING.values():
+        if (name.replace(" ", "_").replace("-", "_")
+                .replace("ä", "a").replace("ö", "o").lower()) == base:
+            return name
+    return "Finland"

@@ -88,3 +88,17 @@ def test_nonconvex_polygon_pip():
     px = np.array([0.5, 1.5, 2.5, 1.5])
     py = np.array([2.0, 2.0, 2.0, 0.5])
     assert crossing_parity(px, py, ring).tolist() == [True, False, True, True]
+
+
+def test_region_table_names_roundtrip():
+    from laji_pygeoapi_ray.state.fixtures import (PROVINCE_ID_MAPPING,
+                                                  region_table_name,
+                                                  title_from_table_name)
+    assert region_table_name("ML.269") == "sompion_lappi"
+    assert region_table_name("ML.256") == "etela_hame"
+    assert region_table_name("ML.270") == "enontekion_lappi"
+    assert region_table_name("nope") == "empty_biogeographical_region"
+    # full inverse over all 21 provinces, with the geometry-type suffix
+    for pid, name in PROVINCE_ID_MAPPING.items():
+        assert title_from_table_name(region_table_name(pid) + "_points") == name
+    assert title_from_table_name("unknown_polygons") == "Finland"

@@ -47,33 +47,42 @@ class MergeSpec:
     count_col: str | None = "Yhdistetty"
 
 
+def _group_ids(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Integer group id per row (first-occurrence order). Keys are
+    stringified first so every missing-value representation (None / NaN /
+    NaT across Arrow→pandas block boundaries) collapses to one <NA> —
+    grouping on raw object columns can split a group whose key mixes None
+    and NaN, and a NaN-bearing MultiIndex breaks pd.concat alignment
+    (observed: duplicated output groups on the 23-key occurrence spec)."""
+    ks = [df[c].astype("string") for c in keys]
+    return df.groupby(ks, sort=False, dropna=False).ngroup().to_numpy()
+
+
 def merge_bucket(df: pd.DataFrame, spec: MergeSpec) -> pd.DataFrame:
-    """Vectorized merge of one bucket (thousands of key-groups at once)."""
+    """Vectorized merge of one bucket (thousands of key-groups at once);
+    all partials align on a dense integer group id (never on raw keys)."""
     keys = spec.groupby
     df = df.sort_values(by=keys + spec.order, kind="mergesort")
-    grouped = df.groupby(keys, sort=False, dropna=False)
+    df = df.assign(__gid=_group_ids(df, keys))
+    grouped = df.groupby("__gid", sort=True)
 
     # FIRST (NULLs included): the first physical row per group after sorting
-    out = df.drop_duplicates(subset=keys, keep="first")[keys + spec.first]
-    out = out.set_index(pd.MultiIndex.from_frame(out[keys])
-                        if len(keys) > 1 else out[keys[0]])
-    parts = [out.drop(columns=keys)]
+    firsts = df.drop_duplicates(subset="__gid", keep="first")
+    firsts = firsts.sort_values("__gid").set_index("__gid")
+    parts = [firsts[keys + spec.first]]
 
     if spec.sum:
-        parts.append(grouped[spec.sum].sum(min_count=1)
-                     .rename(columns=lambda c: c))
+        parts.append(grouped[spec.sum].sum(min_count=1))
     if spec.max:
         parts.append(grouped[spec.max].max())
     for col in spec.aggregate:
         vals = df[df[col].notna() & (df[col] != "nan")]
-        agg = vals.groupby(keys, sort=False, dropna=False)[col].agg(", ".join)
+        agg = vals.groupby("__gid", sort=True)[col].agg(", ".join)
         parts.append(agg.reindex(parts[0].index).to_frame(col))
     if spec.count_col:
         parts.append(grouped.size().rename(spec.count_col).astype("int64"))
 
-    merged = pd.concat(parts, axis=1)
-    merged.index.names = keys if len(keys) > 1 else [keys[0]]
-    return merged.reset_index()
+    return pd.concat(parts, axis=1).reset_index(drop=True)
 
 
 def merge_similar(ds, spec: MergeSpec, *, num_buckets: int = 64):
@@ -122,24 +131,44 @@ def merge_salted(ds, spec: MergeSpec, *, salt_mod: int = 16,
     def phase2(df: pd.DataFrame) -> pd.DataFrame:
         keys = spec.groupby
         df = df.sort_values(by=keys + ["__salt"], kind="mergesort")
-        grouped = df.groupby(keys, sort=False, dropna=False)
-        out = df.drop_duplicates(subset=keys, keep="first")[keys + spec.first]
-        out = out.set_index(pd.MultiIndex.from_frame(out[keys])
-                            if len(keys) > 1 else out[keys[0]])
-        parts = [out.drop(columns=keys)]
+        df = df.assign(__gid=_group_ids(df, keys))
+        grouped = df.groupby("__gid", sort=True)
+        firsts = df.drop_duplicates(subset="__gid", keep="first")
+        firsts = firsts.sort_values("__gid").set_index("__gid")
+        parts = [firsts[keys + spec.first]]
         if spec.sum:
             parts.append(grouped[spec.sum].sum(min_count=1))
         if spec.max:
             parts.append(grouped[spec.max].max())
         for col in spec.aggregate:
             vals = df[df[col].notna()]
-            agg = vals.groupby(keys, sort=False, dropna=False)[col].agg(", ".join)
+            agg = vals.groupby("__gid", sort=True)[col].agg(", ".join)
             parts.append(agg.reindex(parts[0].index).to_frame(col))
         if spec.count_col:
             parts.append(grouped["__n"].sum().rename(spec.count_col).astype("int64"))
-        merged = pd.concat(parts, axis=1)
-        merged.index.names = keys if len(keys) > 1 else [keys[0]]
-        return merged.reset_index()
+        return pd.concat(parts, axis=1).reset_index(drop=True)
 
     return grouped_apply(partials, spec.groupby, phase2,
                          num_buckets=max(8, num_buckets // 4))
+
+
+def merge_spec_from_csv(order: list[str],
+                        count_col: str = "Yhdistetty") -> MergeSpec:
+    """Build the occurrence MergeSpec straight from the lookup CSV's
+    merge_option column (the reference reads the same spec at
+    edit_db.py:389-399): 23 GROUPBY keys; FIRST/AGGREGATE/MAX per column;
+    the single MAX column; SUM exists in code but no shipped column uses it.
+    Geometry ('' merge_option) and the count column are excluded from
+    aggregation."""
+    from .. import spec as specmod
+
+    mc = specmod.merge_columns()
+    return MergeSpec(
+        groupby=mc.get("GROUPBY", []),
+        order=order,
+        first=mc.get("FIRST", []),
+        aggregate=[c for c in mc.get("AGGREGATE", []) if c != count_col],
+        sum=mc.get("SUM", []),
+        max=mc.get("MAX", []),
+        count_col=count_col,
+    )

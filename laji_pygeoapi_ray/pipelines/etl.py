@@ -87,9 +87,21 @@ def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
         tmp = shard_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(shard_dir, ignore_errors=True)
-        ds = ray.data.read_parquet(group)
-        enriched = _enrich(ds, layers_ref, default_pool(0.3))
-        enriched.write_parquet(tmp)
+        try:
+            ds = ray.data.read_parquet(group)
+            enriched = _enrich(ds, layers_ref, default_pool(0.3))
+            enriched.write_parquet(tmp)
+        except Exception as exc:  # degrade-don't-die: the reference keeps
+            # going past failed pages, accounting the loss
+            # (load_data.py:231,238); the engine records the failed shard
+            # with its lineage and continues — resume retries it.
+            manifest.data["shards"][shard_id] = {
+                "status": "failed", "input_files": sorted(group),
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+            }
+            manifest.save()
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
         os.makedirs(os.path.dirname(shard_dir), exist_ok=True)
         os.replace(tmp, shard_dir)
         import pyarrow.parquet as pq
@@ -97,6 +109,13 @@ def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
                    for f in glob.glob(os.path.join(shard_dir, "*.parquet")))
         manifest.mark_done(shard_id, input_files=group, rows=rows,
                            counters={"rows": rows})
+    done = [s for s in manifest.data["shards"].values()
+            if s["status"] == "done"]
+    manifest.set_counters({
+        "shards_done": len(done),
+        "shards_failed": len(manifest.data["shards"]) - len(done),
+        "rows_processed": int(sum(s["rows"] for s in done)),
+    })
     return manifest
 
 

@@ -1,0 +1,63 @@
+"""Join + set-op queries with exact oracles: partitioned hash join,
+broadcast join, distinct."""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Max
+
+from ..sources.parquet import read_table
+from ..stages.join import broadcast_join, hash_join
+from ..stages.shuffle import partial_group_counts
+from .registry import register
+
+
+@register("orders_by_mktsegment", sql="""
+    SELECT c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(o.o_totalprice) AS max_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1""")
+def orders_by_mktsegment(sf_dir: str):
+    """Large-large partitioned hash join (orders ⋈ customer on custkey,
+    one shuffle on the hashed key) followed by a grouped aggregate."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "mktsegment"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, cust, on=["o_custkey"], num_buckets=16)
+    agg = joined.groupby("mktsegment").aggregate(
+        Count(alias_name="n"), Max("o_totalprice", alias_name="max_price"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["mktsegment", "n", "max_price"]),
+        batch_format="pyarrow")
+
+
+@register("supplier_nation_broadcast", sql="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey""")
+def supplier_nation_broadcast(sf_dir: str):
+    """Broadcast left join (dimension side ray.put once, merged per batch —
+    the taxonomy-join pattern, process_data.py:22)."""
+    sup = read_table(sf_dir, "supplier", ["s_suppkey", "s_name",
+                                          "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat.rename(columns={"n_nationkey": "s_nationkey",
+                              "n_name": "nation"})
+    out = broadcast_join(sup, nat, on=["s_nationkey"], how="left")
+    return out.map_batches(lambda df: df[["s_suppkey", "s_name", "nation"]],
+                           batch_format="pandas")
+
+
+@register("distinct_event_types", sql="""
+    SELECT DISTINCT event_type FROM events""")
+def distinct_event_types(sf_dir: str):
+    """Distinct values of one column — via the pre-aggregated counts path
+    (no full-row shuffle), projecting the keys."""
+    ds = read_table(sf_dir, "events", ["event_type"])
+    out = partial_group_counts(ds, ["event_type"])
+    return out.map_batches(lambda t: t.select(["event_type"]),
+                           batch_format="pyarrow")

@@ -41,7 +41,8 @@ def _load_all() -> None:
     from . import geoqueries  # noqa: F401
     for mod in ("shuffle_queries", "knn_queries", "text_queries",
                 "dedup_queries", "ann_queries", "image_queries",
-                "compute_queries", "stream_queries", "filter_queries"):
+                "compute_queries", "stream_queries", "join_queries",
+                "filter_queries"):
         try:
             __import__(f"{__package__}.{mod}")
         except ImportError:

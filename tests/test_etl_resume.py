@@ -82,3 +82,46 @@ def test_transform_version_invalidates():
     m.mark_done("shard_0000", input_files=["f"], rows=1)
     m2 = RunManifest(d, "v2")
     assert not m2.is_done("shard_0000")  # stale lineage → redo
+
+
+def test_etl_degrade_dont_die_on_poisoned_shard(tmp_path):
+    """A corrupt input file fails ITS shard only: the run completes the
+    other shards, records the failure with lineage, and a resume after the
+    input is repaired retries just that shard (reference behavior:
+    failed pages are accounted and the job continues, load_data.py:231)."""
+    import glob as _glob
+
+    from laji_pygeoapi_ray.sources.images import materialize_images
+    from laji_pygeoapi_ray.pipelines.image_queries import n_images_for
+
+    src = materialize_images(n_images_for(SF_UNIT))
+    work = tmp_path / "imgs"
+    shutil.copytree(src, work)
+    files = sorted(_glob.glob(str(work / "*.parquet")))
+    good = files[0]
+    poisoned = files[1]
+    backup = poisoned + ".bak"
+    shutil.copy(poisoned, backup)
+    with open(poisoned, "wb") as f:
+        f.write(b"not a parquet file")
+
+    out = tmp_path / "out"
+    import laji_pygeoapi_ray.pipelines.etl as etl_mod
+    import laji_pygeoapi_ray.sources.images as imgs_mod
+    orig = imgs_mod.materialize_images
+    try:
+        imgs_mod.materialize_images = lambda *a, **k: str(work)
+        m = etl_mod.run_etl(SF_UNIT, str(out), shards=4)
+        statuses = {k: v["status"] for k, v in m.data["shards"].items()}
+        assert list(statuses.values()).count("failed") == 1
+        assert list(statuses.values()).count("done") == 3
+        failed_id = next(k for k, v in statuses.items() if v == "failed")
+        assert "error" in m.data["shards"][failed_id]
+        assert m.data["counters"]["shards_failed"] == 1
+        # repair + resume: only the failed shard reruns
+        shutil.copy(backup, poisoned)
+        m2 = etl_mod.run_etl(SF_UNIT, str(out), shards=4)
+        assert all(v["status"] == "done" for v in m2.data["shards"].values())
+        assert m2.data["counters"]["shards_failed"] == 0
+    finally:
+        imgs_mod.materialize_images = orig

@@ -127,6 +127,9 @@ def run_maintenance(out_dir: str) -> dict:
     ds = ray.data.read_parquet(shard_files)
     deduped = dedup_keep_latest(ds, ["phash"], ["image_id"],
                                 descending=False, num_buckets=32)
+    # tile-ordered output layout (SURVEY.md §2.7: global sort by cell id) —
+    # queries that prune by cell then touch contiguous row groups
+    deduped = deduped.sort("cell7")
     merged_dir = os.path.join(out_dir, "merged")
     tmp = merged_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -47,6 +47,8 @@ def main(argv=None) -> int:
                     help="ymin,xmin,ymax,xmax (pygeoapi order)")
     pq.add_argument("--limit", type=int, default=100)
     pq.add_argument("--offset", type=int, default=0)
+    pq.add_argument("--geojson", action="store_true",
+                    help="emit an OGC-style FeatureCollection")
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--scaling", action="store_true")
@@ -86,11 +88,19 @@ def main(argv=None) -> int:
             ds = ray.data.read_parquet(files)
             bbox = [float(v) for v in args.bbox.split(",")]
             t = bbox_query(ds, bbox, limit=args.limit, offset=args.offset)
-            cols = [c for c in ("image_id", "x", "y", "province",
-                                "municipality") if c in t.column_names]
-            print(json.dumps({"rows": t.num_rows,
-                              "sample": t.select(cols).slice(0, 3).to_pylist()},
-                             default=str))
+            if args.geojson:
+                from .pipelines.features import to_feature_collection
+                drop = [c for c in ("bytes",) if c in t.column_names]
+                print(json.dumps(to_feature_collection(
+                    t.drop_columns(drop) if drop else t,
+                    id_col="local_id")))
+            else:
+                cols = [c for c in ("image_id", "x", "y", "province",
+                                    "municipality") if c in t.column_names]
+                print(json.dumps(
+                    {"rows": t.num_rows,
+                     "sample": t.select(cols).slice(0, 3).to_pylist()},
+                    default=str))
         return 0
     finally:
         ray.shutdown()

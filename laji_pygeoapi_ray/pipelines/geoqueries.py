@@ -211,3 +211,36 @@ def hot_cells(sf_dir: str):
     mean = counts["n"].to_numpy(np.float64).sum() / np.float64(len(counts))
     out = counts[counts["n"].to_numpy(np.float64) > np.float64(8.0) * mean]
     return out.reset_index(drop=True)
+
+
+@register("tile_counts_salted", sql=lambda: f"""
+    WITH pts AS (SELECT d.doc_id, d.n_chars,
+                        {cells.sql_cell('p.x', 'p.y', RES)} AS cell7
+                 FROM documents d JOIN ({_points_cte()}) p USING (doc_id))
+    SELECT cell7, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+    FROM pts GROUP BY cell7""")
+def tile_counts_salted(sf_dir: str):
+    """The SAME tile aggregation as ``tile_counts`` but executed through
+    the two-phase range-salted merge (stages/merge.merge_salted) — the
+    skewed-cell path. Shares tile_counts' oracle, so the driver gate
+    proves salted == unsalted exactly (integral sums; SURVEY.md §7.4)."""
+    from ..stages.merge import MergeSpec, merge_salted
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    spec = MergeSpec(groupby=[f"cell{RES}"], order=["doc_id"],
+                     sum=["n_chars"], count_col="n")
+    out = merge_salted(ds, spec, salt_mod=8, num_buckets=16)
+
+    def finish(df):
+        import pandas as pd
+        df = df.rename(columns={f"cell{RES}": "cell7",
+                                "n_chars": "sum_chars"})
+        s = df["sum_chars"].to_numpy(np.float64)
+        n = df["n"].to_numpy(np.float64)
+        df["avg_chars"] = s / n
+        return df[["cell7", "n", "sum_chars", "avg_chars"]]
+
+    return out.map_batches(finish, batch_format="pandas")

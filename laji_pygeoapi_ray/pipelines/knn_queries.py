@@ -55,3 +55,17 @@ def knn_nearest_occurrence(sf_dir: str):
     SURVEY.md §2.5 north-star kNN). Distances bit-match the oracle (shared
     op order); ties break by neighbor id."""
     return knn_broadcast(_points_ds(sf_dir), _query_points(sf_dir), K)
+
+
+@register("knn_cogroup_nearest")  # rows-only: the approximate scale path
+def knn_cogroup_nearest(sf_dir: str):
+    """The cell-cogrouped kNN scale path as a driver query (rows-only;
+    exactness vs the broadcast path is asserted in
+    tests/test_knn_ann.py::test_knn_cell_cogroup_matches_broadcast)."""
+    import ray.data as rd
+
+    from ..stages.knn import knn_cell_cogroup
+
+    qds = rd.from_pandas(_query_points(sf_dir))
+    return knn_cell_cogroup(_points_ds(sf_dir), qds, res=3, k=K, ring=1,
+                            num_buckets=16)

@@ -85,3 +85,14 @@ def test_image_query_matches_oracle(name):
     exp = normalize(con.sql(sql).df())
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_thumbnail_stage():
+    from laji_pygeoapi_ray.stages.images import ThumbnailStage
+    t = imgsrc.images_table(8)
+    out = ThumbnailStage(size=16)(t)
+    thumb = codec.png_decode(out["thumb_png"][0].as_py())
+    assert thumb.shape == (16, 16, 3)
+    # deterministic: same input → same thumbnail bytes
+    out2 = ThumbnailStage(size=16)(t)
+    assert out2["thumb_png"].to_pylist() == out["thumb_png"].to_pylist()

@@ -10,7 +10,7 @@ from tests.conftest import SF_UNIT, assert_query_matches_oracle
 @pytest.mark.parametrize("name", [
     "cell_assign", "tile_counts", "tile_bbox",
     "pip_province", "pip_municipality_ely", "province_counts",
-    "pip_lineitem_province_counts", "hot_cells",
+    "pip_lineitem_province_counts", "hot_cells", "tile_counts_salted",
 ])
 def test_query_matches_oracle(name):
     assert_query_matches_oracle(name, SF_UNIT)

@@ -124,3 +124,27 @@ def image_decode_verify(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["fmt", "n", "min_psnr", "avg_lum"]),
         batch_format="pyarrow")
+
+
+@register("image_ann_neardup")  # rows-only: visual-similarity model op
+def image_ann_neardup(sf_dir: str):
+    """Visual near-dup search: thumbnail-luma embeddings (ImageEmbedStage)
+    → exact top-5 by quantized dot product for every 20th image as query.
+    Planted pixel-dup families surface as rank-1 neighbors with maximal
+    score (asserted in tests/test_images.py)."""
+    from ..stages.ann import ann_topk_broadcast
+    from ..stages.images import ImageEmbedStage
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=default_pool(0.5),
+                        num_cpus=1)
+    emb = ds.select_columns(["img_no", "img_vec"]).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    import pandas as pd
+    qdf = emb.map_batches(
+        lambda df: df[df["vec_id"] % 20 == 0],
+        batch_format="pandas").to_pandas()
+    return ann_topk_broadcast(emb, qdf, 5)

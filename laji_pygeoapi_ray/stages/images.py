@@ -76,3 +76,35 @@ class ThumbnailStage:
             thumb = codec.block_resize(img, self.size, self.size)
             out.append(codec.png_encode(thumb))
         return batch.append_column("thumb_png", pa.array(out, pa.binary()))
+
+
+class ImageEmbedStage:
+    """Actor stage: decode → 8×8 block-mean luma → L2-normalized 64-d
+    embedding (``img_vec`` list<float> column) — the multimodal bridge from
+    the binary payload to the ANN/near-dup operators (stages/ann.py).
+    Identical pixels ⇒ identical embeddings; near-identical pixels (lossy
+    re-encodes, small edits) ⇒ cosine ≈ 1."""
+
+    def __init__(self, size: int = 8, drop_bytes: bool = True):
+        self.size = size
+        self.drop_bytes = drop_bytes
+        self.luma_w = np.array([0.299, 0.587, 0.114])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.empty((len(batch), self.size * self.size),
+                        dtype=np.float32)
+        for i, (fmt, data) in enumerate(zip(batch["fmt"].to_pylist(),
+                                            batch["bytes"].to_pylist())):
+            img = codec.decode(data, fmt)
+            luma = codec.block_resize(img, self.size, self.size
+                                      ).astype(np.float64) @ self.luma_w
+            v = luma.ravel()
+            v = v - v.mean()
+            norm = np.linalg.norm(v) or 1.0
+            vecs[i] = (v / norm).astype(np.float32)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), self.size * self.size)
+        batch = batch.append_column("img_vec", col)
+        if self.drop_bytes and "bytes" in batch.column_names:
+            batch = batch.drop_columns(["bytes"])
+        return batch

@@ -96,3 +96,23 @@ def test_thumbnail_stage():
     # deterministic: same input → same thumbnail bytes
     out2 = ThumbnailStage(size=16)(t)
     assert out2["thumb_png"].to_pylist() == out["thumb_png"].to_pylist()
+
+
+def test_image_embed_ann_finds_planted_dups():
+    import ray.data as rd
+    from laji_pygeoapi_ray.stages.ann import ann_topk_broadcast
+    from laji_pygeoapi_ray.stages.images import ImageEmbedStage
+
+    t = imgsrc.images_table(120)
+    t = imgsrc.parse_image_no(t)
+    emb_t = ImageEmbedStage()(t).select(["img_no", "img_vec"])
+    emb_t = emb_t.rename_columns(["vec_id", "embedding"])
+    emb = rd.from_arrow(emb_t)
+    qdf = emb_t.to_pandas()
+    qdf = qdf[qdf["vec_id"].isin([17, 67])].reset_index(drop=True)
+    out = ann_topk_broadcast(emb, qdf, 3).to_pandas()
+    # planted pair (17, 67) shares pixels → each other's rank-1 neighbor
+    top17 = out[(out["query_id"] == 17) & (out["rank"] == 1)]
+    top67 = out[(out["query_id"] == 67) & (out["rank"] == 1)]
+    assert top17["neighbor_id"].iloc[0] == 67
+    assert top67["neighbor_id"].iloc[0] == 17

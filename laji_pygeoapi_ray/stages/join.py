@@ -24,15 +24,25 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
               num_buckets: int = 64):
     """Partitioned hash join on ``on`` (columns present on both sides;
     non-key column names must not collide — pre-rename)."""
-    lcols = left_ds.schema().names
-    rcols = right_ds.schema().names
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols, rcols = lschema.names, rschema.names
     all_cols = list(dict.fromkeys(lcols + rcols))
+    # typed null-fill: an untyped pa.nulls column gives the two union sides
+    # DIFFERENT schemas for the same column name (Ray warns and downstream
+    # consumers may mis-concat); take each column's type from whichever
+    # side defines it
+    types = {}
+    for name, typ in zip(rschema.names, rschema.types):
+        types[name] = typ
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = typ
 
     def tag(side: int, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             out = {"__side": pa.array(np.full(len(t), side, dtype=np.int8))}
             for c in all_cols:
-                out[c] = t[c] if c in present else pa.nulls(len(t))
+                out[c] = (t[c] if c in present
+                          else pa.nulls(len(t), types[c]))
             return pa.table(out)
         return fn
 

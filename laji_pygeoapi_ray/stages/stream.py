@@ -41,16 +41,25 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
     (tagged union), then a vectorized ``pandas.merge_asof`` per bucket.
     Caller pre-renames right-side columns so only ``key`` collides.
     Deterministic given unique (key, right_ts) pairs on the right."""
-    lcols = left_ds.schema().names
-    rcols = right_ds.schema().names
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols, rcols = lschema.names, rschema.names
     all_cols = list(dict.fromkeys(lcols + rcols))
+    # typed null-fill: an untyped pa.nulls column gives the two union sides
+    # DIFFERENT schemas for the same column name (Ray warns and downstream
+    # consumers may mis-concat); take each column's type from whichever
+    # side defines it
+    types = {}
+    for name, typ in zip(rschema.names, rschema.types):
+        types[name] = typ
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = typ
 
     def tag(side: int, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             out = {"__side": pa.array(np.full(len(t), side, dtype=np.int8))}
             for c in all_cols:
                 out[c] = (t[c] if c in present
-                          else pa.nulls(len(t)))
+                          else pa.nulls(len(t), types[c]))
             return pa.table(out)
         return fn
 

@@ -126,25 +126,28 @@ def run_scale_job() -> dict:
 
     img_path = materialize_images(SCALE_IMAGES)       # untimed input synthesis
 
-    # --- spatial join: derive → tile → PIP → province counts over 120M pts
-    t0 = time.perf_counter()
-    ds = ray.data.range(SCALE_POINTS, override_num_blocks=512)
+    from ray.data.aggregate import Sum
 
-    def derive(t: pa.Table) -> pa.Table:
-        k = t["id"].to_numpy(zero_copy_only=False)
-        x, y = points.derive_xy(k)
-        return pa.table({"x": x, "y": y,
-                         "cell7": cells.encode(x, y, 7)})
-
-    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(assign.PIPAssigner,
-                        fn_constructor_kwargs={"hierarchy": True},
-                        batch_format="pyarrow",
-                        batch_size=32768, concurrency=(2, max(2, ncpu - 2)),
-                        num_cpus=1)
     from laji_pygeoapi_ray.stages.shuffle import partial_group_counts
-    out = partial_group_counts(ds, ["province"])
-    n_prov = sum(b.num_rows for b in out.iter_batches(batch_format="pyarrow"))
+
+    def spatial(n_points: int) -> int:
+        ds = ray.data.range(n_points,
+                            override_num_blocks=max(64, ncpu * 4))
+        ds = ds.map_batches(assign.FusedSpatialCounter,
+                            fn_constructor_kwargs={"hierarchy": True},
+                            batch_format="pyarrow", batch_size=131072,
+                            concurrency=max(2, ncpu - 2), num_cpus=1)
+        out = ds.groupby("province").aggregate(Sum("n", alias_name="n"))
+        return sum(b.num_rows
+                   for b in out.iter_batches(batch_format="pyarrow"))
+
+    # --- spatial join: derive → hierarchy PIP → province counts.
+    # One small UNTIMED warm-up first: it starts the worker processes /
+    # imports (steady-state on a long-lived cluster); the timed run then
+    # measures compute + shuffle, matching the page-cache warm-up policy.
+    spatial(2_000_000)
+    t0 = time.perf_counter()
+    n_prov = spatial(SCALE_POINTS)
     spatial_sec = time.perf_counter() - t0
 
     # --- image pipeline: decode-verify → PIP → per-(province, fmt) counts
@@ -225,21 +228,27 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo, burners=hi - lo), run(hi)
+    r_lo = run(lo)
+    r_lo_eq = run(lo, burners=hi - lo)
+    r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff_eq = (r_lo_eq["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling efficiency N→4N (fresh ray.init at 8 vs 32 CPUs, "
                   "same compute-dominated scale job)",
-        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "sec_8": r_lo["value"], "sec_8_equalized": r_lo_eq["value"],
+        "sec_32": r_hi["value"],
         "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
         "spatial_join_rows_per_sec_8": r_lo["spatial_join_rows_per_sec"],
         "spatial_join_rows_per_sec_32": r_hi["spatial_join_rows_per_sec"],
         "image_rows_per_sec_8": r_lo["image_rows_per_sec"],
         "image_rows_per_sec_32": r_hi["image_rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "note": "low leg measured with remaining cores loaded by same-kernel "
-                "burners to equalize per-core turbo/bandwidth with the high "
-                "leg (single-box emulation of N vs 4N nodes)",
+        "scaling_efficiency_equalized": round(eff_eq, 3),
+        "note": "equalized = low leg with remaining cores loaded by "
+                "same-kernel burners (matches per-core turbo/bandwidth with "
+                "the high leg; single-box emulation of fully-loaded N vs 4N "
+                "nodes; tends to overcorrect for compute-bound phases)",
     }
 
 

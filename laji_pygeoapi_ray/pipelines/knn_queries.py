@@ -69,3 +69,14 @@ def knn_cogroup_nearest(sf_dir: str):
     qds = rd.from_pandas(_query_points(sf_dir))
     return knn_cell_cogroup(_points_ds(sf_dir), qds, res=3, k=K, ring=1,
                             num_buckets=16)
+
+
+@register("knn_cell_exact_nearest", sql=_knn_sql)
+def knn_cell_exact_nearest(sf_dir: str):
+    """The cell-cogrouped kNN with certified-radius fallback — EXACT, so it
+    shares knn_nearest_occurrence's oracle: the driver gate proves the
+    scale path equals the brute-force result bit-for-bit."""
+    from ..stages.knn import knn_cell_exact
+
+    return knn_cell_exact(_points_ds(sf_dir), _query_points(sf_dir),
+                          res=7, k=K, ring=1, num_buckets=8)

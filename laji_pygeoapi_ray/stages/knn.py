@@ -171,3 +171,52 @@ def knn_cell_cogroup(points_ds, queries_ds, res: int, k: int,
         return df
 
     return cands.groupby("query_id").map_groups(finish, batch_format="pandas")
+
+
+def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
+                   *, ring: int = 1, num_buckets: int = 64):
+    """EXACT kNN via the cell-cogroup scale path + a guarantee check:
+
+    1. run :func:`knn_cell_cogroup` (one shuffle, ring-``ring`` candidates);
+    2. per query, compute the certified radius — the distance from the
+       query point to the outer boundary of its (2·ring+1)² cell block:
+       every point within that radius provably lies inside the ring, so if
+       the query found ≥ k neighbors and its kth distance ≤ radius, the
+       ring result IS the global top-k;
+    3. the (few) uncertified queries re-run through the exact broadcast
+       path (:func:`knn_broadcast`) and replace their rows.
+
+    Cost: the cogroup shuffle + a broadcast scan sized by the uncertified
+    fraction (→ 0 as density × ring grows). Returns a pandas DataFrame.
+    """
+    from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
+
+    qdf = queries.reset_index(drop=True)
+    approx = knn_cell_cogroup(points_ds,
+                              ray.data.from_pandas(qdf), res, k,
+                              ring=ring, num_buckets=num_buckets).to_pandas()
+
+    n = 1 << res
+    cw = (FIN_X1 - FIN_X0) / n
+    ch = (FIN_Y1 - FIN_Y0) / n
+    ix, iy = cells.cell_xy(qdf["x"].to_numpy(), qdf["y"].to_numpy(), res)
+    bx0 = FIN_X0 + (ix - ring) * cw
+    bx1 = FIN_X0 + (ix + 1 + ring) * cw
+    by0 = FIN_Y0 + (iy - ring) * ch
+    by1 = FIN_Y0 + (iy + 1 + ring) * ch
+    safe = np.minimum.reduce([qdf["x"].to_numpy() - bx0,
+                              bx1 - qdf["x"].to_numpy(),
+                              qdf["y"].to_numpy() - by0,
+                              by1 - qdf["y"].to_numpy()])
+    safe2 = pd.Series(safe * safe, index=qdf["id"].to_numpy())
+
+    got = approx.groupby("query_id")["d2"].agg(["count", "max"])
+    certified = got[(got["count"] >= k)
+                    & (got["max"] <= safe2.reindex(got.index).to_numpy())]
+    bad_ids = sorted(set(qdf["id"]) - set(certified.index))
+    if not bad_ids:
+        return approx
+    redo = qdf[qdf["id"].isin(bad_ids)]
+    exact = knn_broadcast(points_ds, redo, k).to_pandas()
+    keep = approx[~approx["query_id"].isin(bad_ids)]
+    return pd.concat([keep, exact], ignore_index=True)

@@ -52,3 +52,24 @@ def test_lsh_ann_recall():
         got = set(approx[approx["query_id"] == qid]["neighbor_id"])
         recalls.append(len(got & set(g["neighbor_id"])) / len(g))
     assert np.mean(recalls) >= 0.8, recalls  # 4-bit codes × 16 tables: 0.96
+
+
+def test_knn_cell_exact_equals_broadcast_even_at_fine_res():
+    """At res 7 with ring 1 the plain cogroup MISSES neighbors on the
+    sparse sf0.001 points; the certified-radius fallback must repair it to
+    exact equality with the broadcast path."""
+    from laji_pygeoapi_ray.pipelines.knn_queries import (_points_ds,
+                                                         _query_points)
+    from laji_pygeoapi_ray.stages.knn import knn_broadcast, knn_cell_exact
+
+    qdf = _query_points(SF_UNIT)
+    exact = knn_broadcast(_points_ds(SF_UNIT), qdf, 5).to_pandas()
+    fixed = knn_cell_exact(_points_ds(SF_UNIT), qdf, res=7, k=5,
+                           ring=1, num_buckets=8)
+    key = ["query_id", "rank"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    fixed = fixed.sort_values(key).reset_index(drop=True)
+    assert len(fixed) == len(exact)
+    assert (exact["neighbor_id"].to_numpy()
+            == fixed["neighbor_id"].to_numpy()).all()
+    assert (exact["d2"].to_numpy() == fixed["d2"].to_numpy()).all()

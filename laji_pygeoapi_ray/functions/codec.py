@@ -106,15 +106,20 @@ def block_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
             .mean(axis=(1, 3)).astype(np.uint8))
 
 
-def ahash64(img: np.ndarray) -> np.int64:
-    """Average hash: 8×8 block-mean luma vs its mean → 64-bit signature
-    (the table's ``phash`` column; exact equality ⇒ duplicate pixels)."""
-    luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+def ahash64_from_luma(luma: np.ndarray) -> np.int64:
+    """Average hash from a precomputed luma plane (see :func:`ahash64`)."""
     h, w = luma.shape
     blocks = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
     bits = (blocks > blocks.mean()).ravel()
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     return (bits.astype(np.uint64) * weights).sum(dtype=np.uint64).astype(np.int64)
+
+
+def ahash64(img: np.ndarray) -> np.int64:
+    """Average hash: 8×8 block-mean luma vs its mean → 64-bit signature
+    (the table's ``phash`` column; exact equality ⇒ duplicate pixels)."""
+    return ahash64_from_luma(img.astype(np.float64)
+                             @ np.array([0.299, 0.587, 0.114]))
 
 
 _GRID_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}

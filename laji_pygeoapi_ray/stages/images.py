@@ -44,8 +44,12 @@ class ImageDecodeStage:
         mean_lum = np.empty(len(batch), dtype=np.float64)
         for i, (fmt, data) in enumerate(zip(fmts, datas)):
             img = codec.decode(data, fmt)
-            ahash[i] = codec.ahash64(img)
-            mean_lum[i] = float(np.mean(img.astype(np.float64) @ self.luma_w))
+            # one luma pass feeds both the hash and the feature (the
+            # separate ahash64+mean computation cost an extra full-image
+            # matmul per row — ~15 % of the decode stage)
+            luma = img.astype(np.float64) @ self.luma_w
+            ahash[i] = codec.ahash64_from_luma(luma)
+            mean_lum[i] = float(luma.mean())
             if self.check_psnr:
                 orig = codec.procedural_image(content_seed(int(nos[i])),
                                               img.shape[0], img.shape[1])

@@ -105,10 +105,22 @@ def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
         os.makedirs(os.path.dirname(shard_dir), exist_ok=True)
         os.replace(tmp, shard_dir)
         import pyarrow.parquet as pq
-        rows = sum(pq.read_metadata(f).num_rows
-                   for f in glob.glob(os.path.join(shard_dir, "*.parquet")))
+        shard_files = glob.glob(os.path.join(shard_dir, "*.parquet"))
+        rows = sum(pq.read_metadata(f).num_rows for f in shard_files)
+        # per-shard verification metrics (the reference's run-summary
+        # counters, main.py:261-268): PSNR floor + per-format counts read
+        # back from the written columns (cheap: two narrow columns)
+        stats = pq.read_table(shard_files, columns=["psnr", "fmt"])
+        import pyarrow.compute as pc
+        fmt_counts = {
+            str(k): int(v) for k, v in zip(
+                *(a.to_pylist() for a in pc.value_counts(
+                    stats["fmt"]).flatten()))}
         manifest.mark_done(shard_id, input_files=group, rows=rows,
-                           counters={"rows": rows})
+                           counters={"rows": rows,
+                                     "min_psnr_db": float(pc.min(
+                                         stats["psnr"]).as_py()),
+                                     "fmt_counts": fmt_counts})
     done = [s for s in manifest.data["shards"].values()
             if s["status"] == "done"]
     manifest.set_counters({

@@ -49,6 +49,10 @@ def images_ds(sf_dir: str, columns=None) -> "ray.data.Dataset":
 
 
 def _img_path_sql(n: int) -> str:
+    # the oracle may be evaluated BEFORE the query callable runs, so make
+    # sure the table it reads exists (idempotent; Ray is initialised by the
+    # driver before this module is imported)
+    imgsrc.materialize_images(n)
     from ..sources.images import CONTENT_VERSION
     return (f"read_parquet('/tmp/laji_ray_images/"
             f"n{n}v{CONTENT_VERSION}/*.parquet')")

@@ -26,13 +26,19 @@ class ImageDecodeStage:
     Runs as an actor pool with small batches (rows are wide: bytes payload
     dominates block size — SURVEY.md §7.4)."""
 
-    def __init__(self, check_psnr: bool = True, drop_bytes: bool = False):
+    def __init__(self, check_psnr: bool = True, drop_bytes: bool = False,
+                 strict: bool = False):
         # drop_bytes: once decoded+verified, the (dominant) binary payload
         # need not travel further — downstream stages see only features.
         # Keeping it in crossed the object store between the decode and PIP
         # actor pools and cost ~20 % of the image-pipeline wall time.
+        # strict=False: a corrupt row degrades (decode_ok=False, null
+        # features) instead of failing the whole batch/shard — the row-level
+        # analogue of the reference's failed-page tolerance
+        # (load_data.py:231,238); strict=True re-raises (tests).
         self.check_psnr = check_psnr
         self.drop_bytes = drop_bytes
+        self.strict = strict
         self.luma_w = np.array([0.299, 0.587, 0.114])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -42,24 +48,37 @@ class ImageDecodeStage:
         psnr = np.empty(len(batch), dtype=np.float64)
         ahash = np.empty(len(batch), dtype=np.int64)
         mean_lum = np.empty(len(batch), dtype=np.float64)
+        ok = np.ones(len(batch), dtype=bool)
         for i, (fmt, data) in enumerate(zip(fmts, datas)):
-            img = codec.decode(data, fmt)
-            # one luma pass feeds both the hash and the feature (the
-            # separate ahash64+mean computation cost an extra full-image
-            # matmul per row — ~15 % of the decode stage)
-            luma = img.astype(np.float64) @ self.luma_w
-            ahash[i] = codec.ahash64_from_luma(luma)
-            mean_lum[i] = float(luma.mean())
-            if self.check_psnr:
-                orig = codec.procedural_image(content_seed(int(nos[i])),
-                                              img.shape[0], img.shape[1])
-                p = codec.psnr(img, orig)
-                psnr[i] = 99.0 if p == float("inf") else p
-            else:
+            try:
+                img = codec.decode(data, fmt)
+                # one luma pass feeds both the hash and the feature (a
+                # separate ahash64+mean computation cost an extra
+                # full-image matmul per row — ~15 % of the decode stage)
+                luma = img.astype(np.float64) @ self.luma_w
+                ahash[i] = codec.ahash64_from_luma(luma)
+                mean_lum[i] = float(luma.mean())
+                if self.check_psnr:
+                    orig = codec.procedural_image(content_seed(int(nos[i])),
+                                                  img.shape[0], img.shape[1])
+                    p = codec.psnr(img, orig)
+                    psnr[i] = 99.0 if p == float("inf") else p
+                else:
+                    psnr[i] = np.nan
+            except Exception:
+                if self.strict:
+                    raise
+                ok[i] = False
+                ahash[i] = 0
                 psnr[i] = np.nan
-        batch = batch.append_column("psnr", pa.array(psnr))
-        batch = batch.append_column("ahash_dec", pa.array(ahash))
-        batch = batch.append_column("mean_lum", pa.array(mean_lum))
+                mean_lum[i] = np.nan
+        batch = batch.append_column("psnr", pa.array(
+            psnr, mask=~ok if not ok.all() else None))
+        batch = batch.append_column("ahash_dec", pa.array(
+            ahash, mask=~ok if not ok.all() else None))
+        batch = batch.append_column("mean_lum", pa.array(
+            mean_lum, mask=~ok if not ok.all() else None))
+        batch = batch.append_column("decode_ok", pa.array(ok))
         if self.drop_bytes and "bytes" in batch.column_names:
             batch = batch.drop_columns(["bytes"])
         return batch

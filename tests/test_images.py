@@ -116,3 +116,22 @@ def test_image_embed_ann_finds_planted_dups():
     top67 = out[(out["query_id"] == 67) & (out["rank"] == 1)]
     assert top17["neighbor_id"].iloc[0] == 67
     assert top67["neighbor_id"].iloc[0] == 17
+
+
+def test_decode_stage_tolerates_corrupt_rows():
+    import pyarrow as pa
+    from laji_pygeoapi_ray.stages.images import ImageDecodeStage
+    t = imgsrc.images_table(6)
+    t = imgsrc.parse_image_no(t)
+    bad = t.column_names.index("bytes")
+    payloads = t["bytes"].to_pylist()
+    payloads[2] = b"garbage"
+    t = t.set_column(bad, "bytes", pa.array(payloads, pa.binary()))
+    out = ImageDecodeStage()(t)
+    ok = out["decode_ok"].to_pylist()
+    assert ok == [True, True, False, True, True, True]
+    assert out["psnr"][2].as_py() is None
+    # strict mode raises instead
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ImageDecodeStage(strict=True)(t)

@@ -82,11 +82,13 @@ def derive_xy(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def sql_hx(key: str) -> str:
-    return f"((({key}) * {MULT_X}) % {M32})"
+    # explicit BIGINT: an INT32-typed key column would overflow in k*MULT
+    # (hypothesis-found edge at k = 2^31 - 1)
+    return f"((CAST({key} AS BIGINT) * {MULT_X}) % {M32})"
 
 
 def sql_hy(key: str) -> str:
-    return f"(((({key}) + 1) * {MULT_Y}) % {M32})"
+    return f"(((CAST({key} AS BIGINT) + 1) * {MULT_Y}) % {M32})"
 
 
 def sql_xy(key: str) -> tuple[str, str]:

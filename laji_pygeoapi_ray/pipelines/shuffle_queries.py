@@ -107,3 +107,31 @@ def quality_freq_events(sf_dir: str):
         return t.rename_columns(["event_type", "n", "pct"])
 
     return agg.map_batches(add_pct, batch_format="pyarrow")
+
+
+@register("table_dates_events", sql="""
+    SELECT event_type,
+           strftime(MIN(ts), '%Y-%m-%dT%H:%M:%SZ') AS time_start,
+           strftime(MAX(ts), '%Y-%m-%dT%H:%M:%SZ') AS time_end
+    FROM events GROUP BY event_type""")
+def table_dates_events(sf_dir: str):
+    """``get_table_dates`` (edit_db.py:189-212): per-partition temporal
+    extent formatted RFC3339 — the metadata temporal-extent aggregate."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+    agg = ds.groupby("event_type").aggregate(
+        Min("ts", alias_name="t0"), Max("ts", alias_name="t1"))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={df.columns[0]: "event_type"})
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "time_start": pd.to_datetime(df["t0"]).dt.strftime(
+                "%Y-%m-%dT%H:%M:%SZ"),
+            "time_end": pd.to_datetime(df["t1"]).dt.strftime(
+                "%Y-%m-%dT%H:%M:%SZ"),
+        })
+        return out
+
+    return agg.map_batches(fmt, batch_format="pandas")

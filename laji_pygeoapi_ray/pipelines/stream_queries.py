@@ -216,3 +216,38 @@ def session_windows_events(sf_dir: str):
     from ..stages.stream import session_windows_ds
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
     return session_windows_ds(ds, "user_id", "ts", GAP_US)
+
+
+@register("sliding_2h_1h_events", sql=f"""
+    WITH base AS (SELECT event_type,
+                         CAST(epoch_us(ts) AS BIGINT) // {US_PER_HOUR} AS h
+                  FROM events),
+    expanded AS (SELECT event_type, h AS w FROM base
+                 UNION ALL SELECT event_type, h - 1 AS w FROM base)
+    SELECT event_type, w AS window_start_hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded GROUP BY 1, 2""")
+def sliding_2h_1h_events(sf_dir: str):
+    """Sliding windows (width 2 h, slide 1 h): each event replicates into
+    the two windows covering it (exact integer window ids), then the
+    pre-aggregated count path — the overlapping-window operator."""
+    import numpy as np
+
+    from ..stages.shuffle import partial_group_counts
+    from ..stages.stream import tumbling_window_key
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        h = tumbling_window_key(ts.astype(np.int64), US_PER_HOUR)
+        et = t["event_type"]
+        return pa.table({
+            "event_type": pa.concat_arrays(
+                [et.combine_chunks(), et.combine_chunks()]),
+            "window_start_hour": np.concatenate([h, h - 1]),
+        })
+
+    out = partial_group_counts(ds.map_batches(expand, batch_format="pyarrow"),
+                               ["event_type", "window_start_hour"])
+    return out

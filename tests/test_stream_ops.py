@@ -11,7 +11,7 @@ from tests.conftest import SF_UNIT, assert_query_matches_oracle
 @pytest.mark.parametrize("name", [
     "tumbling_hour_events", "asof_view_purchase", "topk_orders",
     "upsert_events", "pricing_summary", "tile_polygons",
-    "session_windows_events",
+    "session_windows_events", "sliding_2h_1h_events",
 ])
 def test_query_matches_oracle(name):
     assert_query_matches_oracle(name, SF_UNIT)

@@ -136,13 +136,33 @@ def _grids(h: int, w: int):
     return _GRID_CACHE[key]
 
 
+def _block_pattern(seed: int, h: int, w: int) -> np.ndarray:
+    """Deterministic per-seed 8×8 block-offset pattern (±30 luma), upsampled
+    to (h, w). Smooth sine gradients alone gave only a few thousand distinct
+    8×8 average-hash bit patterns — at 20k images, 84 % of rows collided on
+    phash; this term makes block means effectively random per seed, so
+    accidental collisions vanish while planted same-seed duplicates still
+    hash identically."""
+    idx = np.arange(64, dtype=np.uint64)
+    x = (np.uint64(seed) * np.uint64(2654435761)
+         + idx * np.uint64(0x9E3779B97F4A7C15))
+    # splitmix-style avalanche: a LINEAR seed+idx mix cancels out under the
+    # hash's mean-thresholding (the seed term is common to all 64 cells) —
+    # measured 14 % ahash collisions at 20k seeds without it
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(29)
+    block = (x % np.uint64(61)).astype(np.float64).reshape(8, 8) - 30.0
+    return np.kron(block, np.ones((h // 8, w // 8)))
+
+
 def procedural_image(seed: int, h: int, w: int) -> np.ndarray:
     """Deterministic procedural RGB image: per-channel phase-shifted sine
-    gradients keyed by ``seed``. The wave is separable (sin depends only on
-    x, cos only on y), so trig is O(h+w), combined by exact-commutative
-    outer adds — bit-identical to the dense formulation."""
+    gradients (separable: trig is O(h+w)) + a per-seed block-offset pattern
+    keyed by ``seed``."""
     ys, xs, plane = _grids(h, w)
     s = np.float64((seed * 2654435761) % 4294967296) / 4294967296.0
+    blocks = _block_pattern(seed, h, w)
     img = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
         f = 0.03 + 0.1 * ((s * (c + 2)) % 1.0)
@@ -150,5 +170,6 @@ def procedural_image(seed: int, h: int, w: int) -> np.ndarray:
         sin_row = np.sin(xs * f + phase)            # (w,)
         cos_col = np.cos(ys * f * 1.3 + phase * 0.5)  # (h,)
         wave = (sin_row[None, :] + cos_col[:, None]) + plane
-        img[:, :, c] = np.clip((wave + 2.0) / 4.0 * 255.0, 0, 255).astype(np.uint8)
+        img[:, :, c] = np.clip((wave + 2.0) / 4.0 * 255.0 + blocks,
+                               0, 255).astype(np.uint8)
     return img

@@ -47,7 +47,7 @@ IMAGE_SCHEMA = pa.schema([
 ])
 
 
-CONTENT_VERSION = 2  # bump to invalidate cached /tmp corpora
+CONTENT_VERSION = 3  # bump to invalidate cached /tmp corpora
 
 
 def content_seed(n: int) -> int:

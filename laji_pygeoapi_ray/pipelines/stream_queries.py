@@ -40,8 +40,9 @@ def tumbling_hour_events(sf_dir: str):
 
 
 @register("asof_view_purchase", sql="""
-    WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_event_id
-               FROM events WHERE event_type = 'view'),
+    WITH v AS (SELECT user_id, ts AS view_ts,
+                      MAX(event_id) AS view_event_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
     p AS (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase')
     SELECT p.event_id, p.user_id, p.ts,
@@ -51,7 +52,10 @@ def tumbling_hour_events(sf_dir: str):
 def asof_view_purchase(sf_dir: str):
     """As-of join: each purchase matched to the latest preceding view by the
     same user (backward, inclusive) — the engine's merge_asof operator,
-    distributed by hashed key."""
+    distributed by hashed key. Right-side ties (same user, same view_ts)
+    are canonicalized to the max view_event_id on BOTH sides; unmatched
+    purchases emit NULL (not NaN/NaT) so the result hashes identically to
+    the SQL ASOF LEFT JOIN."""
     ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts",
                                        "event_type"])
 
@@ -68,11 +72,22 @@ def asof_view_purchase(sf_dir: str):
         batch_format="pyarrow")
 
     out = asof_join(left, right, key="user_id", left_ts="ts",
-                    right_ts="view_ts")
-    return out.map_batches(
-        lambda df: df.assign(view_event_id=df["view_event_id"]
-                             .astype("float64")),
-        batch_format="pandas")
+                    right_ts="view_ts", right_tie="view_event_id")
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        vals = df["view_event_id"].to_numpy(dtype="float64", na_value=np.nan)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(dtype="int64")),
+            "user_id": pa.array(df["user_id"].to_numpy(dtype="int64")),
+            "ts": pa.array(df["ts"].to_numpy(dtype="datetime64[us]")),
+            # masked array: unmatched rows become Arrow NULL, not NaN —
+            # NaN and NULL hash differently in the oracle compare
+            "view_event_id": pa.array(vals, mask=np.isnan(vals)),
+            "view_ts": pa.Array.from_pandas(
+                df["view_ts"], type=pa.timestamp("us")),
+        })
+
+    return out.map_batches(finalize, batch_format="pandas")
 
 
 @register("topk_orders", sql="""

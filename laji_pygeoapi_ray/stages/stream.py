@@ -33,14 +33,20 @@ def add_window_column(ts_col: str, width_us: int = US_PER_HOUR,
 
 
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
-              right_ts: str, num_buckets: int = 32):
+              right_ts: str, num_buckets: int = 32,
+              right_tie: str | None = None):
     """As-of (backward, inclusive) join: for each left row, the latest right
     row with the same ``key`` and ``right_ts <= left_ts``.
 
     Distribution: both sides shuffle ONCE by hashed key into shared buckets
     (tagged union), then a vectorized ``pandas.merge_asof`` per bucket.
     Caller pre-renames right-side columns so only ``key`` collides.
-    Deterministic given unique (key, right_ts) pairs on the right."""
+
+    Determinism: equal ``(key, right_ts)`` pairs on the right would make the
+    matched row engine-dependent. Pass ``right_tie`` (a right-side column) to
+    canonicalize: only the row with the MAX ``right_tie`` per (key, right_ts)
+    survives — mirror the same rule in any SQL twin. Without it the result is
+    deterministic only for unique (key, right_ts) pairs."""
     lschema, rschema = left_ds.schema(), right_ds.schema()
     lcols, rcols = lschema.names, rschema.names
     all_cols = list(dict.fromkeys(lcols + rcols))
@@ -70,8 +76,12 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0][lcols].sort_values(
             left_ts, kind="mergesort")
-        right = df[df["__side"] == 1][rcols].sort_values(
-            right_ts, kind="mergesort")
+        right = df[df["__side"] == 1][rcols]
+        if right_tie is not None:
+            right = (right.sort_values([key, right_ts, right_tie],
+                                       kind="mergesort")
+                     .drop_duplicates([key, right_ts], keep="last"))
+        right = right.sort_values(right_ts, kind="mergesort")
         if left.empty:
             return pd.DataFrame(columns=all_cols)
         return pd.merge_asof(left, right, left_on=left_ts,

@@ -53,10 +53,13 @@ def remove_id_prefix(value: str) -> str:
 
 
 def map_value_ranges(value_ranges: dict[str, str], value: str) -> str:
-    """Reverse lookup label→key, case/whitespace-insensitive, over
-    comma-separated values; unknown labels pass through."""
-    rev = {str(v).strip().casefold(): k for k, v in value_ranges.items()}
-    out = [rev.get(part.strip().casefold(), part.strip())
+    """Reverse lookup label→key, case/space-insensitive, over comma-separated
+    values; unknown labels pass through. Internal spaces are stripped on BOTH
+    sides before the casefold compare (reference
+    convert_api_filters.py:70-84 uses ``.replace(' ', '').casefold()``)."""
+    rev = {str(v).replace(" ", "").casefold(): k
+           for k, v in value_ranges.items()}
+    out = [rev.get(part.replace(" ", "").casefold(), part.strip())
            for part in str(value).split(",")]
     return ",".join(out)
 
@@ -73,7 +76,10 @@ def map_biogeographical_provinces(value: str) -> str:
 
 
 def map_municipality(municipality_ids: dict[str, str], value: str) -> str:
-    return municipality_ids.get(value, value)
+    """Map each comma-separated municipality name to its id (reference
+    convert_api_filters.py:116-122: per-part lookup, unknown pass through)."""
+    return ",".join(municipality_ids.get(p.strip(), p.strip())
+                    for p in str(value).split(","))
 
 
 def convert_time(value):

@@ -37,13 +37,12 @@ def all_oracle_sql() -> dict[str, str]:
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent). The list is
+    explicit and every entry must exist — a transitive import failure in a
+    query module must fail LOUDLY here, not silently drop its queries from
+    the driver correctness gate."""
     from . import geoqueries  # noqa: F401
     for mod in ("shuffle_queries", "knn_queries", "text_queries",
-                "dedup_queries", "ann_queries", "image_queries",
-                "compute_queries", "stream_queries", "join_queries",
-                "filter_queries"):
-        try:
-            __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+                "ann_queries", "image_queries", "compute_queries",
+                "stream_queries", "join_queries", "filter_queries"):
+        __import__(f"{__package__}.{mod}")

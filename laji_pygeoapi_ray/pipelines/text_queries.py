@@ -68,7 +68,8 @@ def _jacc_sql() -> str:
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents WHERE doc_id < {JACCARD_MAX_ID}),
     sh AS (SELECT doc_id, t[g] || ' ' || t[g + 1] || ' ' || t[g + 2] AS gram
-           FROM toks, (SELECT unnest(generate_series(1, 4000)) AS g) gs
+           FROM toks, (SELECT unnest(generate_series(
+                    1, (SELECT MAX(len(t)) FROM toks))) AS g) gs
            WHERE g <= len(t) - 2),
     shd AS (SELECT DISTINCT doc_id, gram FROM sh),
     cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
@@ -89,9 +90,10 @@ def ngram_jaccard_pairs(sf_dir: str):
     """Word-3-gram Jaccard similarity for all doc pairs with ≥1 shared
     shingle (doc_id < 30 subset) — the exact-verify stage of the near-dup
     family, distributed as shingle-explode → gram-bucket shuffle → pair-sum."""
+    import pyarrow.dataset as pads
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        filter=(pa.dataset.field("doc_id") < JACCARD_MAX_ID))
+        filter=(pads.field("doc_id") < JACCARD_MAX_ID))
     # per-doc shingle counts: tiny subset, computed once on the driver and
     # broadcast into the jaccard finisher
     sub = pq.read_table(f"{sf_dir}/documents.parquet",

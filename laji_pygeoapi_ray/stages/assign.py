@@ -120,6 +120,12 @@ class FusedSpatialCounter(PIPAssigner):
         x, y = _points.derive_xy(k)
         muni = self.muni_index.assign(x, y)
         prov = np.where(muni >= 0, muni // 2, -1)
+        # mirror PIPAssigner's hierarchy fallback: a point in no
+        # municipality still gets a direct province PIP (boundary points
+        # must not silently vanish from the counts)
+        miss = muni < 0
+        if miss.any():
+            prov[miss] = self.prov_index.assign(x[miss], y[miss])
         cnt = np.bincount(prov[prov >= 0], minlength=len(self.prov_names))
         names = np.asarray(self.prov_names, dtype=object)
         return pa.table({"province": pa.array(names, pa.string()),

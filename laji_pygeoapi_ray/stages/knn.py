@@ -208,11 +208,15 @@ def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
                               bx1 - qdf["x"].to_numpy(),
                               qdf["y"].to_numpy() - by0,
                               by1 - qdf["y"].to_numpy()])
+    # clamp: a query outside the FIN bbox has a CLIPPED cell block, so a
+    # negative margin must stay 0 (never falsely certify via (-m)^2), and
+    # strict '<' keeps the exact-boundary case on the fallback path
+    safe = np.maximum(safe, 0.0)
     safe2 = pd.Series(safe * safe, index=qdf["id"].to_numpy())
 
     got = approx.groupby("query_id")["d2"].agg(["count", "max"])
     certified = got[(got["count"] >= k)
-                    & (got["max"] <= safe2.reindex(got.index).to_numpy())]
+                    & (got["max"] < safe2.reindex(got.index).to_numpy())]
     bad_ids = sorted(set(qdf["id"]) - set(certified.index))
     if not bad_ids:
         return approx

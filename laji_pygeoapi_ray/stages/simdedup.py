@@ -24,16 +24,33 @@ from .shuffle import grouped_apply
 
 def shingle_explode(text_col: str = "text", id_col: str = "doc_id",
                     n: int = 3):
-    """map_batches stage: one (id, gram) row per DISTINCT word n-gram."""
+    """map_batches stage: one (id, gram) row per DISTINCT word n-gram.
+
+    Fully vectorized: one Arrow split per batch, numpy index arithmetic to
+    address the n tokens of every gram, ``binary_join_element_wise`` to
+    build the gram strings, and an Arrow group_by for the per-doc DISTINCT
+    — no Python loop over rows or tokens."""
+    import pyarrow.compute as pc
+
     def fn(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for i, t in zip(batch[id_col].to_pylist(),
-                        batch[text_col].to_pylist()):
-            sh = tk.word_shingles(t, n)
-            ids.extend([i] * len(sh))
-            grams.extend(sh)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        counts = np.maximum(lens - n + 1, 0)
+        total = int(counts.sum())
+        doc = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), counts)
+        starts = np.cumsum(counts) - counts           # per-doc gram offset
+        tok0 = np.cumsum(lens) - lens                 # per-doc token offset
+        pos = np.arange(total) - np.repeat(starts, counts)
+        base = np.repeat(tok0, counts) + pos
+        parts = [flat.take(pa.array(base + j)) for j in range(n)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        t = pa.table({id_col: pa.array(doc, pa.int64()), "gram": gram})
+        return t.group_by([id_col, "gram"]).aggregate([])
     return fn
 
 

@@ -28,15 +28,13 @@ def _cast_column(col: pa.Array, typ: str, n: int) -> pa.Array:
     try:
         if typ == "int":
             if pa.types.is_string(col.type):
-                # parse, errors → null (pandas errors='coerce' equivalent)
-                import numpy as np
-                out = []
-                for v in col.to_pylist():
-                    try:
-                        out.append(int(v) if v is not None else None)
-                    except ValueError:
-                        out.append(None)
-                return pa.array(out, pa.int64())
+                # vectorized errors='coerce': regex-validate (same accept
+                # set as Python int(): optional sign, digits, outer
+                # whitespace), null out the rest, then one Arrow cast
+                s = pc.utf8_trim_whitespace(col)
+                ok = pc.match_substring_regex(s, r"^[+-]?[0-9]+$")
+                return pc.cast(pc.if_else(ok, s, pa.scalar(None, pa.string())),
+                               pa.int64())
             return pc.cast(col, pa.int64())
         if typ == "double":
             return pc.cast(col, pa.float64())

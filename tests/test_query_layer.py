@@ -124,3 +124,98 @@ def test_convert_filters_dispatch():
 def test_filtered_docs_bbox_oracle():
     from tests.conftest import assert_query_matches_oracle
     assert_query_matches_oracle("filtered_docs_bbox", SF_UNIT)
+
+
+# ------------------------------------------------- serving-path filter exec
+
+class TestServingFilters:
+    def test_time_ranges_grammar(self):
+        import numpy as np
+        from laji_pygeoapi_ray.pipelines.serving import time_ranges
+        # year expands to the full year
+        (lo, hi), = time_ranges("2020")
+        assert lo == np.datetime64("2020-01-01", "us")
+        assert hi == np.datetime64("2021-01-01", "us")
+        # month period + range endpoints expand per-period
+        (lo, hi), = time_ranges("2020-05/2020-06")
+        assert lo == np.datetime64("2020-05-01", "us")
+        assert hi == np.datetime64("2020-07-01", "us")
+        # comma OR list
+        rs = time_ranges("2020,2022")
+        assert len(rs) == 2
+        # open-ended range
+        (lo, hi), = time_ranges("2020-01-15/..")
+        assert hi is None and lo == np.datetime64("2020-01-15", "us")
+
+    def test_time_relative_days_need_now(self):
+        import numpy as np
+        import pytest
+        from laji_pygeoapi_ray.pipelines.query import FilterError
+        from laji_pygeoapi_ray.pipelines.serving import time_ranges
+        with pytest.raises(FilterError):
+            time_ranges("-7/0")
+        now = np.datetime64("2024-06-15T12:00:00", "us")
+        (lo, hi), = time_ranges("-7/0", now=now)
+        assert lo == np.datetime64("2024-06-08", "us")
+        assert hi == np.datetime64("2024-06-16", "us")
+
+    def test_unbound_filter_is_loud(self):
+        import pytest
+        from laji_pygeoapi_ray.pipelines.query import FilterError
+        from laji_pygeoapi_ray.pipelines.serving import (Binding,
+                                                         compile_predicate)
+        with pytest.raises(FilterError, match="no executable binding"):
+            compile_predicate({"mystery": "1"}, {})
+
+    def test_predicate_nulls_drop(self):
+        import pyarrow as pa
+        from laji_pygeoapi_ray.pipelines.serving import (Binding,
+                                                         compile_predicate)
+        t = pa.table({"src": ["a", None, "b", "a"]})
+        pred = compile_predicate({"source": "a"},
+                                 {"source": Binding("src")})
+        import pyarrow.compute as pc
+        kept = t.filter(pc.fill_null(pred(t), False))
+        assert kept["src"].to_pylist() == ["a", "a"]
+
+    def test_municipality_comma_split(self):
+        from laji_pygeoapi_ray.pipelines.query import map_municipality
+        ids = {"Helsinki": "91", "Espoo": "49"}
+        assert map_municipality(ids, "Helsinki, Espoo, Oulu") == "91,49,Oulu"
+
+    def test_value_ranges_internal_space(self):
+        from laji_pygeoapi_ray.pipelines.query import map_value_ranges
+        vr = {"MX.1": "Least Concern"}
+        # ALL spaces stripped on both sides before the casefold compare
+        assert map_value_ranges(vr, "least  concern") == "MX.1"
+        assert map_value_ranges(vr, "LeastConcern") == "MX.1"
+        assert map_value_ranges(vr, " least concern ") == "MX.1"
+        assert map_value_ranges(vr, "unknown label") == "unknown label"
+
+
+class TestGetById:
+    def test_round_trip(self, tmp_path):
+        from tests.conftest import SF_UNIT
+        from laji_pygeoapi_ray.pipelines.filter_queries import \
+            fetch_by_local_id
+        t = fetch_by_local_id(SF_UNIT, "http://tun.fi/JX.42_0").take_all()
+        assert len(t) == 1
+        assert t[0]["doc_id"] == 42
+        assert t[0]["local_id"] == "http://tun.fi/JX.42_0"
+
+    def test_wrong_hash_suffix_no_match(self):
+        from tests.conftest import SF_UNIT
+        from laji_pygeoapi_ray.pipelines.filter_queries import \
+            fetch_by_local_id
+        # 42 % 7 == 0, so suffix _3 decodes to a unit id that exists for no
+        # record — the post-filter guard must reject it
+        t = fetch_by_local_id(SF_UNIT, "http://tun.fi/JX.42_3").take_all()
+        assert t == []
+
+    def test_malformed_id_raises(self):
+        import pytest
+        from tests.conftest import SF_UNIT
+        from laji_pygeoapi_ray.pipelines.filter_queries import \
+            fetch_by_local_id
+        with pytest.raises(ValueError, match="malformed"):
+            fetch_by_local_id(SF_UNIT, "not-an-id")

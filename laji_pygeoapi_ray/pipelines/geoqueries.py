@@ -244,3 +244,36 @@ def tile_counts_salted(sf_dir: str):
         return df[["cell7", "n", "sum_chars", "avg_chars"]]
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+# ------------------------------------------- mixed-geometry split (to_db 3-way)
+
+@register("geom_split_counts", sql=lambda: f"""
+    WITH assigned AS ({_pip_sql(fixtures.province_layer, True)})
+    SELECT name AS province,
+           {__import__('laji_pygeoapi_ray.stages.geometry',
+                       fromlist=['sql_geom_group']).sql_geom_group('doc_id')}
+               AS geom_group,
+           COUNT(*) AS n
+    FROM assigned GROUP BY 1, 2""")
+def geom_split_counts(sf_dir: str):
+    """The reference's 3-way geometry-type sink split (``edit_db.py:262-296``
+    writes one table per (region, geom_type)): synthesize the mixed feature
+    set (Points / LineStrings / Polygons / GeometryCollections), run the
+    real normalize+validate WKB stage, PIP the province, and count per
+    (province, geom_group). The oracle reproduces the expected
+    post-normalization class from the generative rule — the engine side
+    derives it from actual WKB round-trips, so a normalization bug breaks
+    the match."""
+    from ..stages import geometry as geomstage
+
+    ds = _docs_points(sf_dir)
+    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow")
+    ds = ds.map_batches(geomstage.normalize_validate, batch_format="pyarrow")
+    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
+                        batch_size=16384, concurrency=default_pool(),
+                        num_cpus=1)
+    out = ds.groupby(["province", "geom_group"]).aggregate(
+        Count(alias_name="n"))
+    return out.map_batches(lambda t: t.rename_columns(
+        ["province", "geom_group", "n"]), batch_format="pyarrow")

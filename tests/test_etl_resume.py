@@ -125,3 +125,41 @@ def test_etl_degrade_dont_die_on_poisoned_shard(tmp_path):
         assert m2.data["counters"]["shards_failed"] == 0
     finally:
         imgs_mod.materialize_images = orig
+
+
+def test_geometry_etl_partitioned_sink(tmp_path):
+    """(province, geom_group) hive layout, total preserved, groups correct."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from laji_pygeoapi_ray.pipelines.etl import run_geometry_etl
+    from tests.conftest import SF_UNIT
+
+    out = str(tmp_path / "geom_out")
+    summary = run_geometry_etl(SF_UNIT, out)
+    assert summary["rows"] == 500
+    dirs = {os.path.relpath(os.path.dirname(f), out)
+            for f in glob.glob(os.path.join(out, "**", "*.parquet"),
+                               recursive=True)}
+    # hive partition dirs province=<name>/geom_group=<type>
+    assert all("province=" in d and "geom_group=" in d for d in dirs)
+    groups = {d.split("geom_group=")[1] for d in dirs}
+    assert groups <= {"Point", "LineString", "Polygon"}
+    assert "LineString" in groups and "Polygon" in groups
+    # re-read respects partition columns and preserves every record
+    import duckdb
+    con = duckdb.connect()
+    back = con.sql(
+        f"SELECT geom_group FROM read_parquet('{out}/**/*.parquet', "
+        f"hive_partitioning=1)").arrow()
+    assert back.num_rows == 500
+    import collections
+    got = collections.Counter(
+        g for g in back["geom_group"].to_pylist())
+    exp = collections.Counter(
+        {"Point": sum(1 for i in range(500) if i % 10 in (0, 1, 2, 3, 4, 5, 9)),
+         "LineString": sum(1 for i in range(500) if i % 10 == 6),
+         "Polygon": sum(1 for i in range(500) if i % 10 in (7, 8))})
+    assert got == exp

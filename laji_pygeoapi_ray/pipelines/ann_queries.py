@@ -47,3 +47,16 @@ def ann_topk_dot(sf_dir: str):
     (one matmul per batch against the broadcast query matrix)."""
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_topk_broadcast(ds, _queries_df(sf_dir), K)
+
+
+@register("ann_topk_lsh_sharded")
+def ann_topk_lsh_sharded(sf_dir: str):
+    """Sharded LSH ANN (the scale path): corpus split into object-store
+    shards (never broadcast whole), per-shard LSH actor pools, per-query
+    cross-shard top-k merge. Approximate — no SQL twin; recall ≥ 0.8 vs the
+    brute-force baseline is asserted in tests/test_knn_ann.py."""
+    from ..stages.ann import ann_topk_lsh
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qds = ray.data.from_pandas(_queries_df(sf_dir))
+    return ann_topk_lsh(ds, qds, K, n_shards=4, n_bits=6, n_tables=8)

@@ -225,3 +225,73 @@ def run_geometry_etl(sf_dir: str, out_dir: str) -> dict:
     atomic_write_json(os.path.join(out_dir, "geometry_manifest.json"),
                       summary)
     return summary
+
+
+def run_incremental_ingest(input_path, out_dir: str) -> dict:
+    """Watermark-filtered incremental ingest — the reference's
+    ``PAGES=latest`` mode (``main.py:185-186`` passes
+    ``loadedSameOrAfter=last_update``; ``edit_db.py:32-66`` then upserts):
+
+    1. read ONLY records with ``ts >= watermark`` (inclusive, like
+       loadedSameOrAfter) — pushed down as a Parquet read filter, so old
+       row groups never leave storage;
+    2. append the delta under ``out/deltas/delta_NNNN`` (lineage in the
+       manifest);
+    3. reconcile ``out/current`` = keep-latest dedup by ``event_id`` over
+       base + all deltas (append-then-dedup makes the boundary row that
+       re-enters via the inclusive watermark collapse — exactly-once-
+       equivalent);
+    4. advance the watermark to the max ``ts`` processed.
+
+    Returns the run summary. A first run (no watermark) ingests
+    everything."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    manifest = RunManifest(out_dir, TRANSFORM_VERSION + "+ingest")
+    wm = manifest.data.get("watermark_ts")
+    kwargs = {}
+    if wm is not None:
+        import numpy as np
+        kwargs["filter"] = (pads.field("ts")
+                            >= np.datetime64(wm, "us").item())
+    ds = ray.data.read_parquet(input_path, **kwargs)
+
+    delta_no = len([k for k in manifest.data["shards"]
+                    if k.startswith("delta_")])
+    delta_id = f"delta_{delta_no:04d}"
+    delta_dir = os.path.join(out_dir, "deltas", delta_id)
+    tmp = delta_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.makedirs(os.path.dirname(delta_dir), exist_ok=True)
+    os.replace(tmp, delta_dir)
+
+    delta_files = sorted(glob.glob(os.path.join(delta_dir, "*.parquet")))
+    rows = sum(pq.read_metadata(f).num_rows for f in delta_files)
+    max_ts = None
+    if rows:
+        ts = pq.read_table(delta_files, columns=["ts"])["ts"]
+        max_ts = str(pc.max(ts).as_py())
+    manifest.mark_done(delta_id, input_files=delta_files, rows=rows,
+                       counters={"watermark_in": wm,
+                                 "watermark_out": max_ts})
+    if max_ts is not None:
+        manifest.data["watermark_ts"] = max_ts
+        manifest.save()
+
+    all_files = sorted(glob.glob(os.path.join(out_dir, "deltas", "*",
+                                              "*.parquet")))
+    merged = dedup_keep_latest(ray.data.read_parquet(all_files),
+                               ["event_id"], ["ts"], num_buckets=32)
+    current = os.path.join(out_dir, "current")
+    tmp = current + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(current, ignore_errors=True)
+    merged.write_parquet(tmp)
+    os.replace(tmp, current)
+    cur_rows = sum(pq.read_metadata(f).num_rows for f in
+                   glob.glob(os.path.join(current, "*.parquet")))
+    return {"delta_rows": int(rows), "current_rows": int(cur_rows),
+            "watermark": manifest.data.get("watermark_ts")}

@@ -147,7 +147,10 @@ def image_ann_neardup(sf_dir: str):
     emb = ds.select_columns(["img_no", "img_vec"]).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]),
         batch_format="pyarrow")
-    import pandas as pd
+    # materialize ONCE: the query-vector extraction below and the corpus
+    # scan inside ann_topk_broadcast both consume `emb` — without this the
+    # lazy decode+embed pipeline (the most expensive stage) executes twice
+    emb = emb.materialize()
     qdf = emb.map_batches(
         lambda df: df[df["vec_id"] % 20 == 0],
         batch_format="pandas").to_pandas()

@@ -110,13 +110,14 @@ def ngram_jaccard_pairs(sf_dir: str):
 @register("minhash_dedup_clusters")  # rows-only: salted hashing has no SQL twin
 def minhash_dedup_clusters(sf_dir: str):
     """MinHash+LSH near-dup clustering → (doc_id, cluster_id). Candidate
-    pairs from band-bucket collisions; union-find labels (driver-side,
-    |pairs| ≪ corpus). Verified on planted near-dups in pytest."""
+    pairs from band-bucket collisions; clustering by DISTRIBUTED iterative
+    min-label propagation (cluster_pairs_ds — no driver-side pair
+    materialization; asserted equal to union-find in pytest). Verified on
+    planted near-dups in pytest."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simdedup.minhash_lsh_pairs(ds).to_pandas()
-    ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id"])["doc_id"].to_numpy()
-    return simdedup.cluster_pairs(pairs, np.sort(ids))
+    pairs = simdedup.minhash_lsh_pairs(ds)
+    ids = read_table(sf_dir, "documents", ["doc_id"])
+    return simdedup.cluster_pairs_ds(pairs, ids)
 
 
 @register("simhash_near_pairs")  # rows-only

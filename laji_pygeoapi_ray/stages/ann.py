@@ -86,13 +86,16 @@ def ann_topk_broadcast(emb_ds, queries: pd.DataFrame, k: int,
 
 
 class LshAnnIndex:
-    """Actor-pool ANN stage: sign-random-projection LSH over a broadcast
-    corpus shard. ``__init__`` (once per actor) draws the deterministic
-    projection planes, hashes the corpus into T bucket tables; ``__call__``
-    hashes each query batch, gathers bucket collisions, exact-rescored."""
+    """Actor-pool ANN stage: sign-random-projection LSH over ONE corpus
+    shard. ``__init__`` (once per actor) draws the deterministic
+    projection planes, hashes the shard into T bucket tables; ``__call__``
+    hashes each query batch, gathers bucket collisions, exact-rescored.
+    With ``with_rank=False`` it emits unranked shard candidates for the
+    cross-shard merge in :func:`ann_topk_lsh`."""
 
     def __init__(self, corpus_ref, k: int, n_bits: int = 12,
-                 n_tables: int = 4, seed: int = 42):
+                 n_tables: int = 4, seed: int = 42, with_rank: bool = True):
+        self.with_rank = with_rank
         cid, cm = (ray.get(corpus_ref)
                    if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref)
         self.k = k
@@ -135,24 +138,71 @@ class LshAnnIndex:
             os.append(scores[sel])
             orank.append(np.arange(1, len(sel) + 1))
         if not oq:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64()),
-                             "rank": pa.array([], pa.int64())})
-        return pa.table({"query_id": np.concatenate(oq),
-                         "neighbor_id": np.concatenate(op),
-                         "score": np.concatenate(os),
-                         "rank": np.concatenate(orank)})
+            cols = {"query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64())}
+            if self.with_rank:
+                cols["rank"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        cols = {"query_id": np.concatenate(oq),
+                "neighbor_id": np.concatenate(op),
+                "score": np.concatenate(os)}
+        if self.with_rank:
+            cols["rank"] = np.concatenate(orank)
+        return pa.table(cols)
 
 
-def ann_topk_lsh(emb_table: pa.Table, queries_ds, k: int, **lsh_kw):
-    """LSH ANN: corpus broadcast once (``ray.put``), queries stream through
-    an actor pool. At cluster scale the corpus side shards per actor and a
-    per-query merge combines shard results (same pattern as knn_broadcast)."""
-    cid = emb_table["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cm = _emb_matrix(emb_table, "embedding")
-    corpus_ref = ray.put((cid, cm))
-    return queries_ds.map_batches(
-        LshAnnIndex, fn_constructor_args=(corpus_ref, k),
-        fn_constructor_kwargs=lsh_kw, batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 4), num_cpus=1)
+def shard_corpus_refs(emb_ds, n_shards: int, *, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> list:
+    """Corpus Dataset → ``n_shards`` object-store refs of (ids, matrix),
+    WITHOUT the corpus ever touching the driver: the Dataset's block refs
+    are grouped and each group is packed into its shard matrix by a remote
+    task whose return value stays in the object store — the driver only
+    moves ObjectRefs around."""
+    @ray.remote
+    def pack(idc, embc, *blocks):
+        t = pa.concat_tables([b.select([idc, embc]) for b in blocks],
+                             promote_options="default")
+        ids = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, _emb_matrix(t, embc)
+
+    refs = emb_ds.to_arrow_refs()
+    groups = [refs[i::n_shards] for i in range(n_shards)]
+    return [pack.remote(id_col, emb_col, *g) for g in groups if g]
+
+
+def ann_topk_lsh(emb_ds, queries_ds, k: int, *, n_shards: int = 4,
+                 num_buckets: int = 16, **lsh_kw):
+    """Sharded LSH ANN — the scale path: the corpus splits into
+    ``n_shards`` object-store shards (no whole-corpus broadcast), each
+    shard gets its own :class:`LshAnnIndex` actor pool that every query
+    batch streams through, and a final per-query merge keeps the global
+    top-k (the same shard-then-merge pattern as ``knn_broadcast``).
+    Accepts a Dataset or a pyarrow Table for the corpus side."""
+    import ray.data as rd
+
+    from .shuffle import grouped_apply
+
+    if isinstance(emb_ds, pa.Table):
+        emb_ds = rd.from_arrow(emb_ds)
+    shard_refs = shard_corpus_refs(emb_ds, n_shards)
+    per_shard = [
+        queries_ds.map_batches(
+            LshAnnIndex, fn_constructor_args=(ref, k),
+            fn_constructor_kwargs={**lsh_kw, "with_rank": False},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=(1, 2), num_cpus=1)
+        for ref in shard_refs]
+    cands = per_shard[0]
+    if len(per_shard) > 1:
+        cands = cands.union(*per_shard[1:])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df
+
+    return grouped_apply(cands, ["query_id"], finish,
+                         num_buckets=num_buckets)

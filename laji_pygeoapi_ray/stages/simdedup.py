@@ -227,3 +227,89 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
         "doc_id": all_ids,
         "cluster_id": np.asarray([find(int(i)) for i in all_ids], dtype=np.int64),
     })
+
+
+def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
+                     max_iters: int = 50, num_buckets: int = 32):
+    """Distributed near-dup clustering — iterative min-label propagation
+    over the candidate-pair graph, all shuffles, NO driver-side pair
+    materialization (the scale fallback to :func:`cluster_pairs`).
+
+    Per iteration (two hash shuffles):
+      1. key = src: join both edge directions with current labels →
+         candidate label for each neighbor;
+      2. key = id: min over (own label, neighbor candidates) → new labels.
+
+    Labels only ever decrease, so the global label SUM is strictly
+    monotone; the loop stops when the sum is unchanged (fixpoint) — the
+    convergence check is a cheap aggregate, not a diff join. Dup clusters
+    are shallow (family diameter ≪ corpus), so iterations ≈ cluster
+    diameter. Returns a Dataset of (id_col, cluster_id = min id of the
+    connected component).
+    """
+    import ray.data as rd
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow") \
+        if not isinstance(pairs_ds, pd.DataFrame) else \
+        rd.from_pandas(pairs_ds).map_batches(both_dirs,
+                                             batch_format="pyarrow")
+    edges = edges.materialize()           # static across iterations
+
+    lab = ids_ds.map_batches(
+        lambda t: pa.table({
+            "id": pc_cast_i64(t[id_col]),
+            "label": pc_cast_i64(t[id_col])}),
+        batch_format="pyarrow").materialize()
+    prev_sum = None
+
+    for _ in range(max_iters):
+        # ---- shuffle 1: neighbor candidates (edges ⋈ labels on src)
+        tagged = edges.map_batches(
+            lambda t: t.append_column("label", pa.nulls(len(t), pa.int64())),
+            batch_format="pyarrow").union(
+            lab.map_batches(
+                lambda t: pa.table({
+                    "src": t["id"],
+                    "dst": pa.nulls(len(t), pa.int64()),
+                    "label": t["label"]}),
+                batch_format="pyarrow"))
+
+        def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            lpart = df[df["dst"].isna()][["src", "label"]]
+            epart = df[df["label"].isna()][["src", "dst"]]
+            if epart.empty or lpart.empty:
+                return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64")})
+            m = epart.merge(lpart, on="src")
+            return pd.DataFrame({"id": m["dst"].astype("int64"),
+                                 "label": m["label"].astype("int64")})
+
+        cands = grouped_apply(tagged, ["src"], join_bucket,
+                              num_buckets=num_buckets)
+
+        # ---- shuffle 2: new label = min(own, neighbor candidates)
+        def min_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("id", as_index=False)["label"].min()
+            return out
+
+        lab = grouped_apply(lab.union(cands), ["id"], min_bucket,
+                            num_buckets=num_buckets).materialize()
+        s = lab.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return lab.map_batches(
+        lambda t: pa.table({id_col: t["id"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as pc
+    return pc.cast(col, pa.int64())

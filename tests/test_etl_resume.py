@@ -163,3 +163,37 @@ def test_geometry_etl_partitioned_sink(tmp_path):
          "LineString": sum(1 for i in range(500) if i % 10 == 6),
          "Polygon": sum(1 for i in range(500) if i % 10 in (7, 8))})
     assert got == exp
+
+
+def test_incremental_watermark_ingest(tmp_path):
+    """Incremental (half then rest-with-watermark) == one full ingest."""
+    import duckdb
+
+    from laji_pygeoapi_ray.pipelines.etl import run_incremental_ingest
+    from tests.conftest import SF_UNIT
+
+    src = f"{SF_UNIT}/events.parquet"
+    con = duckdb.connect()
+    cut = con.sql(f"SELECT median(ts) FROM read_parquet('{src}')").fetchone()[0]
+    early = str(tmp_path / "early.parquet")
+    con.sql(f"COPY (SELECT * FROM read_parquet('{src}') WHERE ts < "
+            f"TIMESTAMP '{cut}') TO '{early}' (FORMAT PARQUET)")
+
+    inc_dir = str(tmp_path / "inc")
+    s1 = run_incremental_ingest(early, inc_dir)
+    assert s1["watermark"] is not None
+    # second run: full input, but only rows >= watermark are read
+    s2 = run_incremental_ingest(src, inc_dir)
+    total = con.sql(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
+    assert s2["delta_rows"] < total          # the watermark pruned the read
+    assert s2["current_rows"] == total       # nothing lost, dups collapsed
+
+    full_dir = str(tmp_path / "full")
+    s3 = run_incremental_ingest(src, full_dir)
+    a = con.sql(f"SELECT * FROM read_parquet('{inc_dir}/current/*.parquet') "
+                f"ORDER BY event_id").df()
+    b = con.sql(f"SELECT * FROM read_parquet('{full_dir}/current/*.parquet') "
+                f"ORDER BY event_id").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

@@ -86,3 +86,31 @@ def test_simhash_hamming_kernel():
     a = np.array([0b1011, 0], dtype=np.int64)
     b = np.array([0b0001, -1], dtype=np.int64)
     assert tk.hamming64(a, b).tolist() == [2, 64]
+
+
+def test_cluster_pairs_ds_equals_union_find():
+    """Distributed min-label propagation == driver union-find on both the
+    planted fixture and the real unit corpus."""
+    import ray
+
+    df = _planted_corpus()
+    ds = ray.data.from_pandas(df)
+    pairs_ds = simdedup.minhash_lsh_pairs(ds, num_buckets=8)
+    pairs_df = pairs_ds.to_pandas()
+    ids = np.sort(df["doc_id"].to_numpy())
+    exp = (simdedup.cluster_pairs(pairs_df, ids)
+           .sort_values("doc_id").reset_index(drop=True))
+    got = (simdedup.cluster_pairs_ds(
+               ray.data.from_pandas(pairs_df),
+               ray.data.from_pandas(df[["doc_id"]]), num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["cluster_id"].to_numpy()
+            == exp["cluster_id"].to_numpy()).all()
+    # chain topology (0-1, 1-2, 2-3): propagation needs >1 iteration
+    chain = pd.DataFrame({"id_a": [0, 1, 2], "id_b": [1, 2, 3]})
+    got2 = (simdedup.cluster_pairs_ds(
+                ray.data.from_pandas(chain),
+                ray.data.from_pandas(pd.DataFrame({"doc_id": range(5)})),
+                num_buckets=4)
+            .to_pandas().sort_values("doc_id"))
+    assert got2["cluster_id"].tolist() == [0, 0, 0, 0, 4]

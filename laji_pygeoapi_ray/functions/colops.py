@@ -139,13 +139,8 @@ def local_id_encode(col: pa.Array) -> pa.Array:
 
 
 def local_id_decode(col: pa.Array) -> pa.Array:
-    """The serving-path inverse: LAST '_' → '#'
-    (lajiapi_provider.py:147 reverses only the local-id separator)."""
-    out = []
-    for v in pc.cast(col, pa.string()).to_pylist():
-        if v is None:
-            out.append(None)
-        else:
-            head, sep, tail = v.rpartition("_")
-            out.append(head + "#" + tail if sep else v)
-    return pa.array(out, pa.string())
+    """The serving-path inverse: ALL '_' → '#', matching the reference's
+    ``str(identifier).replace('_', '#')`` (lajiapi_provider.py:141) — the
+    round trip is faithful because upstream unit ids contain no literal
+    underscores. Vectorized."""
+    return pc.replace_substring(pc.cast(col, pa.string()), "_", "#")

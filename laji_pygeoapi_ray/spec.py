@@ -42,6 +42,7 @@ class ColumnSpec:
     virva: str             # output column name
     type: str              # str | int | double | bool | datetime | geom
     merge_option: str      # GROUPBY | FIRST | AGGREGATE | SUM | MAX | ''
+    description: str = ""  # human title (CSV 'description')
 
     @property
     def arrow_type(self) -> pa.DataType:
@@ -57,7 +58,8 @@ def load_spec(path: str | None = None) -> tuple[ColumnSpec, ...]:
     return tuple(ColumnSpec(
         selected=r["selected"], source=r["finbif_api_var"],
         query_name=r["finbif_api_query"], dwc=r["dwc"], virva=r["virva"],
-        type=r["type"], merge_option=r["merge_option"]) for r in rows)
+        type=r["type"], merge_option=r["merge_option"],
+        description=r.get("description", "")) for r in rows)
 
 
 def output_schema() -> pa.Schema:
@@ -84,3 +86,39 @@ def merge_columns() -> dict[str, list[str]]:
         if c.merge_option:
             out.setdefault(c.merge_option, []).append(c.virva)
     return out
+
+
+# JSON-schema type names per the provider surface (lajiapi_provider.py:36-45)
+_JSON_TYPES = {"int": "integer", "str": "string", "bool": "boolean",
+               "double": "number", "datetime": "string", "geom": "string"}
+
+
+@lru_cache(maxsize=1)
+def get_fields() -> dict[str, dict]:
+    """The provider field-introspection surface
+    (``lajiapi_provider.py:29-51``): every queryable column (those with a
+    ``finbif_api_query`` binding) → {"type": json-type, "title":
+    description}. Cached like the reference's ``_cached_fields``."""
+    return {c.virva: {"type": _JSON_TYPES[c.type], "title": c.description}
+            for c in load_spec() if c.query_name}
+
+
+def get_schema() -> dict:
+    """OGC JSON schema of the output record
+    (``lajiapi_provider.py:166-186``): properties limited to the JSON
+    primitive types, geometry referenced as a GeoJSON Point."""
+    props = {}
+    for field, info in get_fields().items():
+        t = info["type"]
+        props[field] = {"type": t if t in {"number", "integer", "boolean",
+                                           "string"} else "string"}
+        if info["title"]:
+            props[field]["title"] = info["title"]
+    return {"type": "object", "properties": props}
+
+
+def selected_fields() -> str:
+    """The upstream projection string — comma-joined non-empty ``selected``
+    entries (``lajiapi_provider.py:27``); the engine's read-side analogue is
+    the pruned ``columns=[...]`` list passed to ``read_parquet``."""
+    return ",".join(c.selected for c in load_spec() if c.selected)

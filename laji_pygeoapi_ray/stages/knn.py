@@ -173,54 +173,108 @@ def knn_cell_cogroup(points_ds, queries_ds, res: int, k: int,
     return cands.groupby("query_id").map_groups(finish, batch_format="pandas")
 
 
-def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
-                   *, ring: int = 1, num_buckets: int = 64):
-    """EXACT kNN via the cell-cogroup scale path + a guarantee check:
-
-    1. run :func:`knn_cell_cogroup` (one shuffle, ring-``ring`` candidates);
-    2. per query, compute the certified radius — the distance from the
-       query point to the outer boundary of its (2·ring+1)² cell block:
-       every point within that radius provably lies inside the ring, so if
-       the query found ≥ k neighbors and its kth distance ≤ radius, the
-       ring result IS the global top-k;
-    3. the (few) uncertified queries re-run through the exact broadcast
-       path (:func:`knn_broadcast`) and replace their rows.
-
-    Cost: the cogroup shuffle + a broadcast scan sized by the uncertified
-    fraction (→ 0 as density × ring grows). Returns a pandas DataFrame.
-    """
+def _safe_radius2(qx: np.ndarray, qy: np.ndarray, res: int,
+                  ring: int) -> np.ndarray:
+    """Squared certified radius: distance from each query point to the
+    outer boundary of its (2·ring+1)² cell block. Clamped at 0 — a query
+    outside the FIN bbox has a CLIPPED block and must never certify."""
     from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
-
-    qdf = queries.reset_index(drop=True)
-    approx = knn_cell_cogroup(points_ds,
-                              ray.data.from_pandas(qdf), res, k,
-                              ring=ring, num_buckets=num_buckets).to_pandas()
 
     n = 1 << res
     cw = (FIN_X1 - FIN_X0) / n
     ch = (FIN_Y1 - FIN_Y0) / n
-    ix, iy = cells.cell_xy(qdf["x"].to_numpy(), qdf["y"].to_numpy(), res)
-    bx0 = FIN_X0 + (ix - ring) * cw
-    bx1 = FIN_X0 + (ix + 1 + ring) * cw
-    by0 = FIN_Y0 + (iy - ring) * ch
-    by1 = FIN_Y0 + (iy + 1 + ring) * ch
-    safe = np.minimum.reduce([qdf["x"].to_numpy() - bx0,
-                              bx1 - qdf["x"].to_numpy(),
-                              qdf["y"].to_numpy() - by0,
-                              by1 - qdf["y"].to_numpy()])
-    # clamp: a query outside the FIN bbox has a CLIPPED cell block, so a
-    # negative margin must stay 0 (never falsely certify via (-m)^2), and
-    # strict '<' keeps the exact-boundary case on the fallback path
+    ix, iy = cells.cell_xy(qx, qy, res)
+    safe = np.minimum.reduce([qx - (FIN_X0 + (ix - ring) * cw),
+                              (FIN_X0 + (ix + 1 + ring) * cw) - qx,
+                              qy - (FIN_Y0 + (iy - ring) * ch),
+                              (FIN_Y0 + (iy + 1 + ring) * ch) - qy])
     safe = np.maximum(safe, 0.0)
-    safe2 = pd.Series(safe * safe, index=qdf["id"].to_numpy())
+    return safe * safe
 
-    got = approx.groupby("query_id")["d2"].agg(["count", "max"])
-    certified = got[(got["count"] >= k)
-                    & (got["max"] < safe2.reindex(got.index).to_numpy())]
-    bad_ids = sorted(set(qdf["id"]) - set(certified.index))
-    if not bad_ids:
-        return approx
-    redo = qdf[qdf["id"].isin(bad_ids)]
-    exact = knn_broadcast(points_ds, redo, k).to_pandas()
-    keep = approx[~approx["query_id"].isin(bad_ids)]
-    return pd.concat([keep, exact], ignore_index=True)
+
+def knn_cell_exact_ds(points_ds, queries_ds, res: int, k: int,
+                      *, ring: int = 1, num_buckets: int = 64):
+    """EXACT kNN via the cell-cogroup scale path + DISTRIBUTED certification:
+
+    1. run :func:`knn_cell_cogroup` (one shuffle, ring-``ring`` candidates);
+    2. certify per query INSIDE the shuffle (one more hash exchange on
+       query_id co-locating each query's candidate rows with its
+       coordinates): every point within the certified radius — the distance
+       to the outer boundary of the (2·ring+1)² cell block — provably lies
+       inside the ring, so a query with ≥ k candidates and kth distance
+       strictly below that radius keeps its ring result;
+    3. ONLY the uncertified queries (the fraction → 0 as density × ring
+       grows; bounded, so a driver materialization of just them is safe)
+       re-run through the exact broadcast path and union back in.
+
+    Candidate rows (Q × k) never land on the driver. Returns a Dataset
+    (query_id, neighbor_id, d2, rank)."""
+    approx = knn_cell_cogroup(points_ds, queries_ds, res, k,
+                              ring=ring, num_buckets=num_buckets)
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"], "neighbor_id": t["neighbor_id"],
+            "d2": t["d2"], "rank": t["rank"],
+            "qx": pa.nulls(len(t), pa.float64()),
+            "qy": pa.nulls(len(t), pa.float64())})
+
+    def tag_meta(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "query_id": t["id"],
+            "neighbor_id": pa.nulls(n, pa.int64()),
+            "d2": pa.nulls(n, pa.float64()),
+            "rank": pa.nulls(n, pa.int64()),
+            "qx": t["x"], "qy": t["y"]})
+
+    tagged = (approx.map_batches(tag_rows, batch_format="pyarrow")
+              .union(queries_ds.map_batches(tag_meta,
+                                            batch_format="pyarrow")))
+
+    def certify(df: pd.DataFrame) -> pd.DataFrame:
+        meta = df[df["qx"].notna()]
+        rows = df[df["qx"].isna()]
+        safe2 = pd.Series(
+            _safe_radius2(meta["qx"].to_numpy(np.float64),
+                          meta["qy"].to_numpy(np.float64), res, ring),
+            index=meta["query_id"].to_numpy())
+        got = rows.groupby("query_id")["d2"].agg(["count", "max"])
+        ok = got[(got["count"] >= k)
+                 & (got["max"] < safe2.reindex(got.index).to_numpy())]
+        cert_ids = set(ok.index)
+        out = rows[rows["query_id"].isin(cert_ids)].copy()
+        out["certified"] = True
+        redo = meta[~meta["query_id"].isin(cert_ids)].copy()
+        redo["certified"] = False
+        return pd.concat([out, redo], ignore_index=True)
+
+    from .shuffle import grouped_apply
+    res_ds = grouped_apply(tagged, ["query_id"], certify,
+                           num_buckets=num_buckets).materialize()
+
+    import pyarrow.compute as pc
+    cert_rows = res_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["certified"], True)).select(
+            ["query_id", "neighbor_id", "d2", "rank"]),
+        batch_format="pyarrow")
+    redo_df = res_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["certified"], False)).select(
+            ["query_id", "qx", "qy"]),
+        batch_format="pyarrow").to_pandas()
+    if redo_df.empty:
+        return cert_rows
+    redo_df = redo_df.rename(columns={"query_id": "id", "qx": "x",
+                                      "qy": "y"})
+    exact = knn_broadcast(points_ds, redo_df, k)
+    return cert_rows.union(exact)
+
+
+def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
+                   *, ring: int = 1, num_buckets: int = 64):
+    """pandas-API convenience wrapper over :func:`knn_cell_exact_ds` for a
+    small driver-side query table (the result is Q·k rows, bounded by the
+    caller's own input)."""
+    qds = ray.data.from_pandas(queries.reset_index(drop=True))
+    return knn_cell_exact_ds(points_ds, qds, res, k, ring=ring,
+                             num_buckets=num_buckets).to_pandas()

@@ -49,3 +49,23 @@ def test_csv_spec_merge_on_occurrence_records():
     assert merged["Tieteellinen_nimi"] == "Parus major"
     single = out[out["Yhdistetty"] == 1].iloc[0]
     assert single["Havainnon_tunniste"] == "http://tun.fi/JX.3#1"
+
+
+def test_get_fields_schema_and_selected():
+    from laji_pygeoapi_ray import spec
+    fields = spec.get_fields()
+    # only queryable columns; json types mapped like the provider
+    assert "Havainnon_tunniste" in fields
+    assert fields["Havainnon_tunniste"]["type"] == "string"
+    assert fields["Havainnon_tunniste"]["title"]  # description carried
+    assert all(c.query_name for c in spec.load_spec()
+               if c.virva in fields)
+    ints = [v for v in fields.values() if v["type"] == "integer"]
+    assert ints, "int columns must map to 'integer'"
+    schema = spec.get_schema()
+    assert schema["type"] == "object"
+    assert set(schema["properties"]) == set(fields)
+    assert all(p["type"] in {"number", "integer", "boolean", "string"}
+               for p in schema["properties"].values())
+    sel = spec.selected_fields()
+    assert "unit.unitId" in sel.split(",")

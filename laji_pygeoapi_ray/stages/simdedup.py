@@ -230,12 +230,16 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
 
 
 def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
-                     max_iters: int = 50, num_buckets: int = 32):
+                     max_iters: int = 50, num_buckets: int = 16):
     """Distributed near-dup clustering — iterative min-label propagation
     over the candidate-pair graph, all shuffles, NO driver-side pair
     materialization (the scale fallback to :func:`cluster_pairs`).
 
-    Per iteration (two hash shuffles):
+    Labels live ONLY on edge endpoints (nodes that appear in some pair) —
+    singleton records never enter the loop and get ``cluster_id = id``
+    attached in one final pass, so each iteration's label side is sized by
+    the dup population, not the corpus. Per iteration (two hash shuffles):
+
       1. key = src: join both edge directions with current labels →
          candidate label for each neighbor;
       2. key = id: min over (own label, neighbor candidates) → new labels.
@@ -261,12 +265,18 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
                                              batch_format="pyarrow")
     edges = edges.materialize()           # static across iterations
 
-    lab = ids_ds.map_batches(
-        lambda t: pa.table({
-            "id": pc_cast_i64(t[id_col]),
-            "label": pc_cast_i64(t[id_col])}),
-        batch_format="pyarrow").materialize()
-    prev_sum = None
+    # initial labels = min(self, direct neighbors), endpoints only — one
+    # shuffle; star-shaped dup families are already at their fixpoint here
+    def init_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("src", as_index=False)["dst"].min()
+        return pd.DataFrame({
+            "id": m["src"].astype("int64"),
+            "label": np.minimum(m["src"].to_numpy(np.int64),
+                                m["dst"].to_numpy(np.int64))})
+
+    lab = grouped_apply(edges, ["src"], init_bucket,
+                        num_buckets=num_buckets).materialize()
+    prev_sum = lab.sum("label")
 
     for _ in range(max_iters):
         # ---- shuffle 1: neighbor candidates (edges ⋈ labels on src)
@@ -295,8 +305,7 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
 
         # ---- shuffle 2: new label = min(own, neighbor candidates)
         def min_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby("id", as_index=False)["label"].min()
-            return out
+            return df.groupby("id", as_index=False)["label"].min()
 
         lab = grouped_apply(lab.union(cands), ["id"], min_bucket,
                             num_buckets=num_buckets).materialize()
@@ -305,7 +314,24 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
             break
         prev_sum = s
 
-    return lab.map_batches(
+    # attach singletons (ids with no pair): one anti-join shuffle at the END
+    tagged_ids = ids_ds.map_batches(
+        lambda t: pa.table({"id": pc_cast_i64(t[id_col]),
+                            "label": pa.nulls(len(t), pa.int64())}),
+        batch_format="pyarrow").union(lab)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        labelled = df[df["label"].notna()]
+        out = df[["id"]].drop_duplicates().merge(
+            labelled.groupby("id", as_index=False)["label"].min(),
+            on="id", how="left")
+        lbl = out["label"].fillna(out["id"]).astype("int64")
+        return pd.DataFrame({"id": out["id"].astype("int64"),
+                             "label": lbl})
+
+    final = grouped_apply(tagged_ids, ["id"], resolve,
+                          num_buckets=num_buckets)
+    return final.map_batches(
         lambda t: pa.table({id_col: t["id"], "cluster_id": t["label"]}),
         batch_format="pyarrow")
 

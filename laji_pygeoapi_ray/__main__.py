@@ -41,7 +41,18 @@ def main(argv=None) -> int:
     pm = sub.add_parser("maintenance", help="dedup + metadata pass")
     pm.add_argument("--out", required=True)
 
-    pq = sub.add_parser("query", help="bbox query over ETL output")
+    pg = sub.add_parser("geometry-etl", help="mixed-geometry ETL with the "
+                        "(province, geom_type)-partitioned sink")
+    pg.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pg.add_argument("--out", required=True)
+
+    pi = sub.add_parser("ingest", help="watermark-filtered incremental "
+                        "ingest (PAGES=latest analogue)")
+    pi.add_argument("--input", required=True,
+                    help="parquet file/dir with a ts column")
+    pi.add_argument("--out", required=True)
+
+    pq = sub.add_parser("query", help="bbox/property query over ETL output")
     pq.add_argument("--out", required=True)
     pq.add_argument("--bbox", required=True,
                     help="ymin,xmin,ymax,xmax (pygeoapi order)")
@@ -49,6 +60,15 @@ def main(argv=None) -> int:
     pq.add_argument("--offset", type=int, default=0)
     pq.add_argument("--geojson", action="store_true",
                     help="emit an OGC-style FeatureCollection")
+    pq.add_argument("--filter", action="append", default=[],
+                    metavar="NAME=VALUE",
+                    help="virva property filter, translated then executed "
+                         "(repeatable)")
+
+    pget = sub.add_parser("get", help="single record by local id "
+                          "(GET /items/{id})")
+    pget.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pget.add_argument("--id", required=True, dest="local_id")
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--scaling", action="store_true")
@@ -76,16 +96,39 @@ def main(argv=None) -> int:
             meta = run_maintenance(args.out)
             print(json.dumps({"total": meta["total"],
                               "collections": len(meta["collections"])}))
+        elif args.cmd == "geometry-etl":
+            from .pipelines.etl import run_geometry_etl
+            print(json.dumps(run_geometry_etl(args.sf_dir, args.out)))
+        elif args.cmd == "ingest":
+            from .pipelines.etl import run_incremental_ingest
+            print(json.dumps(run_incremental_ingest(args.input, args.out)))
+        elif args.cmd == "get":
+            from .pipelines.filter_queries import fetch_by_local_id
+            rows = fetch_by_local_id(args.sf_dir, args.local_id).take_all()
+            if not rows:
+                print(json.dumps({"error": "not found",
+                                  "id": args.local_id}))
+                return 1
+            print(json.dumps(rows[0], default=str))
         elif args.cmd == "query":
-            import glob
             import os
 
             import ray.data
 
             from .pipelines.query import bbox_query
-            files = sorted(glob.glob(os.path.join(args.out, "merged",
-                                                  "*.parquet")))
-            ds = ray.data.read_parquet(files)
+            from .pipelines.serving import Binding, apply_filters
+            ds = ray.data.read_parquet(os.path.join(args.out, "merged"))
+            if args.filter:
+                props = [tuple(f.split("=", 1)) for f in args.filter]
+                from .state import fixtures
+                bindings = {
+                    "biogeographicalProvinceId": Binding(
+                        "province", decode=lambda v:
+                        fixtures.PROVINCE_ID_MAPPING.get(v, v)),
+                    "finnishMunicipalityId": Binding("municipality"),
+                    "fmt": Binding("fmt"),
+                }
+                ds = apply_filters(ds, props, bindings)
             bbox = [float(v) for v in args.bbox.split(",")]
             t = bbox_query(ds, bbox, limit=args.limit, offset=args.offset)
             if args.geojson:
@@ -97,10 +140,10 @@ def main(argv=None) -> int:
             else:
                 cols = [c for c in ("image_id", "x", "y", "province",
                                     "municipality") if c in t.column_names]
-                print(json.dumps(
-                    {"rows": t.num_rows,
-                     "sample": t.select(cols).slice(0, 3).to_pylist()},
-                    default=str))
+                sample = (t.select(cols).slice(0, 3).to_pylist()
+                          if t.num_rows else [])
+                print(json.dumps({"rows": t.num_rows, "sample": sample},
+                                 default=str))
         return 0
     finally:
         ray.shutdown()

@@ -12,9 +12,10 @@ Reproduced semantics (file:line into /root/reference/pygeoapi/scripts):
 
 Documented deviations (no GEOS here):
 - ``buffer`` uses a regular 16-gon disc / Minkowski sum (exact for convex
-  shapes); the mixed-GC ``union`` is the convex hull of the buffered parts
-  — structurally identical output (a MultiPolygon), coordinates differ from
-  GEOS where parts are disjoint or concave.
+  shapes); the mixed-GC ``union`` preserves GEOS unary_union's STRUCTURE
+  (disjoint parts stay separate MultiPolygon members — grouped by exact
+  convex-SAT overlap), with each merged group realised as the convex hull
+  of its vertices; coordinates differ from GEOS only for concave merges.
 - ``make_valid`` repairs self-intersecting rings by convex hull (GEOS
   produces the odd-even rebuild); validity DETECTION (ring closure, ≥4
   points, self-intersection, winding) is exact.
@@ -163,6 +164,23 @@ def buffer_to_polygon(g: Geometry, dist: float = 0.5) -> Geometry:
     return Geometry("Polygon", [close_ring(convex_hull(cloud))])
 
 
+def convex_overlap(a: np.ndarray, b: np.ndarray) -> bool:
+    """Exact overlap test for two CONVEX rings via the separating-axis
+    theorem: the polygons are disjoint iff some edge normal of either
+    separates the projections. Touching counts as overlap (union merges
+    touching parts)."""
+    for poly in (a, b):
+        pts = poly[:-1] if np.array_equal(poly[0], poly[-1]) else poly
+        for i in range(len(pts)):
+            e = pts[(i + 1) % len(pts)] - pts[i]
+            axis = np.array([-e[1], e[0]])
+            pa_ = a @ axis
+            pb_ = b @ axis
+            if pa_.max() < pb_.min() or pb_.max() < pa_.min():
+                return False
+    return True
+
+
 # ------------------------------------------------- GC normalization (§2.2)
 
 def _flatten_members(parts: list[Geometry]) -> list[Geometry]:
@@ -187,15 +205,37 @@ def normalize_geometry(g: Geometry | None) -> tuple[Geometry | None, bool]:
         base = bases.pop()
         members = _flatten_members(g.data)
         return Geometry(f"Multi{base}", members), True
-    # mixed: buffer non-polygons by 0.5, union (hull approximation),
-    # promote to MultiPolygon (process_data.py:163-176)
+    # mixed: buffer non-polygons by 0.5, union, promote to MultiPolygon
+    # (process_data.py:163-176). Union semantics follow GEOS unary_union's
+    # STRUCTURE: parts that touch/overlap merge into one polygon (hull of
+    # the merged vertex set — the documented convex approximation), while
+    # DISJOINT parts stay separate members of the MultiPolygon.
     buffered = [p if p.base_type == "Polygon" else buffer_to_polygon(p)
                 for p in _flatten_members(g.data)]
-    cloud = np.concatenate([np.asarray(b.data[0] if b.type == "Polygon"
-                                       else b.data[0].data[0])
-                            for b in buffered])
-    hull = close_ring(convex_hull(cloud))
-    return Geometry("MultiPolygon", [Geometry("Polygon", [hull])]), True
+    rings = [np.asarray(b.data[0] if b.type == "Polygon"
+                        else b.data[0].data[0]) for b in buffered]
+    hulls = [close_ring(convex_hull(r)) for r in rings]
+    # connectivity components via exact convex-convex overlap (SAT)
+    n_parts = len(hulls)
+    comp = list(range(n_parts))
+
+    def find(i):
+        while comp[i] != i:
+            comp[i] = comp[comp[i]]
+            i = comp[i]
+        return i
+
+    for i in range(n_parts):
+        for j in range(i + 1, n_parts):
+            if find(i) != find(j) and convex_overlap(hulls[i], hulls[j]):
+                comp[find(j)] = find(i)
+    groups: dict[int, list[np.ndarray]] = {}
+    for i, r in enumerate(rings):
+        groups.setdefault(find(i), []).append(r)
+    members = [Geometry("Polygon",
+                        [close_ring(convex_hull(np.concatenate(rs)))])
+               for _, rs in sorted(groups.items())]
+    return Geometry("MultiPolygon", members), True
 
 
 # --------------------------------------------------------------- validation

@@ -140,20 +140,23 @@ def run_maintenance(out_dir: str) -> dict:
     deduped = dedup_keep_latest(ds, ["phash"], ["image_id"],
                                 descending=False, num_buckets=32)
     # tile-ordered output layout (SURVEY.md §2.7: global sort by cell id) —
-    # queries that prune by cell then touch contiguous row groups
+    # queries that prune by cell then touch contiguous row groups — under a
+    # province=<name> hive partition per region: the reference's
+    # per-province table split (``main.py:193-198``, ``edit_db.py:262-296``)
+    # as partitioned directories, so per-region serving reads prune at the
+    # path level and a partial rewrite touches one region only
     deduped = deduped.sort("cell7")
     merged_dir = os.path.join(out_dir, "merged")
     tmp = merged_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(merged_dir, ignore_errors=True)
-    deduped.write_parquet(tmp)
+    deduped.write_parquet(tmp, partition_cols=["province"])
     os.replace(tmp, merged_dir)
 
     # per-province metadata (edit_metadata.py:122-207 analogue)
     from ray.data.aggregate import Count, Max, Min
 
-    mds = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(merged_dir, "*.parquet"))))
+    mds = ray.data.read_parquet(merged_dir)
     agg = mds.groupby("province").aggregate(
         Count(alias_name="count"),
         Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),

@@ -17,8 +17,12 @@ OUT_B = "/tmp/laji_etl_test_resume"
 
 
 def _merged_table(out_dir):
-    files = sorted(glob.glob(os.path.join(out_dir, "merged", "*.parquet")))
-    t = pq.read_table(files)
+    import pyarrow.dataset as pads
+    t = pads.dataset(os.path.join(out_dir, "merged"), format="parquet",
+                     partitioning="hive").to_table()
+    # hive partition values come back dictionary-encoded; normalize
+    t = t.set_column(t.schema.get_field_index("province"), "province",
+                     t["province"].cast("string"))
     return t.sort_by([("image_id", "ascending")])
 
 

@@ -84,3 +84,27 @@ def test_normalize_wkb_batch_kernel():
     g, _ = G.wkb_decode(out[0])
     assert g.type == "MultiPolygon"
     assert out[1] == wkbs[1] and out[2] is None
+
+
+def test_mixed_gc_union_preserves_disjoint_structure():
+    """GEOS unary_union structure: disjoint buffered parts stay separate
+    MultiPolygon members; touching/overlapping parts merge."""
+    pt = G.Geometry("Point", np.array([0.0, 0.0]))
+    far = G.Geometry("LineString", np.array([[100.0, 100.0], [101.0, 100.0]]))
+    out, conv = G.normalize_geometry(
+        G.Geometry("GeometryCollection", [pt, far]))
+    assert conv and out.type == "MultiPolygon" and len(out.data) == 2
+    near = G.Geometry("LineString", np.array([[0.2, 0.0], [1.0, 0.0]]))
+    out2, _ = G.normalize_geometry(
+        G.Geometry("GeometryCollection", [pt, near]))
+    assert len(out2.data) == 1 and G.is_valid(out2)
+    # WKB round trip keeps the two-member structure
+    rt, _ = G.wkb_decode(G.wkb_encode(out))
+    assert rt.type == "MultiPolygon" and len(rt.data) == 2
+
+
+def test_convex_overlap_sat():
+    sq = np.array([[0., 0.], [1., 0.], [1., 1.], [0., 1.], [0., 0.]])
+    assert G.convex_overlap(sq, sq + 0.5)      # overlapping
+    assert G.convex_overlap(sq, sq + np.array([1.0, 0.0]))  # touching edge
+    assert not G.convex_overlap(sq, sq + np.array([2.5, 0.0]))  # disjoint

@@ -60,3 +60,39 @@ def ann_topk_lsh_sharded(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qds = ray.data.from_pandas(_queries_df(sf_dir))
     return ann_topk_lsh(ds, qds, K, n_shards=4, n_bits=6, n_tables=8)
+
+
+COS_SUB = 250          # subset bound for the exact all-pairs query
+COS_SCALE = 1000.0     # per-op quantization (bounds keep int64 exact)
+
+
+def _cos_sql() -> str:
+    q = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+         f"CAST({COS_SCALE!r} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))")
+    return f"""
+    WITH q AS (SELECT vec_id, {q} AS e FROM embeddings
+               WHERE vec_id < {COS_SUB}),
+    n AS (SELECT vec_id, e,
+                 CAST(list_dot_product(e, e) AS BIGINT) AS n2 FROM q),
+    d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(list_dot_product(a.e, b.e) AS BIGINT) AS dot,
+                 a.n2 AS na2, b.n2 AS nb2
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, dot FROM d
+    WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2"""
+
+
+@register("cosine_neardup_pairs", sql=_cos_sql)
+def cosine_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3 — sized to the synthetic
+    embedding distribution, max pairwise cos ≈ 0.44) over the vec_id<250
+    subset — exact integer threshold test (9/100 rational), oracle-exact;
+    the full-corpus scale path is LSH buckets + this verifier."""
+    import pyarrow.dataset as pads
+
+    from ..stages.ann import cosine_threshold_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") < COS_SUB))
+    return cosine_threshold_pairs(ds, tau2=(9, 100))

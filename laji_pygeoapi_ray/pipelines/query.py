@@ -83,16 +83,15 @@ def map_municipality(municipality_ids: dict[str, str], value: str) -> str:
 
 
 def convert_time(value):
-    """Strip bracketed times + whitespace, preserve '/' ranges and comma
-    lists; non-strings pass through (convert_time golden cases:
-    '2020.01.01 [9:41]'→'2020.01.01', '-7 / 0 '→'-7/0',
-    '2020, 2021'→'2020,2021')."""
+    """Reference-exact normalization (``convert_api_filters.py:125-141``):
+    strip ``[H:MM]`` bracket times, then remove ALL whitespace; '/' ranges
+    and comma lists survive structurally. Non-strings pass through.
+    (golden cases: '2020.01.01 [9:41]'→'2020.01.01', '-7 / 0 '→'-7/0',
+    '2020, 2021'→'2020,2021', '2020 - 01'→'2020-01')."""
     if not isinstance(value, str):
         return value
-    v = re.sub(r"\s*\[[^\]]*\]", "", value)
-    v = ",".join(p.strip() for p in v.split(","))
-    v = "/".join(p.strip() for p in v.split("/"))
-    return v.strip()
+    v = re.sub(r"\[\s*\d{1,2}:\d{2}\s*\]", "", value)
+    return re.sub(r"\s+", "", v)
 
 
 def process_bbox(bbox: list[float]) -> tuple[float, float, float, float]:

@@ -143,3 +143,39 @@ def lang_id_pred(sf_dir: str):
                         batch_format="pyarrow", batch_size=2048,
                         concurrency=default_pool(), num_cpus=1)
     return ds.drop_columns(["text"])
+
+
+FP_WINDOW, FP_BASE = 4, 33
+
+
+def _fp_sql() -> str:
+    b3, b2, b1 = FP_BASE ** 3, FP_BASE ** 2, FP_BASE
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    w AS (SELECT doc_id,
+                 (length(t[g]) * 256 + unicode(t[g])) * {b3}
+               + (length(t[g+1]) * 256 + unicode(t[g+1])) * {b2}
+               + (length(t[g+2]) * 256 + unicode(t[g+2])) * {b1}
+               + (length(t[g+3]) * 256 + unicode(t[g+3])) AS h
+          FROM toks, (SELECT unnest(generate_series(
+                   1, (SELECT MAX(len(t)) FROM toks))) AS g) gs
+          WHERE g <= len(t) - {FP_WINDOW - 1})
+    SELECT d.doc_id,
+           COALESCE(MIN(w.h), -1) AS fingerprint,
+           CAST(COALESCE(COUNT(w.h), 0) AS BIGINT) AS n_windows
+    FROM documents d LEFT JOIN w USING (doc_id)
+    GROUP BY d.doc_id"""
+
+
+@register("doc_rolling_fingerprint", sql=_fp_sql)
+def doc_rolling_fingerprint(sf_dir: str):
+    """Polynomial rolling-hash document fingerprint (winnowing-lite): per
+    doc, the MIN window-4 base-33 hash over token values + window count —
+    the content-defined signature stage of a fingerprint-dedup pipeline
+    (exact in int64; oracle-exact vs the same arithmetic in SQL)."""
+    from ..stages.text import rolling_fingerprint_stage
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(rolling_fingerprint_stage(),
+                          batch_format="pyarrow")

@@ -206,3 +206,49 @@ def ann_topk_lsh(emb_ds, queries_ds, k: int, *, n_shards: int = 4,
 
     return grouped_apply(cands, ["query_id"], finish,
                          num_buckets=num_buckets)
+
+
+def cosine_threshold_pairs(emb_ds, *, subset_ref=None,
+                           tau2: tuple[int, int] = (361, 400),
+                           scale: float = 1000.0,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding"):
+    """Embedding-cosine near-duplicate pairs — EXACT threshold self-join:
+    emit (id_a, id_b, dot) for every pair with cosine ≥ τ, computed in
+    pure integer arithmetic so the result is bit-stable and SQL-twinnable:
+
+        cos ≥ τ  ⇔  dot > 0  and  den·dot² ≥ num·|a|²·|b|²
+
+    with (num, den) = (τ²·den, den) as an exact rational (default
+    361/400 = 0.95²) over ``scale``-quantized int64 components (bounds:
+    dim·(scale·max|x|)² products stay far below 2⁶³ — no rounding anywhere).
+
+    The broadcast side (``subset_ref`` or the materialized emb_ds) is the
+    small-side baseline; the scale path for a full-corpus sweep is LSH
+    bucketing (``LshAnnIndex``) with THIS integer test as the exact
+    verifier inside each bucket."""
+    num, den = int(tau2[0]), int(tau2[1])
+    if subset_ref is None:
+        t = pa.concat_tables(
+            [b for b in emb_ds.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")],
+            promote_options="default")
+        cid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cm = np.floor(_emb_matrix(t, emb_col).astype(np.float64)
+                      * scale + 0.5).astype(np.int64)
+        subset_ref = ray.put((cid, cm, (cm * cm).sum(axis=1)))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cid, cm, cn2 = ray.get(subset_ref)
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = np.floor(_emb_matrix(batch, emb_col).astype(np.float64)
+                      * scale + 0.5).astype(np.int64)
+        bn2 = (bm * bm).sum(axis=1)
+        d = bm @ cm.T                                  # int64 exact
+        ok = ((bid[:, None] < cid[None, :]) & (d > 0)
+              & (den * d * d >= num * (bn2[:, None] * cn2[None, :])))
+        ia, ib = np.nonzero(ok)
+        return pa.table({"id_a": bid[ia], "id_b": cid[ib],
+                         "dot": d[ia, ib]})
+
+    return emb_ds.map_batches(scan, batch_format="pyarrow")

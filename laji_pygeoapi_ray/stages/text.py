@@ -64,3 +64,63 @@ def minhash_stage(text_col: str = "text", shingle_n: int = 3,
             keys.append(tk.minhash_bands(sig, bands))
         return batch.append_column("bands", pa.array(keys, pa.list_(pa.int64())))
     return fn
+
+
+def rolling_fingerprint_stage(text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window: int = 4, base: int = 33):
+    """Document fingerprinting via polynomial rolling hash (winnowing-lite):
+    token value v = chars·256 + first-codepoint, window hash
+    h = ((v₀·B + v₁)·B + v₂)·B + v₃ (B=33, exact in int64 — no modulus
+    needed at these bounds), per-doc fingerprint = MIN window hash +
+    window count. Fully vectorized: token first-bytes and lengths come
+    straight from the Arrow string buffers (offsets + data), windows via
+    the same numpy index arithmetic as shingle_explode. SQL twin uses
+    ``length(t)·256 + unicode(t)`` per token (ASCII corpus ⇒ identical)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if flat.offset:          # sliced array: realign (rare) so the
+            # raw-buffer reads below index from 0
+            flat = pa.array(flat.to_pylist(), pa.string())
+        lens_doc = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # per-token length (bytes == chars for ASCII) + first byte, pure
+        # numpy over the Arrow buffers
+        off = np.frombuffer(flat.buffers()[1], dtype=np.int32,
+                            count=len(flat) + 1).astype(np.int64)
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
+            if flat.buffers()[2] is not None else np.array([], np.uint8)
+        tlen = np.diff(off)
+        first = np.where(tlen > 0, data[np.minimum(off[:-1],
+                                                   max(len(data) - 1, 0))],
+                         0).astype(np.int64)
+        v = tlen * 256 + first
+
+        counts = np.maximum(lens_doc - window + 1, 0)
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        tok0 = np.cumsum(lens_doc) - lens_doc
+        pos = np.arange(total) - np.repeat(starts, counts)
+        basei = np.repeat(tok0, counts) + pos
+        h = np.zeros(total, dtype=np.int64)
+        for j in range(window):
+            h = h * base + v[basei + j]
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-doc min via minimum.reduceat (counts>0 rows only)
+        has = counts > 0
+        mins = np.full(len(doc_ids), -1, dtype=np.int64)
+        if total:
+            mins_present = np.minimum.reduceat(h, starts[has])
+            mins[has] = mins_present
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "fingerprint": pa.array(mins),
+            "n_windows": pa.array(counts),
+        })
+    return fn

@@ -114,3 +114,25 @@ def test_cluster_pairs_ds_equals_union_find():
                 num_buckets=4)
             .to_pandas().sort_values("doc_id"))
     assert got2["cluster_id"].tolist() == [0, 0, 0, 0, 4]
+
+
+def test_rolling_fingerprint_edges():
+    import pyarrow as pa
+
+    from laji_pygeoapi_ray.stages.text import rolling_fingerprint_stage
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["a b c d e", "ab cd", ""]})
+    out = rolling_fingerprint_stage()(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["n_windows"] == 2          # 5 tokens, window 4
+    assert rows[1] == {"doc_id": 1, "fingerprint": -1, "n_windows": 0}
+    # "" splits to one empty token -> still < window
+    assert rows[2]["n_windows"] == 0
+    # hand-computed hash for the first window of doc 0: v('a')=256+97
+    v = 256 + 97
+
+    def tv(c):
+        return 256 + ord(c)
+    h0 = ((tv('a') * 33 + tv('b')) * 33 + tv('c')) * 33 + tv('d')
+    h1 = ((tv('b') * 33 + tv('c')) * 33 + tv('d')) * 33 + tv('e')
+    assert rows[0]["fingerprint"] == min(h0, h1)

@@ -277,3 +277,35 @@ def geom_split_counts(sf_dir: str):
         Count(alias_name="n"))
     return out.map_batches(lambda t: t.rename_columns(
         ["province", "geom_group", "n"]), batch_format="pyarrow")
+
+
+# --------------------------------------------- hierarchical tile rollup (H3 band)
+
+@register("tile_rollup_9_to_7", sql=lambda: f"""
+    WITH pts AS ({_points_cte()}),
+    c AS (SELECT {cells.sql_cell('x', 'y', 9)} AS cell9,
+                 {cells.sql_cell('x', 'y', 7)} AS cell7 FROM pts)
+    SELECT cell7, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT cell9) AS BIGINT) AS n_subtiles
+    FROM c GROUP BY cell7""")
+def tile_rollup_9_to_7(sf_dir: str):
+    """Hierarchical tile rollup across the north-star's H3 res-7..9 band:
+    pre-aggregate at fine res 9 (partial counts — the wide input never
+    shuffles), then roll up to res 7 via the EXACT quadtree-parent
+    arithmetic (``cells.parent``: ix>>2, iy>>2). The oracle recomputes
+    cell7 directly from (x, y), so the parent derivation is what the
+    value-hash actually certifies."""
+    ds = _docs_points(sf_dir, resolutions=(9,))
+    from ..stages.shuffle import partial_group_counts
+    c9 = partial_group_counts(ds, ["cell9"])
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        c = t["cell9"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell7": cells.parent(c, 7), "n": t["n"],
+                         "sub": np.ones(len(t), dtype=np.int64)})
+
+    rolled = c9.map_batches(to_parent, batch_format="pyarrow")
+    agg = rolled.groupby("cell7").aggregate(
+        Sum("n", alias_name="n"), Sum("sub", alias_name="n_subtiles"))
+    return agg.map_batches(lambda t: t.rename_columns(
+        ["cell7", "n", "n_subtiles"]), batch_format="pyarrow")

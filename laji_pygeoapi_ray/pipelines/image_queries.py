@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -155,3 +156,32 @@ def image_ann_neardup(sf_dir: str):
         lambda df: df[df["vec_id"] % 20 == 0],
         batch_format="pandas").to_pandas()
     return ann_topk_broadcast(emb, qdf, 5)
+
+
+@register("video_frame_sample")  # rows-only: fake-codec media op
+def video_frame_sample(sf_dir: str):
+    """Video frame-sampling pipeline over deterministic synthetic clips
+    (one 8-frame vraw clip per document): synth → FrameSampleStage actor
+    pool (stride 2) → one row per sampled frame with per-frame luma mean +
+    64-bit frame hash. Determinism + degrade behavior asserted in
+    tests/test_media.py."""
+    import ray.data as rd
+
+    from ..stages import media
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "video_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array([media.synth_video(int(i)) for i in ids],
+                              pa.binary()),
+        })
+
+    ds = rd.range(n, override_num_blocks=max(1, n // 256))
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(media.FrameSampleStage,
+                          fn_constructor_kwargs={"stride": 2},
+                          batch_format="pyarrow", batch_size=256,
+                          concurrency=default_pool(0.5), num_cpus=1)

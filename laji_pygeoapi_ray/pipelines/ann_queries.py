@@ -96,3 +96,14 @@ def cosine_neardup_pairs(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=(pads.field("vec_id") < COS_SUB))
     return cosine_threshold_pairs(ds, tau2=(9, 100))
+
+
+@register("ann_topk_ivf")
+def ann_topk_ivf_q(sf_dir: str):
+    """IVF ANN (learned Voronoi lists, deterministic k-means quantizer,
+    n_probe replication, one cogroup shuffle) — approximate; recall ≥ 0.7
+    vs brute force asserted in tests/test_knn_ann.py."""
+    from ..stages.ann import ann_topk_ivf
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_topk_ivf(ds, _queries_df(sf_dir), K, n_lists=8, n_probe=4)

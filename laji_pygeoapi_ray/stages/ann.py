@@ -252,3 +252,113 @@ def cosine_threshold_pairs(emb_ds, *, subset_ref=None,
                          "dot": d[ia, ib]})
 
     return emb_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def fit_ivf_centroids(sample: np.ndarray, n_lists: int,
+                      n_iters: int = 8) -> np.ndarray:
+    """Deterministic k-means (IVF coarse quantizer): init = evenly-spaced
+    sample rows (no RNG), fixed Lloyd iterations, empty clusters re-seeded
+    from the farthest points. Pure numpy; fit on a driver-side SAMPLE (the
+    quantizer is tiny), applied distributed."""
+    sample = np.asarray(sample, dtype=np.float64)
+    idx = np.linspace(0, len(sample) - 1, n_lists).astype(np.int64)
+    cent = sample[idx].copy()
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+            else:                       # re-seed from the farthest point
+                cent[c] = sample[d2.min(1).argmax()]
+    return cent
+
+
+def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
+                 n_lists: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 num_buckets: int = 16):
+    """IVF ANN — the learned-bucket scale path (complement to the LSH
+    variant): a tiny deterministic k-means quantizer (broadcast) routes
+    every corpus vector to its nearest list in one map_batches; each query
+    replicates to its ``n_probe`` nearest lists; ONE hash shuffle on the
+    list id cogroups them and a vectorized per-list exact top-k + per-query
+    merge finishes — the same cogroup shape as ``knn_cell_cogroup``, with
+    learned Voronoi cells instead of grid cells. Recall vs brute force is
+    asserted in tests."""
+    from .shuffle import grouped_apply
+
+    qid = queries[id_col].to_numpy(np.int64)
+    qm = np.stack(queries[emb_col].to_numpy()).astype(np.float64)
+    # fit on the query sample + its own distribution proxy: queries are a
+    # deterministic corpus subset here; a production fit samples the corpus
+    cent = fit_ivf_centroids(qm, n_lists)
+    cent_ref = ray.put(cent)
+    qmq = quantize(qm)
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pa.table({"list_id": d2.argmin(1).astype(np.int64),
+                         "side": np.zeros(len(t), dtype=np.int8),
+                         "id": ids, "emb": pa.array(list(quantize(m)))})
+
+    # queries: replicate to n_probe nearest lists (driver-side small table)
+    qd2 = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    q_tbl = pa.table({
+        "list_id": probes.ravel().astype(np.int64),
+        "side": np.ones(probes.size, dtype=np.int8),
+        "id": np.repeat(qid, n_probe),
+        "emb": pa.array(list(np.repeat(qmq, n_probe, axis=0))),
+    })
+    import ray.data as rd
+    tagged = emb_ds.map_batches(tag_corpus, batch_format="pyarrow") \
+        .union(rd.from_arrow(q_tbl))
+
+    def per_list(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("list_id", sort=False):
+            pts = g[g["side"] == 0]
+            qs = g[g["side"] == 1]
+            if pts.empty or qs.empty:
+                continue
+            pm = np.stack(pts["emb"].to_numpy())
+            qm_ = np.stack(qs["emb"].to_numpy())
+            pid = pts["id"].to_numpy(np.int64)
+            qids_ = qs["id"].to_numpy(np.int64)
+            scores = qm_ @ pm.T
+            scores = np.where(qids_[:, None] == pid[None, :], -np.inf,
+                              scores)
+            kk = min(k, scores.shape[1])
+            order = np.lexsort((np.broadcast_to(pid, scores.shape),
+                                -scores), axis=1)[:, :kk]
+            oq = np.repeat(qids_, kk)
+            op = pid[order].ravel()
+            os_ = np.take_along_axis(scores, order, axis=1).ravel()
+            keep = np.isfinite(os_)
+            outs.append(pd.DataFrame({"query_id": oq[keep],
+                                      "neighbor_id": op[keep],
+                                      "score": os_[keep]}))
+        if not outs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cands = grouped_apply(tagged, ["list_id"], per_list,
+                          num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["query_id", "neighbor_id"])
+        df = df.sort_values(["query_id", "score", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).copy()
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df
+
+    return cands.groupby("query_id").map_groups(finish,
+                                                batch_format="pandas")

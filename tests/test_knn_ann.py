@@ -73,3 +73,19 @@ def test_knn_cell_exact_equals_broadcast_even_at_fine_res():
     assert (exact["neighbor_id"].to_numpy()
             == fixed["neighbor_id"].to_numpy()).all()
     assert (exact["d2"].to_numpy() == fixed["d2"].to_numpy()).all()
+
+
+def test_ivf_ann_recall():
+    from laji_pygeoapi_ray.pipelines.ann_queries import _queries_df
+    from laji_pygeoapi_ray.stages.ann import ann_topk_broadcast, ann_topk_ivf
+
+    qdf = _queries_df(SF_UNIT)
+    ds = ray.data.read_parquet(f"{SF_UNIT}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = ann_topk_broadcast(ds, qdf, 5).to_pandas()
+    approx = ann_topk_ivf(ds, qdf, 5, n_lists=8, n_probe=4).to_pandas()
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(got & set(g["neighbor_id"])) / len(g))
+    assert np.mean(recalls) >= 0.7, recalls

@@ -201,3 +201,34 @@ def hits_count(sf_dir: str):
                        EVENTS_BINDINGS)
     n = ds.count()
     return pa.table({"number_matched": pa.array([n], pa.int64())})
+
+
+# ------------------------------------------------- sorted + projected paging
+
+def _sorted_page_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT d.doc_id, d.n_chars, {x} AS x, {y} AS y
+                 FROM documents d)
+    SELECT doc_id, n_chars FROM pts
+    WHERE x >= CAST('24.6' AS DOUBLE) AND x <= CAST('25.3' AS DOUBLE)
+      AND y >= CAST('60.0' AS DOUBLE) AND y <= CAST('60.4' AS DOUBLE)
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 20 OFFSET 5"""
+
+
+@register("sorted_page_docs", sql=_sorted_page_sql)
+def sorted_page_docs(sf_dir: str):
+    """OGC ``sortby`` + ``select_properties`` paging on the serving path:
+    bbox prune → distributed partial top-(offset+limit) per block → one
+    page-sized merge (no global sort) → projection. sortby ends with the
+    unique doc_id so the page is deterministic — hash-exact vs the SQL
+    ORDER BY ... LIMIT/OFFSET twin."""
+    from .query import bbox_query
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (7,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return bbox_query(ds, BBOX, limit=20, offset=5,
+                      sortby=[("n_chars", "-"), ("doc_id", "+")],
+                      select_properties=["doc_id", "n_chars"])

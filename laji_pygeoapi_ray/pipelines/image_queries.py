@@ -185,3 +185,34 @@ def video_frame_sample(sf_dir: str):
                           fn_constructor_kwargs={"stride": 2},
                           batch_format="pyarrow", batch_size=256,
                           concurrency=default_pool(0.5), num_cpus=1)
+
+
+def _video_stats_sql() -> str:
+    # reproduce synth_video's per-pixel formula (stages/media.py:43-48) in
+    # SQL: channel value = (key*37 + t*11 + y*5 + x*3 + c*29) % 256
+    return """
+    WITH f AS (SELECT d.doc_id AS video_id, t.t
+               FROM documents d,
+                    (SELECT unnest([0, 2, 4, 6]) AS t) t),
+    px AS (SELECT video_id, t, y.y, x.x,
+                  (video_id * 37 + t * 11 + y.y * 5 + x.x * 3) % 256 AS r,
+                  (video_id * 37 + t * 11 + y.y * 5 + x.x * 3 + 29) % 256 AS g,
+                  (video_id * 37 + t * 11 + y.y * 5 + x.x * 3 + 58) % 256 AS b
+           FROM f,
+                (SELECT unnest(generate_series(0, 15)) AS y) y,
+                (SELECT unnest(generate_series(0, 15)) AS x) x)
+    SELECT video_id, t AS frame_idx,
+           CAST(SUM(r * 299 + g * 587 + b * 114) AS BIGINT) AS frame_lumasum
+    FROM px GROUP BY 1, 2"""
+
+
+@register("video_frame_stats", sql=_video_stats_sql)
+def video_frame_stats(sf_dir: str):
+    """Frame-sampled integer luma sums — the ORACLE-CHECKED slice of the
+    video pipeline: same synth → FrameSampleStage path as
+    video_frame_sample, projected to the exact-int64 frame_lumasum column
+    the SQL twin recomputes pixel-by-pixel from the generative formula
+    (certifies the container parse, the frame sampling stride, and the
+    per-frame reduction)."""
+    return video_frame_sample(sf_dir).select_columns(
+        ["video_id", "frame_idx", "frame_lumasum"])

@@ -137,11 +137,21 @@ def validate_paging(limit: int, offset: int, total: int | None = None):
 
 
 def bbox_query(ds, bbox: list[float], res: int = 7,
-               limit: int = 100, offset: int = 0):
+               limit: int = 100, offset: int = 0,
+               sortby: list[tuple[str, str]] | None = None,
+               select_properties: list[str] | None = None):
     """Execute a bbox query over an enriched Dataset (needs x, y, cell{res}):
     coarse cell prune inside map_batches (vectorized isin) + exact refine +
-    pagination. Returns the page as a pyarrow Table."""
+    pagination. Returns the page as a pyarrow Table.
+
+    ``sortby`` — OGC sortby pairs ``[(col, '+'|'-')...]``
+    (lajiapi_provider.py:115): the sorted page is computed DISTRIBUTED as
+    per-batch partial top-(offset+limit) then one page-sized driver merge —
+    no global sort; callers should end sortby with a unique key for a
+    deterministic page. ``select_properties`` projects the output columns
+    (the ``selected`` pushdown analogue)."""
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
 
     validate_paging(limit, offset)
@@ -159,9 +169,29 @@ def bbox_query(ds, bbox: list[float], res: int = 7,
         return t.filter(exact(t))
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
-    rows = pruned.limit(offset + limit).take_all()
-    return pa.Table.from_pylist(rows[offset:offset + limit]) \
-        if rows else pa.table({})
+    n = offset + limit
+    if sortby:
+        cols = [c for c, _ in sortby]
+        asc = [d != "-" for _, d in sortby]
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(cols, ascending=asc,
+                                  kind="mergesort").head(n)
+
+        parts = pruned.map_batches(partial, batch_format="pandas")
+        merged = parts.to_pandas()         # ≤ n rows per block, page-sized
+        merged = merged.sort_values(cols, ascending=asc, kind="mergesort")
+        page = pa.Table.from_pandas(merged.iloc[offset:offset + limit],
+                                    preserve_index=False)
+    else:
+        rows = pruned.limit(n).take_all()
+        page = (pa.Table.from_pylist(rows[offset:offset + limit])
+                if rows else pa.table({}))
+    if select_properties and page.num_rows:
+        keep_cols = [c for c in page.column_names
+                     if c in set(select_properties)]
+        page = page.select(keep_cols)
+    return page
 
 
 # filters dispatched to per-value enumeration lookup in the reference

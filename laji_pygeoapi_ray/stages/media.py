@@ -79,8 +79,12 @@ class FrameSampleStage:
         self.strict = strict
         self.luma_w = np.array([0.299, 0.587, 0.114])
 
+    # integer luma weights (ITU-R 601 ×1000): keeps the per-frame luma SUM
+    # exact in int64, so it has a bit-stable SQL twin
+    LUMA_INT = np.array([299, 587, 114], dtype=np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids, idxs, means, hashes = [], [], [], []
+        vids, idxs, means, hashes, lsums = [], [], [], [], []
         for vid, data in zip(batch["video_id"].to_pylist(),
                              batch["bytes"].to_pylist()):
             try:
@@ -90,6 +94,8 @@ class FrameSampleStage:
                     raise
                 continue  # degrade-don't-die: skip the corrupt clip
             sel = np.arange(0, len(frames), self.stride)
+            fint = frames[sel].astype(np.int64)
+            lsum = (fint @ self.LUMA_INT).sum(axis=(1, 2))
             luma = frames[sel].astype(np.float64) @ self.luma_w
             m = luma.mean(axis=(1, 2))
             bits = (luma > m[:, None, None])
@@ -102,16 +108,19 @@ class FrameSampleStage:
             idxs.append(sel)
             means.append(m)
             hashes.append(fh)
+            lsums.append(lsum)
         if not idxs:
             return pa.table({"video_id": pa.array([], pa.int64()),
                              "frame_idx": pa.array([], pa.int64()),
                              "frame_mean": pa.array([], pa.float64()),
-                             "frame_hash": pa.array([], pa.int64())})
+                             "frame_hash": pa.array([], pa.int64()),
+                             "frame_lumasum": pa.array([], pa.int64())})
         return pa.table({
             "video_id": pa.array(vids, pa.int64()),
             "frame_idx": np.concatenate(idxs),
             "frame_mean": np.concatenate(means),
             "frame_hash": np.concatenate(hashes),
+            "frame_lumasum": np.concatenate(lsums),
         })
 
 

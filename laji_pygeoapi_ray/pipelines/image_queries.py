@@ -216,3 +216,30 @@ def video_frame_stats(sf_dir: str):
     per-frame reduction)."""
     return video_frame_sample(sf_dir).select_columns(
         ["video_id", "frame_idx", "frame_lumasum"])
+
+
+@register("audio_features")  # rows-only: fake-codec media op (sin in SQL
+# would not be bit-stable; stage-level determinism tested in test_media.py)
+def audio_features(sf_dir: str):
+    """Audio feature extraction over deterministic synthetic PCM clips (one
+    araw clip per document): synth → AudioFeatureStage actor pool →
+    (audio_id, rms, zcr, decode_ok); payload dropped after decode."""
+    import ray.data as rd
+
+    from ..stages import media
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "audio_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array([media.synth_audio(int(i)) for i in ids],
+                              pa.binary()),
+        })
+
+    ds = rd.range(n, override_num_blocks=max(1, n // 256))
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(media.AudioFeatureStage, batch_format="pyarrow",
+                          batch_size=256, concurrency=default_pool(0.5),
+                          num_cpus=1)

@@ -61,3 +61,25 @@ def distinct_event_types(sf_dir: str):
     out = partial_group_counts(ds, ["event_type"])
     return out.map_batches(lambda t: t.select(["event_type"]),
                            batch_format="pyarrow")
+
+
+@register("orders_by_mktsegment_native", sql="""
+    SELECT c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(o.o_totalprice) AS max_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1""")
+def orders_by_mktsegment_native(sf_dir: str):
+    """Same join + aggregate through Ray Data's NATIVE hash join
+    (``Dataset.join``, Ray ≥ 2.46) — shares orders_by_mktsegment's oracle,
+    so the engine's bucketed join and Ray's built-in are both certified
+    against the same SQL. The bucketed version stays the portable default;
+    this validates the native backend as a drop-in."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n"), Max("o_totalprice", alias_name="max_price"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["mktsegment", "n", "max_price"]),
+        batch_format="pyarrow")

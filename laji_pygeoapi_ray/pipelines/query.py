@@ -32,7 +32,24 @@ MAX_PAGED_TOTAL = 100_000   # lajiapi_provider.py:108-111
 
 
 class FilterError(ValueError):
-    pass
+    """Serving-path error carrying the provider error contract
+    (``lajiapi_provider.py:193-201``): ``.payload()`` renders the same
+    ``{type: urn:pygeoapi:lajiapi:<code>, title, detail[, hint]}`` dict the
+    reference returns to OGC clients."""
+
+    def __init__(self, message: str, *, code: str = "invalid-parameter",
+                 hint: str | None = None):
+        super().__init__(message)
+        self.code = code
+        self.hint = hint
+
+    def payload(self) -> dict:
+        err = {"type": f"urn:pygeoapi:lajiapi:{self.code}",
+               "title": self.code.replace("-", " ").title(),
+               "detail": str(self)}
+        if self.hint:
+            err["hint"] = self.hint
+        return err
 
 
 def translate_filter_name(name: str) -> str:
@@ -126,13 +143,17 @@ def validate_paging(limit: int, offset: int, total: int | None = None):
     """limit 1..10 000, offset ≥ 0; totals > 100 000 refuse paging past
     page 1 (lajiapi_provider.py:64-67,108-111)."""
     if not 1 <= limit <= MAX_LIMIT:
-        raise FilterError(f"limit must be 1..{MAX_LIMIT}")
+        raise FilterError(f"limit outside allowed range 1-{MAX_LIMIT}",
+                          hint=f"Reduce limit to <= {MAX_LIMIT}.")
     if offset < 0:
         raise FilterError("offset must be >= 0")
     page = offset // limit + 1
     if total is not None and total > MAX_PAGED_TOTAL and page > 1:
         raise FilterError(
-            f"result set {total} exceeds {MAX_PAGED_TOTAL}; refine the query")
+            f"result set {total} exceeds {MAX_PAGED_TOTAL}; refine the query",
+            code="too-many-results",
+            hint="Refine with datetime, bbox, taxon, collection, or other "
+                 "filters.")
     return page
 
 

@@ -219,3 +219,20 @@ class TestGetById:
             fetch_by_local_id
         with pytest.raises(ValueError, match="malformed"):
             fetch_by_local_id(SF_UNIT, "not-an-id")
+
+
+def test_provider_error_contract():
+    """FilterError renders the reference's error payload shape
+    (lajiapi_provider.py:193-201)."""
+    import pytest
+
+    from laji_pygeoapi_ray.pipelines import query
+    with pytest.raises(query.FilterError) as ei:
+        query.validate_paging(20001, 0)
+    p = ei.value.payload()
+    assert p["type"] == "urn:pygeoapi:lajiapi:invalid-parameter"
+    assert p["title"] == "Invalid Parameter"
+    assert "hint" in p
+    with pytest.raises(query.FilterError) as ei:
+        query.validate_paging(100, 200, total=500_000)
+    assert ei.value.payload()["type"] == "urn:pygeoapi:lajiapi:too-many-results"

@@ -47,6 +47,9 @@ def flagship_images(sf_dir: str, *, concurrency=None) -> "ray.data.Dataset":
     from ..sources import images as imgsrc
     from ..stages.images import ImageDecodeStage
 
+    # autoscaling (1, N) pools here — this pipeline runs TWO actor pools
+    # (decode + PIP); two FIXED pools pin every CPU and deadlock small
+    # sessions (NOTES.md). Single-pool pipelines use fixed_pool instead.
     from ..sources.parquet import default_pool
     from .image_queries import images_ds
     if concurrency is None:
@@ -56,7 +59,7 @@ def flagship_images(sf_dir: str, *, concurrency=None) -> "ray.data.Dataset":
     ds = ds.map_batches(ImageDecodeStage,
                         fn_constructor_kwargs={"drop_bytes": True},
                         batch_format="pyarrow",
-                        batch_size=256, concurrency=concurrency, num_cpus=1)
+                        batch_size=512, concurrency=concurrency, num_cpus=1)
 
     def derive(t: pa.Table) -> pa.Table:
         no = t["img_no"].to_numpy(zero_copy_only=False)

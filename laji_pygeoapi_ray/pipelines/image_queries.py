@@ -19,7 +19,7 @@ from ..functions import cells, points
 from ..sources import images as imgsrc
 from ..stages import assign
 from ..stages.images import ImageDecodeStage
-from ..sources.parquet import default_pool
+from ..sources.parquet import default_pool, fixed_pool
 from ..stages.shuffle import grouped_apply
 from .registry import register
 
@@ -122,7 +122,7 @@ def image_decode_verify(sf_dir: str):
     ds = ds.map_batches(ImageDecodeStage,
                         fn_constructor_kwargs={"drop_bytes": True},
                         batch_format="pyarrow",
-                        batch_size=256, concurrency=default_pool(), num_cpus=1)
+                        batch_size=512, concurrency=fixed_pool(), num_cpus=1)
     agg = ds.groupby("fmt").aggregate(
         Count(alias_name="n"), Min("psnr", alias_name="min_psnr"),
         Mean("mean_lum", alias_name="avg_lum"))
@@ -143,7 +143,7 @@ def image_ann_neardup(sf_dir: str):
     ds = images_ds(sf_dir, columns=["image_id", "bytes", "fmt"])
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(ImageEmbedStage, batch_format="pyarrow",
-                        batch_size=256, concurrency=default_pool(0.5),
+                        batch_size=512, concurrency=fixed_pool(0.5),
                         num_cpus=1)
     emb = ds.select_columns(["img_no", "img_vec"]).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]),

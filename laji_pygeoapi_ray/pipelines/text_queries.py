@@ -115,7 +115,9 @@ def minhash_dedup_clusters(sf_dir: str):
     materialization; asserted equal to union-find in pytest). Verified on
     planted near-dups in pytest."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simdedup.minhash_lsh_pairs(ds)
+    # dedupe=False: min-label propagation is idempotent under duplicate
+    # edges, so the pair-dedup exchange is pure overhead here
+    pairs = simdedup.minhash_lsh_pairs(ds, dedupe=False)
     ids = read_table(sf_dir, "documents", ["doc_id"])
     return simdedup.cluster_pairs_ds(pairs, ids)
 

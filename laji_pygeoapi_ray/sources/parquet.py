@@ -39,3 +39,12 @@ def default_pool(frac: float = 1.0) -> tuple[int, int]:
     4-CPU test session), max leaves headroom for the read/write stages."""
     cpus = cluster_cpus()
     return (1, max(2, int((cpus - 2) * frac)))
+
+
+def fixed_pool(frac: float = 1.0) -> int:
+    """FIXED actor-pool size: frac × (CPUs − 2), min 2. Prefer this over the
+    autoscaling ``default_pool`` for short compute-bound stages — measured
+    on the image decode stage at sf0.1/32 CPUs, the (1, 30) autoscaling
+    pool ramps too slowly and costs ~2× wall time vs 30 pre-started
+    actors (4.6 s → 2.4 s with batch_size 512)."""
+    return max(2, int((cluster_cpus() - 2) * frac))

@@ -116,9 +116,14 @@ def jaccard_pairs(ds, counts: dict[int, int], *, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       shingle_n: int = 3, bands: int = 16,
-                      group_cap: int | None = 256, num_buckets: int = 32):
+                      group_cap: int | None = 256, num_buckets: int = 32,
+                      dedupe: bool = True):
     """MinHash+LSH candidate pairs: signature → band buckets → explode
-    (id, band_key) → groupby(band bucket) → pairs (deduped)."""
+    (id, band_key) → groupby(band bucket) → pairs (deduped).
+
+    ``dedupe=False`` skips the final pair-dedup shuffle — correct whenever
+    the consumer is idempotent under duplicate edges (min-label clustering
+    is), saving one full exchange."""
     from .text import minhash_stage
 
     sigs = ds.map_batches(minhash_stage(text_col, shingle_n, bands),
@@ -140,6 +145,9 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     pairs = grouped_apply(exploded, ["band_key"], bucket_fn,
                           num_buckets=num_buckets)
+
+    if not dedupe:
+        return pairs
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()

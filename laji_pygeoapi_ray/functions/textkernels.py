@@ -143,3 +143,45 @@ class LangProfile:
                     best, best_s = l, s
             out.append(best)
         return out
+
+
+def minhash_signature_batch(gram_hashes: np.ndarray,
+                            starts: np.ndarray) -> np.ndarray:
+    """Batched minhash: flat per-doc gram-hash segments (``starts`` = first
+    index of each doc's segment, docs with 0 grams excluded) →
+    (n_docs, MINHASH_PERMS) uint64 signatures. One vectorized
+    ``minimum.reduceat`` per permutation — no per-doc Python loop; memory
+    stays O(total_grams) because permutations stream one at a time.
+    Duplicate grams within a doc are harmless (min is idempotent), so no
+    per-doc distinct pass is needed."""
+    n = len(starts)
+    sig = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
+    if len(gram_hashes) == 0 or n == 0:
+        return sig
+    for j in range(MINHASH_PERMS):
+        v = (gram_hashes * _A[j] + _B[j]) % _PRIME
+        sig[:, j] = np.minimum.reduceat(v, starts)
+    return sig
+
+
+_BANDMIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def minhash_bands_batch(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n, PERMS) signatures → (n, bands) int64 LSH bucket keys. Each
+    band's rows fold through a multiply-xor mix (uint64 wraparound;
+    deterministic, vectorized — replaces the per-band blake2b of
+    :func:`minhash_bands`, same band-id-in-high-bits layout)."""
+    n, perms = sig.shape
+    rows = perms // bands
+    out = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        h = np.full(n, _BANDMIX, dtype=np.uint64)
+        for r in range(rows):
+            h = (h * _BANDMIX) ^ sig[:, b * rows + r]
+        h ^= h >> np.uint64(29)
+        h = h * _BANDMIX
+        h ^= h >> np.uint64(32)
+        out[:, b] = ((np.uint64(b) << np.uint64(56))
+                     | (h >> np.uint64(8))).astype(np.int64)
+    return out

@@ -45,10 +45,51 @@ class LangIdStage:
 
 def simhash_stage(text_col: str = "text", out_col: str = "simhash",
                   shingle_n: int = 3):
+    """Batched SimHash: grams via one Arrow split + numpy index math,
+    keyed-siphash gram hashes, per-doc DISTINCT (simhash votes count each
+    distinct shingle once), bit votes via one ``add.reduceat`` per batch —
+    no per-doc Python loop."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
     def fn(batch: pa.Table) -> pa.Table:
-        out = np.empty(len(batch), dtype=np.int64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            out[i] = tk.simhash64(tk.shingle_hashes(tk.word_shingles(t, shingle_n)))
+        n = shingle_n
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.maximum(lens - n + 1, 0)
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        tok0 = np.cumsum(lens) - lens
+        pos = np.arange(total) - np.repeat(starts, counts)
+        base = np.repeat(tok0, counts) + pos
+        parts = [flat.take(pa.array(base + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        gh = pd.util.hash_array(
+            grams.to_numpy(zero_copy_only=False)).astype(np.uint64) % tk._PRIME
+        # per-doc distinct (votes count each distinct shingle once)
+        doc_of = np.repeat(np.arange(len(batch)), counts)
+        order = np.lexsort((gh, doc_of))
+        gh_s, doc_s = gh[order], doc_of[order]
+        keep = np.ones(len(gh_s), dtype=bool)
+        keep[1:] = (gh_s[1:] != gh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        gh_s, doc_s = gh_s[keep], doc_s[keep]
+        bits = ((gh_s[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes_flat = 2 * bits - 1
+        out = np.zeros(len(batch), dtype=np.int64)
+        if len(doc_s):
+            seg = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+            votes = np.add.reduceat(votes_flat, seg, axis=0)
+            docs_present = doc_s[seg]
+            v = ((votes >= 0).astype(np.uint64)
+                 << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                     axis=1, dtype=np.uint64)
+            out[docs_present] = v.astype(np.int64)
         return batch.append_column(out_col, pa.array(out))
     return fn
 
@@ -56,13 +97,47 @@ def simhash_stage(text_col: str = "text", out_col: str = "simhash",
 def minhash_stage(text_col: str = "text", shingle_n: int = 3,
                   bands: int = 16):
     """Per row emit the LSH band bucket keys as a list column ``bands``
-    (explode downstream for the bucket groupby)."""
+    (explode downstream for the bucket groupby).
+
+    Fully vectorized: grams via one Arrow split + numpy index math (the
+    shingle_explode machinery), gram hashing via pandas' keyed siphash
+    (``hash_array`` — deterministic across processes), signatures via one
+    ``minimum.reduceat`` per permutation, band keys via a multiply-xor
+    fold. No per-doc Python loop."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
     def fn(batch: pa.Table) -> pa.Table:
-        keys = []
-        for t in batch[text_col].to_pylist():
-            sig = tk.minhash_signature(tk.shingle_hashes(tk.word_shingles(t, shingle_n)))
-            keys.append(tk.minhash_bands(sig, bands))
-        return batch.append_column("bands", pa.array(keys, pa.list_(pa.int64())))
+        n = shingle_n
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.maximum(lens - n + 1, 0)
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        tok0 = np.cumsum(lens) - lens
+        pos = np.arange(total) - np.repeat(starts, counts)
+        base = np.repeat(tok0, counts) + pos
+        parts = [flat.take(pa.array(base + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        gh = pd.util.hash_array(
+            grams.to_numpy(zero_copy_only=False)).astype(np.uint64) % tk._PRIME
+
+        has = counts > 0
+        keys = np.zeros((len(batch), bands), dtype=np.int64)
+        if has.any():
+            sig = tk.minhash_signature_batch(gh, starts[has])
+            keys[has] = tk.minhash_bands_batch(sig, bands)
+        # docs with no grams get NO bands (old path: empty-signature rows
+        # still emitted bands of the max-sentinel; those never matched
+        # anything, so dropping them is behavior-equivalent and cheaper)
+        bl = [list(k) if h else [] for k, h in zip(keys, has)]
+        return batch.append_column("bands",
+                                   pa.array(bl, pa.list_(pa.int64())))
     return fn
 
 

@@ -23,22 +23,39 @@ _A = _rng.integers(1, _PRIME, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _PRIME, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
 
 
-def token_stats(texts: list[str]) -> dict[str, np.ndarray]:
+def token_stats(texts) -> dict[str, np.ndarray]:
     """Per-text token statistics (all exactly reproducible in DuckDB):
     n_tokens, distinct_tokens, stop_tokens, ttr (=distinct/n),
-    stop_ratio (=stop/n)."""
-    n = np.empty(len(texts), dtype=np.int64)
-    d = np.empty(len(texts), dtype=np.int64)
-    s = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ")
-        n[i] = len(toks)
-        d[i] = len(set(toks))
-        s[i] = sum(tok in STOPWORDS for tok in toks)
+    stop_ratio (=stop/n). Vectorized: one Arrow split, token counts from
+    list lengths, distinct via a (doc, token-hash) sort+dedup, stopword
+    hits via ``is_in`` — no per-doc Python loop."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    toks = pc.split_pattern(pc.fill_null(pc.cast(col, pa.string()), ""), " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    doc_of = np.repeat(np.arange(len(n)), n)
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)) \
+        .astype(np.uint64)
+    order = np.lexsort((th, doc_of))
+    ds_, hs_ = doc_of[order], th[order]
+    uniq = np.ones(len(hs_), dtype=bool)
+    uniq[1:] = (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])
+    d = np.bincount(ds_[uniq], minlength=len(n)).astype(np.int64)
+    stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))) \
+        .to_numpy(zero_copy_only=False)
+    s_ = np.bincount(doc_of[stop], minlength=len(n)).astype(np.int64)
     nf = n.astype(np.float64)
-    return {"n_tokens": n, "distinct_tokens": d, "stop_tokens": s,
+    return {"n_tokens": n, "distinct_tokens": d, "stop_tokens": s_,
             "ttr": d.astype(np.float64) / nf,
-            "stop_ratio": s.astype(np.float64) / nf}
+            "stop_ratio": s_.astype(np.float64) / nf}
 
 
 def md5_fingerprint(texts: list[str]) -> list[str]:

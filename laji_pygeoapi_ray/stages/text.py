@@ -14,8 +14,7 @@ from ..functions import textkernels as tk
 
 def text_stats_stage(text_col: str = "text"):
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        stats = tk.token_stats(texts)
+        stats = tk.token_stats(batch[text_col])
         for name, arr in stats.items():
             batch = batch.append_column(name, pa.array(arr))
         return batch

@@ -97,3 +97,17 @@ def test_dedup_keep_latest_planted():
     first = dedup_keep_latest(ray.data.from_pandas(df), ["id"], ["load", "v"],
                               descending=False, num_buckets=2).to_pandas()
     assert sorted(first["v"].tolist()) == [1, 4]
+
+
+def test_read_planner_blocks_and_pruning():
+    """get_pages/get_last_page analogue: the read planner sizes block count
+    from file bytes and prunes columns at the read."""
+    from laji_pygeoapi_ray.sources.parquet import read_table
+    from tests.conftest import SF_UNIT
+
+    ds = read_table(SF_UNIT, "documents", ["doc_id"])
+    assert ds.schema().names == ["doc_id"]          # column pruning
+    assert ds.count() == 500
+    # block count is bounded: at least 1, at most a small multiple of CPUs
+    nb = ds.materialize().num_blocks()
+    assert 1 <= nb <= 64

@@ -298,3 +298,47 @@ def run_incremental_ingest(input_path, out_dir: str) -> dict:
                    glob.glob(os.path.join(current, "*.parquet")))
     return {"delta_rows": int(rows), "current_rows": int(cur_rows),
             "watermark": manifest.data.get("watermark_ts")}
+
+
+def incremental_window_counts(delta_ds, state_dir: str) -> str:
+    """Streaming-materialized-view maintenance (§2.8): keep a tumbling-
+    window count table ``(event_type, window, n)`` up to date across
+    micro-batches. Each call folds ONE delta in:
+
+      partial counts of the delta (combine-before-shuffle — only a few
+      rows per batch leave the scan) → union with the current state →
+      groupby sum → atomic swap of ``state_dir``.
+
+    Windows are exact integer epoch-µs floor-divisions, so incremental
+    maintenance commutes: applying deltas in any order/slicing equals the
+    batch recompute (asserted in tests). State stays tiny (one row per
+    (type, window)), so the swap is cheap; at 10^12-event scale the state
+    table is still only O(types × hours)."""
+    import pyarrow.compute as pc  # noqa: F401  (stage imports)
+
+    from ..stages.shuffle import partial_group_counts
+    from ..stages.stream import add_window_column
+
+    delta = delta_ds.map_batches(add_window_column("ts"),
+                                 batch_format="pyarrow")
+    partial = partial_group_counts(delta.map_batches(
+        lambda t: t.select(["event_type", "window"]),
+        batch_format="pyarrow"), ["event_type", "window"])
+
+    cur_files = sorted(glob.glob(os.path.join(state_dir, "*.parquet")))
+    if cur_files:
+        cur = ray.data.read_parquet(cur_files)
+        unioned = cur.union(partial)
+    else:
+        unioned = partial
+    from ray.data.aggregate import Sum
+    new = unioned.groupby(["event_type", "window"]).aggregate(
+        Sum("n", alias_name="n")).map_batches(
+        lambda t: t.rename_columns(["event_type", "window", "n"]),
+        batch_format="pyarrow")
+    tmp = state_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    new.write_parquet(tmp)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.replace(tmp, state_dir)
+    return state_dir

@@ -201,3 +201,35 @@ def test_incremental_watermark_ingest(tmp_path):
     import pandas as pd
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_incremental_window_counts_equals_batch(tmp_path):
+    """Folding 4 arbitrary micro-batch slices into the window-count view
+    equals one batch recompute (incremental maintenance commutes)."""
+    import duckdb
+    import ray.data
+
+    from laji_pygeoapi_ray.pipelines.etl import incremental_window_counts
+    from tests.conftest import SF_UNIT
+
+    src = f"{SF_UNIT}/events.parquet"
+    state = str(tmp_path / "window_state")
+    con = duckdb.connect()
+    # 4 slices by event_id stripe (arbitrary, NOT time-ordered — order
+    # independence is the point)
+    for k in range(4):
+        sl = str(tmp_path / f"slice{k}.parquet")
+        con.sql(f"COPY (SELECT * FROM read_parquet('{src}') "
+                f"WHERE event_id % 4 = {k}) TO '{sl}' (FORMAT PARQUET)")
+        incremental_window_counts(ray.data.read_parquet(sl), state)
+
+    got = con.sql(f'SELECT event_type, "window", n FROM '
+                  f"read_parquet('{state}/*.parquet') ORDER BY 1, 2").df()
+    exp = con.sql(f"""
+        SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                 AS "window", CAST(COUNT(*) AS BIGINT) AS n
+        FROM read_parquet('{src}') GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)

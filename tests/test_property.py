@@ -119,3 +119,69 @@ def test_merge_bucket_matches_duckdb(rows):
         b = exp[col].astype("object").where(exp[col].notna(), None)
         assert list(a) == list(b), (col, list(a), list(b))
     assert np.allclose(got["v"].fillna(-1), exp["v"].fillna(-1))
+
+
+# ---------------------------------------------- round-2 kernels (hypothesis)
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=40),
+       st.integers(31, 40))
+def test_cluster_propagation_matches_union_find(pairs, n_ids):
+    """Distributed min-label propagation == driver union-find on random
+    graphs (any topology, self-loops filtered, ids beyond edges stay
+    singletons)."""
+    import ray.data
+
+    from laji_pygeoapi_ray.stages import simdedup
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = pd.DataFrame(pairs or [(0, 0)], columns=["id_a", "id_b"])
+    if not pairs:
+        pdf = pdf.iloc[0:0]
+    ids = np.arange(n_ids, dtype=np.int64)
+    exp = (simdedup.cluster_pairs(pdf, ids)
+           .sort_values("doc_id").reset_index(drop=True))
+    got = (simdedup.cluster_pairs_ds(
+               ray.data.from_pandas(pdf if len(pdf) else
+                                    pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                                  "id_b": pd.Series([], dtype="int64")})),
+               ray.data.from_pandas(pd.DataFrame({"doc_id": ids})),
+               num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["cluster_id"].to_numpy() == exp["cluster_id"].to_numpy()).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.sampled_from(["2020", "2021-03", "2022-07-15",
+                                 "2020/2021-06", "2019-01-01/..",
+                                 "../2020-02"]),
+                min_size=1, max_size=4))
+def test_time_ranges_well_formed(items):
+    """Every grammar production yields [start,end) with start < end (or an
+    open side), and comma lists concatenate."""
+    from laji_pygeoapi_ray.pipelines.serving import time_ranges
+
+    value = ",".join(items)
+    rs = time_ranges(value)
+    assert len(rs) == len(items)
+    for lo, hi in rs:
+        assert lo is not None or hi is not None
+        if lo is not None and hi is not None:
+            assert lo < hi
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="abc d", min_size=0, max_size=30),
+                min_size=1, max_size=10))
+def test_token_stats_matches_python(texts):
+    """Vectorized token_stats == the straightforward per-doc computation."""
+    from laji_pygeoapi_ray.functions import textkernels as tk
+
+    got = tk.token_stats(texts)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        assert got["n_tokens"][i] == len(toks)
+        assert got["distinct_tokens"][i] == len(set(toks))
+        assert got["stop_tokens"][i] == sum(
+            tok in tk.STOPWORDS for tok in toks)

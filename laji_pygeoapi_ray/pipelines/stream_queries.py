@@ -266,3 +266,37 @@ def sliding_2h_1h_events(sf_dir: str):
     out = partial_group_counts(ds.map_batches(expand, batch_format="pyarrow"),
                                ["event_type", "window_start_hour"])
     return out
+
+
+@register("event_session_join", sql=f"""
+    WITH o AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR CAST(epoch_us(ts) AS BIGINT)
+                  - CAST(epoch_us(lag(ts) OVER w) AS BIGINT) > {GAP_US}
+             THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sids AS (SELECT user_id, ts, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_id FROM o),
+    s AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 MIN(ts) AS start_ts, MAX(ts) AS end_ts
+          FROM sids GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, e.ts, s.session_id
+    FROM events e JOIN s
+      ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.start_ts AND s.end_ts""")
+def event_session_join(sf_dir: str):
+    """Range (interval) join: every event matched to its covering session
+    window — sessions computed by the engine's session operator, then one
+    hash shuffle co-locates events with their user's intervals and a
+    vectorized searchsorted assigns the covering interval (disjoint-
+    intervals contract). Oracle: the SQL BETWEEN join on the same window
+    definition."""
+    from ..stages.stream import interval_join, session_windows_ds
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sessions = session_windows_ds(
+        read_table(sf_dir, "events", ["user_id", "ts"]),
+        "user_id", "ts", GAP_US)
+    return interval_join(ev, sessions, key="user_id", ts_col="ts",
+                         start_col="start_ts", end_col="end_ts")

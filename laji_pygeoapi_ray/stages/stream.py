@@ -164,3 +164,74 @@ def session_windows_ds(ds, key: str, ts_col: str, gap_us: int,
                          lambda df: session_window_agg(df, key, ts_col,
                                                        gap_us),
                          num_buckets=num_buckets)
+
+
+def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
+                  start_col: str, end_col: str,
+                  id_cols: tuple = ("session_id",), num_buckets: int = 32):
+    """Range join: each left row matched to the interval of the same
+    ``key`` with ``start <= ts <= end`` (the brief's 'range join' operator
+    Ray Data lacks).
+
+    Distribution: ONE hash shuffle on ``key`` co-locates rows with their
+    intervals (tagged union); per bucket, intervals sort by start and a
+    vectorized ``searchsorted`` assigns each row its covering interval.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    intervals of one key are DISJOINT (e.g. session windows) — with
+    overlapping intervals only the latest-starting match is emitted.
+    Unmatched left rows are dropped (inner join)."""
+    lcols = left_ds.schema().names
+    icols = intervals_ds.schema().names
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = {"__side": pa.array(np.zeros(len(t), dtype=np.int8))}
+        for c in lcols:
+            out[c] = t[c]
+        for c in icols:
+            if c not in out:
+                out[c] = pa.nulls(len(t), pa.int64())
+        return pa.table(out)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        out = {"__side": pa.array(np.ones(len(t), dtype=np.int8))}
+        for c in lcols:
+            if c == key:
+                out[c] = t[c]
+            elif c not in icols:
+                typ = dict(zip(left_ds.schema().names,
+                               left_ds.schema().types))[c]
+                out[c] = pa.nulls(len(t), typ)
+        for c in icols:
+            if c not in out:
+                out[c] = t[c]
+        return pa.table(out)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(intervals_ds.map_batches(tag_right,
+                                              batch_format="pyarrow")))
+    out_cols = list(lcols) + [c for c in id_cols if c not in lcols]
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0]
+        ivs = df[df["__side"] == 1]
+        outs = []
+        for k, lg in left.groupby(key, sort=False):
+            ig = ivs[ivs[key] == k]
+            if ig.empty:
+                continue
+            ig = ig.sort_values(start_col, kind="mergesort")
+            st = ig[start_col].to_numpy()
+            en = ig[end_col].to_numpy()
+            ts = lg[ts_col].to_numpy()
+            pos = np.searchsorted(st, ts, side="right") - 1
+            ok = (pos >= 0) & (ts <= en[np.maximum(pos, 0)])
+            m = lg[ok].copy()
+            for c in id_cols:
+                m[c] = ig[c].to_numpy()[pos[ok]]
+            outs.append(m[out_cols])
+        if not outs:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets)

@@ -213,25 +213,19 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
     out_cols = list(lcols) + [c for c in id_cols if c not in lcols]
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["__side"] == 0]
-        ivs = df[df["__side"] == 1]
-        outs = []
-        for k, lg in left.groupby(key, sort=False):
-            ig = ivs[ivs[key] == k]
-            if ig.empty:
-                continue
-            ig = ig.sort_values(start_col, kind="mergesort")
-            st = ig[start_col].to_numpy()
-            en = ig[end_col].to_numpy()
-            ts = lg[ts_col].to_numpy()
-            pos = np.searchsorted(st, ts, side="right") - 1
-            ok = (pos >= 0) & (ts <= en[np.maximum(pos, 0)])
-            m = lg[ok].copy()
-            for c in id_cols:
-                m[c] = ig[c].to_numpy()[pos[ok]]
-            outs.append(m[out_cols])
-        if not outs:
+        # one vectorized merge_asof over the whole bucket (by=key): latest
+        # interval starting <= ts, then the end-bound refine — no per-key
+        # Python loop
+        left = df[df["__side"] == 0][lcols].sort_values(
+            ts_col, kind="mergesort")
+        ivs = df[df["__side"] == 1][icols].sort_values(
+            start_col, kind="mergesort")
+        if left.empty or ivs.empty:
             return pd.DataFrame(columns=out_cols)
-        return pd.concat(outs, ignore_index=True)
+        m = pd.merge_asof(left, ivs, left_on=ts_col, right_on=start_col,
+                          by=key, direction="backward",
+                          allow_exact_matches=True)
+        ok = m[start_col].notna() & (m[ts_col] <= m[end_col])
+        return m[ok][out_cols].reset_index(drop=True)
 
     return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets)

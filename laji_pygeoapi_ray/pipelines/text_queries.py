@@ -181,3 +181,50 @@ def doc_rolling_fingerprint(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(rolling_fingerprint_stage(),
                           batch_format="pyarrow")
+
+
+# ------------------------------------------------ deterministic sampling ops
+
+from ..stages import sampling                                  # noqa: E402
+
+
+@register("sample_docs_10pct", sql=lambda: f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {sampling.sql_id_hash('doc_id')} % 100 < 10""")
+def sample_docs_10pct(sf_dir: str):
+    """Deterministic 10% corpus sample (Knuth-hash membership — stable
+    across runs, block orders and cluster sizes; ds.random_sample is
+    neither)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    return sampling.sample_frac(ds, 10, id_col="doc_id")
+
+
+@register("train_val_split_counts", sql=lambda: f"""
+    SELECT CASE WHEN {sampling.sql_id_hash('doc_id')} % 100 < 80
+                THEN 'train' ELSE 'val' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2""")
+def train_val_split_counts(sf_dir: str):
+    """Reproducible 80/20 train-val split + per-(split, lang) counts — the
+    corpus-construction split op with its class-balance report."""
+    from ..stages.shuffle import partial_group_counts
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    ds = sampling.train_val_split(ds, 80, id_col="doc_id")
+    return partial_group_counts(ds, ["split", "lang"])
+
+
+@register("stratified_docs_by_lang", sql=lambda: f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY {sampling.sql_id_hash('doc_id')}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20""")
+def stratified_docs_by_lang(sf_dir: str):
+    """Stratified sample: 20 docs per language, deterministic hash order
+    (uniform-without-replacement per stratum) — the class-balanced
+    subsampling op of a training-data pipeline."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    return sampling.stratified_sample(ds, 20, stratum_col="lang",
+                                      id_col="doc_id")

@@ -1,0 +1,78 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``ds.random_sample`` is seed-per-run and block-order dependent — useless
+for reproducible corpus construction. These operators derive every
+decision from a Knuth multiplicative hash of the record id,
+
+    h(id) = (id · 2654435761) mod 2³²
+
+which is exact int64 arithmetic on BOTH sides (numpy and DuckDB), so
+sample membership, split assignment, and stratified ranks are bit-stable
+and oracle-checkable. Each operator is a stateless vectorized map_batches
+stage; the stratified top-k adds one bucketed shuffle on the stratum key.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+KNUTH = 2654435761
+MOD32 = 1 << 32
+
+
+def id_hash(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash, exact in int64 (also exact in DuckDB:
+    ``(id * 2654435761) % 4294967296``)."""
+    return (ids.astype(np.int64) * np.int64(KNUTH)) % np.int64(MOD32)
+
+
+def sql_id_hash(key: str) -> str:
+    return f"(({key}) * {KNUTH}) % {MOD32}"
+
+
+def sample_frac(ds, pct: int, *, id_col: str):
+    """Deterministic ``pct``-percent sample: keep rows with
+    ``h(id) % 100 < pct``. Stable across runs, block orders and cluster
+    sizes; sampling rate converges to pct/100 by hash uniformity."""
+    def fn(t: pa.Table) -> pa.Table:
+        h = id_hash(t[id_col].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array((h % 100) < pct))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def train_val_split(ds, train_pct: int, *, id_col: str,
+                    out_col: str = "split"):
+    """Deterministic split column: 'train' where ``h(id) % 100 <
+    train_pct`` else 'val' — the reproducible corpus-split op (same record
+    always lands in the same split, across runs and re-shards)."""
+    def fn(t: pa.Table) -> pa.Table:
+        h = id_hash(t[id_col].to_numpy(zero_copy_only=False))
+        lab = np.where((h % 100) < train_pct, "train", "val")
+        return t.append_column(out_col, pa.array(lab, pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, k: int, *, stratum_col: str, id_col: str,
+                      num_buckets: int = 16):
+    """Per-stratum top-k by (hash, id): a deterministic stratified sample
+    (k rows per group, hash order ≙ uniform-without-replacement). One
+    bucketed shuffle on the stratum key; within each bucket a vectorized
+    sort + head(k) per group. SQL twin: ``row_number() OVER (PARTITION BY
+    stratum ORDER BY hash, id) <= k``."""
+    from .shuffle import grouped_apply
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__h", pa.array(id_hash(t[id_col].to_numpy(
+                zero_copy_only=False))))
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([stratum_col, "__h", id_col],
+                            kind="mergesort")
+        out = df.groupby(stratum_col, sort=False).head(k)
+        return out.drop(columns=["__h"]).reset_index(drop=True)
+
+    return grouped_apply(ds.map_batches(add_h, batch_format="pyarrow"),
+                         [stratum_col], bucket_fn,
+                         num_buckets=num_buckets)

@@ -135,3 +135,23 @@ def table_dates_events(sf_dir: str):
         return out
 
     return agg.map_batches(fmt, batch_format="pandas")
+
+
+@register("median_event_value", sql="""
+    WITH r AS (SELECT value, row_number() OVER (ORDER BY value, event_id)
+                          AS rn, COUNT(*) OVER () AS n
+               FROM events)
+    SELECT value AS median_value, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = (n - 1) // 2 + 1""")
+def median_event_value(sf_dir: str):
+    """Distributed EXACT median (k = (n-1)//2 order statistic) of
+    events.value via two-pass histogram selection — no global sort; only
+    one histogram bin's values ever reach the driver."""
+    from ..stages.shuffle import kth_value_2pass
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    n = ds.count()
+    v, n2 = kth_value_2pass(read_table(sf_dir, "events", ["value"]),
+                            "value", (n - 1) // 2)
+    return pa.table({"median_value": pa.array([v], pa.float64()),
+                     "n": pa.array([n], pa.int64())})

@@ -80,3 +80,65 @@ def partial_group_counts(ds, key_cols: list[str], count_col: str = "n"):
         Sum(count_col, alias_name=count_col))
     return agg.map_batches(lambda t: t.rename_columns(keys + [count_col]),
                            batch_format="pyarrow")
+
+
+def kth_value_2pass(ds, col: str, k: int, *, n_bins: int = 4096):
+    """Distributed EXACT order statistic (the quantile/median operator):
+    value of the k-th smallest element (0-indexed) of ``col`` without a
+    global sort.
+
+    Pass 1: per-batch histograms over [min, max] (a few thousand ints per
+    batch — combine-before-shuffle), summed into one global histogram; the
+    cumulative count locates the bin containing rank k.
+    Pass 2: only that bin's values leave the scan (count/n_bins of the
+    data in expectation); the exact element is selected driver-side from
+    that small set.
+
+    Scale contract: the candidate bin must fit in driver memory — with
+    uniform-ish data that is n/n_bins rows; a pathological single-value
+    bin degenerates to that value being the answer anyway (all equal).
+    Returns (value, n)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    if lo == hi:
+        return lo, None
+    width = (hi - lo) / n_bins
+
+    def hist(t: "pa.Table") -> "pa.Table":
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        return pa.table({"bin": np.arange(n_bins, dtype=np.int64),
+                         "cnt": cnt.astype(np.int64)})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow")
+    total = np.zeros(n_bins, dtype=np.int64)
+    for bt in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        total[bt["bin"].to_numpy(zero_copy_only=False)] += \
+            bt["cnt"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(total)
+    n = int(cum[-1])
+    if not 0 <= k < n:
+        raise ValueError(f"k={k} out of range for n={n}")
+    b = int(np.searchsorted(cum, k + 1))
+    below = int(cum[b - 1]) if b else 0
+    blo, bhi = lo + b * width, lo + (b + 1) * width
+
+    def in_bin(t: "pa.Table") -> "pa.Table":
+        v = t[col]
+        keep = pc.and_(pc.greater_equal(v, blo),
+                       pc.less(v, bhi) if b < n_bins - 1
+                       else pc.less_equal(v, hi))
+        return t.select([col]).filter(keep)
+
+    vals = np.sort(np.concatenate(
+        [bt[col].to_numpy(zero_copy_only=False) for bt in
+         ds.map_batches(in_bin, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")] or
+        [np.array([], dtype=np.float64)]))
+    return float(vals[k - below]), n

@@ -111,3 +111,23 @@ def test_read_planner_blocks_and_pruning():
     # block count is bounded: at least 1, at most a small multiple of CPUs
     nb = ds.materialize().num_blocks()
     assert 1 <= nb <= 64
+
+
+def test_kth_value_2pass_edges():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from laji_pygeoapi_ray.stages.shuffle import kth_value_2pass
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 1, 999), [5.0]])
+    ds = ray.data.from_pandas(pd.DataFrame({"value": vals}))
+    srt = np.sort(vals)
+    for k in (0, 1, 499, 998, 999):
+        v, n = kth_value_2pass(ds, "value", k, n_bins=64)
+        assert n == 1000 and v == srt[k], (k, v, srt[k])
+    # all-equal column short-circuits
+    ds2 = ray.data.from_pandas(pd.DataFrame({"value": [3.0] * 10}))
+    v, _ = kth_value_2pass(ds2, "value", 4)
+    assert v == 3.0

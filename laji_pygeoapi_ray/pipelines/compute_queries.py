@@ -7,7 +7,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import colops
-from ..sources.parquet import read_table
+from ..sources.parquet import default_pool, read_table
 from .registry import register
 
 COLLECTION_NAMES = {
@@ -63,3 +63,53 @@ def collection_id_part(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------ JSON ingest path (oracle)
+
+OCC_N = 2000
+
+
+def _occ_sql() -> str:
+    from ..sources import occurrence_json as occ
+    path = occ.synth_occurrence_jsonl(OCC_N)
+    taxmap = ", ".join(f"('{k}', '{v}')" for k, v in occ.TAXONOMY.items())
+    return f"""
+    WITH j AS (SELECT * FROM read_json_auto('{path}/*.jsonl')),
+    ids AS (SELECT regexp_extract(
+                j.unit.linkings.taxon.informalTaxonGroups[1],
+                'MVL\\.[0-9]+', 0) AS mvl FROM j),
+    m AS (SELECT * FROM (VALUES {taxmap}) t(id, name))
+    SELECT m.name AS elioryhma, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ids JOIN m ON ids.mvl = m.id
+    GROUP BY 1"""
+
+
+@register("occurrence_taxon_counts", sql=_occ_sql)
+def occurrence_taxon_counts(sf_dir: str):
+    """The reference's REAL ingest format end-to-end: ragged nested JSONL
+    pages → flatten (json_normalize convention) → ComputeAllStage
+    (broadcast taxonomy join, regex MVL extraction) → counts per
+    Elioryhma. The oracle re-reads the SAME JSONL with read_json_auto and
+    re-derives the group from the raw nested field — certifying the
+    flatten + taxonomy-join chain, not just the count."""
+    import ray
+
+    from ..sources import occurrence_json as occ
+    from ..stages.compute_all import ComputeAllStage
+    from ..stages.shuffle import partial_group_counts
+
+    path = occ.synth_occurrence_jsonl(OCC_N)
+    ds = occ.read_occurrence_json(path)
+    state_ref = ray.put({"taxonomy": occ.TAXONOMY,
+                         "collection_names": occ.COLLECTIONS,
+                         "value_ranges": {}})
+    ds = ds.map_batches(ComputeAllStage, fn_constructor_args=(state_ref,),
+                        batch_format="pyarrow", batch_size=4096,
+                        concurrency=default_pool(0.5), num_cpus=1)
+    out = partial_group_counts(
+        ds.map_batches(lambda t: t.select(["Elioryhma"]),
+                       batch_format="pyarrow"), ["Elioryhma"])
+    return out.map_batches(
+        lambda t: t.rename_columns(["elioryhma", "n"]),
+        batch_format="pyarrow")

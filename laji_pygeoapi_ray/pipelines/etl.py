@@ -342,3 +342,34 @@ def incremental_window_counts(delta_ds, state_dir: str) -> str:
     shutil.rmtree(state_dir, ignore_errors=True)
     os.replace(tmp, state_dir)
     return state_dir
+
+
+def run_occurrence_etl(jsonl_dir: str, out_dir: str) -> dict:
+    """The reference's ACTUAL ingest path end-to-end (``main.py:75-131``):
+    paged occurrence JSON → flatten (json_normalize convention) →
+    ComputeAllStage actor pool (taxonomy/collection/enum state broadcast
+    once) → fixed 57-column virva schema → Parquet. Ragged input in, fixed
+    schema out."""
+    import ray
+
+    from ..sources import occurrence_json as occ
+    from ..stages.compute_all import ComputeAllStage
+
+    ds = occ.read_occurrence_json(jsonl_dir)
+    state_ref = ray.put({
+        "taxonomy": occ.TAXONOMY,
+        "collection_names": occ.COLLECTIONS,
+        "value_ranges": {"MALE": "koiras", "FEMALE": "naaras"},
+    })
+    ds = ds.map_batches(ComputeAllStage, fn_constructor_args=(state_ref,),
+                        batch_format="pyarrow", batch_size=4096,
+                        concurrency=default_pool(0.5), num_cpus=1)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.replace(tmp, out_dir)
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    return {"rows": int(rows), "files": len(files)}

@@ -57,3 +57,49 @@ def to_feature_collection(table: pa.Table, *, id_col: str | None = None,
     if number_matched is not None:
         out["numberMatched"] = number_matched
     return out
+
+
+def write_geojson(ds, out_dir: str, *, id_col: str | None = None) -> int:
+    """Partitioned GeoJSON sink: each Ray block becomes one
+    ``part-NNNN.geojson`` FeatureCollection file (the reference's serving
+    format as a bulk sink; resumable layout — one file per block, atomic
+    dir swap by the caller). Returns the feature count."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for i, batch in enumerate(ds.iter_batches(batch_size=4096,
+                                              batch_format="pyarrow")):
+        fc = to_feature_collection(batch, id_col=id_col)
+        total += fc["numberReturned"]
+        with open(os.path.join(out_dir, f"part-{i:05d}.geojson"),
+                  "w") as f:
+            json.dump(fc, f, ensure_ascii=False)
+    return total
+
+
+def read_geojson(path_or_dir: str) -> "pa.Table":
+    """GeoJSON FeatureCollection file(s) → one Arrow table: Point
+    coordinates back to (x, y) columns, properties to columns (the
+    inverse of :func:`to_feature_collection`; nulls survive)."""
+    import glob
+    import json
+    import os
+
+    files = ([path_or_dir] if os.path.isfile(path_or_dir)
+             else sorted(glob.glob(os.path.join(path_or_dir,
+                                                "*.geojson"))))
+    rows = []
+    for fp in files:
+        with open(fp) as f:
+            fc = json.load(f)
+        for feat in fc.get("features", []):
+            row = dict(feat.get("properties") or {})
+            geom = feat.get("geometry") or {}
+            if geom.get("type") == "Point":
+                row["x"], row["y"] = geom["coordinates"]
+            if "id" in feat:
+                row["__feature_id"] = feat["id"]
+            rows.append(row)
+    return pa.Table.from_pylist(rows)

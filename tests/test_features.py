@@ -34,3 +34,30 @@ def test_empty_feature_collection():
                                          "y": pa.array([], pa.float64())}))
     assert fc == {"type": "FeatureCollection", "features": [],
                   "numberReturned": 0}
+
+
+def test_geojson_sink_round_trip(tmp_path):
+    """Enriched points → partitioned GeoJSON FeatureCollections → read
+    back: ids, coordinates and properties survive exactly."""
+    import numpy as np
+    import ray.data
+
+    from laji_pygeoapi_ray.pipelines.features import (read_geojson,
+                                                      write_geojson)
+    from laji_pygeoapi_ray.pipelines.geoqueries import _docs_points
+    from tests.conftest import SF_UNIT
+
+    ds = _docs_points(SF_UNIT).select_columns(["doc_id", "x", "y"])
+    out = str(tmp_path / "geojson")
+    n = write_geojson(ds, out, id_col="doc_id")
+    assert n == 500
+    back = read_geojson(out)
+    assert back.num_rows == 500
+    got = {r["doc_id"]: (r["x"], r["y"], r["__feature_id"])
+           for r in back.to_pylist()}
+    src = {r["doc_id"]: (r["x"], r["y"])
+           for r in ds.take_all()}
+    for k, (x, y) in src.items():
+        bx, by, fid = got[k]
+        assert fid == k
+        assert np.isclose(bx, x) and np.isclose(by, y)

@@ -267,7 +267,8 @@ def run_incremental_ingest(input_path, out_dir: str) -> dict:
     delta_dir = os.path.join(out_dir, "deltas", delta_id)
     tmp = delta_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)   # an all-filtered (empty) delta still
+    ds.write_parquet(tmp)             # commits an empty marker directory
     os.makedirs(os.path.dirname(delta_dir), exist_ok=True)
     os.replace(tmp, delta_dir)
 
@@ -373,3 +374,36 @@ def run_occurrence_etl(jsonl_dir: str, out_dir: str) -> dict:
     files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     rows = sum(pq.read_metadata(f).num_rows for f in files)
     return {"rows": int(rows), "files": len(files)}
+
+
+def compact_parquet(data_dir: str, *, target_mb: int = 128,
+                    sort_by: str | None = None) -> dict:
+    """Compaction maintenance (the small-files antidote for the
+    delta-append ingest): read every fragment, optionally restore the
+    tile-sort order, and rewrite into files sized ~``target_mb`` (one
+    atomic directory swap — readers never see a partial state). At scale
+    this runs per partition directory, so a failed compaction affects one
+    partition only. Returns (files_before, files_after, rows)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    if not files:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    n_out = max(1, round(total_bytes / (target_mb << 20)))
+    ds = ray.data.read_parquet(files)
+    if sort_by:
+        ds = ds.sort(sort_by)
+    tmp = data_dir + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.repartition(n_out).write_parquet(
+        tmp, min_rows_per_file=max(1, rows // n_out))
+    bak = data_dir + ".compact_old"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.replace(data_dir, bak)
+    os.replace(tmp, data_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+    after = len(glob.glob(os.path.join(data_dir, "*.parquet")))
+    return {"files_before": len(files), "files_after": after,
+            "rows": int(rows)}

@@ -233,3 +233,34 @@ def test_incremental_window_counts_equals_batch(tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   exp.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_compact_parquet_preserves_content(tmp_path):
+    """Compaction merges many small delta files into few, byte-identical
+    content (the ingest path's small-files maintenance)."""
+    import duckdb
+
+    from laji_pygeoapi_ray.pipelines.etl import (compact_parquet,
+                                                 run_incremental_ingest)
+    from tests.conftest import SF_UNIT
+
+    src = f"{SF_UNIT}/events.parquet"
+    out = str(tmp_path / "inc")
+    con = duckdb.connect()
+    # several small deltas -> many small files under current/
+    for k in range(3):
+        sl = str(tmp_path / f"s{k}.parquet")
+        con.sql(f"COPY (SELECT * FROM read_parquet('{src}') "
+                f"WHERE event_id % 3 = {k}) TO '{sl}' (FORMAT PARQUET)")
+        run_incremental_ingest(sl, out)
+    cur = f"{out}/current"
+    before = con.sql(f"SELECT * FROM read_parquet('{cur}/*.parquet') "
+                     f"ORDER BY event_id").df()
+    summary = compact_parquet(cur, target_mb=64)
+    assert summary["files_after"] <= summary["files_before"]
+    assert summary["files_after"] == 1        # tiny data -> one file
+    after = con.sql(f"SELECT * FROM read_parquet('{cur}/*.parquet') "
+                    f"ORDER BY event_id").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(before.reset_index(drop=True),
+                                  after.reset_index(drop=True))

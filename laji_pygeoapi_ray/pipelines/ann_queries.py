@@ -107,3 +107,17 @@ def ann_topk_ivf_q(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_topk_ivf(ds, _queries_df(sf_dir), K, n_lists=8, n_probe=4)
+
+
+@register("kmeans_embedding_clusters")
+def kmeans_embedding_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (iterative
+    map_batches partial-sum pattern, deterministic hash-rank init, early
+    stop on objective) → (vec_id, cluster). Equivalence with a local
+    reference implementation asserted in tests/test_knn_ann.py (float
+    partial-sum reduction, so rows-only rather than hash-oracle)."""
+    from ..stages.ann import kmeans_distributed
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = kmeans_distributed(ds, 8, n_iters=10)
+    return assign

@@ -362,3 +362,88 @@ def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
 
     return cands.groupby("query_id").map_groups(finish,
                                                 batch_format="pandas")
+
+
+def kmeans_distributed(emb_ds, n_clusters: int, *, n_iters: int = 10,
+                       id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Distributed Lloyd k-means over the full embedding corpus — the
+    iterative-algorithm pattern: per iteration, ONE map_batches emits
+    per-centroid partial (sum, count) rows (a few hundred floats per
+    batch — nothing wide moves), the driver reduces them into new
+    centroids (tiny: k×d), and the loop stops early when assignments'
+    objective is stable. Deterministic: no-RNG init (evenly spaced by
+    sorted id order via an id-hash rank) and fixed iteration order.
+
+    Returns (centroids ndarray (k, d), assignment Dataset
+    (id_col, cluster)). The per-record assignment pass runs once at the
+    end with the final centroids broadcast."""
+    import ray.data  # noqa: F401
+
+    # deterministic init: the k vectors whose ids rank lowest under the
+    # Knuth hash (uniform over the corpus, no RNG, order-independent)
+    from .sampling import id_hash  # type: ignore
+
+    def seed_scan(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = id_hash(ids)
+        order = np.argsort(h, kind="stable")[:n_clusters]
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        return pa.table({"h": h[order],
+                         "emb": pa.array(list(m[order]))})
+
+    seeds = pa.concat_tables(
+        [b for b in emb_ds.map_batches(seed_scan, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default")
+    hs = seeds["h"].to_numpy(zero_copy_only=False)
+    top = np.argsort(hs, kind="stable")[:n_clusters]
+    cent = np.stack([np.asarray(seeds["emb"][int(i)].as_py())
+                     for i in top]).astype(np.float64)
+
+    prev_obj = None
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _emb_matrix(t, emb_col).astype(np.float64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            k, d = c.shape
+            sums = np.zeros((k, d))
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            obj = d2[np.arange(len(m)), a].sum()
+            return pa.table({
+                "cluster": np.arange(k, dtype=np.int64),
+                "sum": pa.array(list(sums)),
+                "cnt": cnt,
+                "obj": np.full(k, obj / k)})
+
+        parts = pa.concat_tables(
+            [b for b in emb_ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")],
+            promote_options="default")
+        cl = parts["cluster"].to_numpy(zero_copy_only=False)
+        cnt = np.zeros(n_clusters)
+        sums = np.zeros_like(cent)
+        for i in range(len(parts)):
+            sums[cl[i]] += np.asarray(parts["sum"][i].as_py())
+        np.add.at(cnt, cl, parts["cnt"].to_numpy(zero_copy_only=False))
+        obj = float(parts["obj"].to_numpy(zero_copy_only=False).sum())
+        nonempty = cnt > 0
+        cent[nonempty] = sums[nonempty] / cnt[nonempty, None]
+        if prev_obj is not None and obj >= prev_obj * (1 - 1e-9):
+            break
+        prev_obj = obj
+
+    cent_ref = ray.put(cent)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pa.table({id_col: t[id_col],
+                         "cluster": d2.argmin(1).astype(np.int64)})
+
+    return cent, emb_ds.map_batches(assign_fn, batch_format="pyarrow")

@@ -89,3 +89,41 @@ def test_ivf_ann_recall():
         got = set(approx[approx["query_id"] == qid]["neighbor_id"])
         recalls.append(len(got & set(g["neighbor_id"])) / len(g))
     assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_kmeans_distributed_matches_local():
+    """Distributed Lloyd == a local reference implementation on the same
+    data with the same deterministic init."""
+    import pyarrow.parquet as pq
+
+    from laji_pygeoapi_ray.stages.ann import kmeans_distributed
+    from laji_pygeoapi_ray.stages.sampling import id_hash
+
+    t = pq.read_table(f"{SF_UNIT}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    k = 6
+    # local reference with identical init + schedule
+    order = np.argsort(id_hash(ids), kind="stable")[:k]
+    cent = m[order].copy()
+    prev = None
+    for _ in range(10):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        obj = float(d2[np.arange(len(m)), a].sum())
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = m[a == c].mean(0)
+        if prev is not None and obj >= prev * (1 - 1e-9):
+            break
+        prev = obj
+
+    ds = ray.data.read_parquet(f"{SF_UNIT}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got_cent, assign = kmeans_distributed(ds, k, n_iters=10)
+    assert np.allclose(got_cent, cent, atol=1e-9)
+    adf = assign.to_pandas().sort_values("vec_id")
+    exp_a = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+    srt = np.argsort(ids)
+    assert (adf["cluster"].to_numpy() == exp_a[srt]).all()

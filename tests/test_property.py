@@ -123,9 +123,9 @@ def test_merge_bucket_matches_duckdb(rows):
 
 # ---------------------------------------------- round-2 kernels (hypothesis)
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
-                min_size=0, max_size=40),
+                min_size=0, max_size=25),
        st.integers(31, 40))
 def test_cluster_propagation_matches_union_find(pairs, n_ids):
     """Distributed min-label propagation == driver union-find on random

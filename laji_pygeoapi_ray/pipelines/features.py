@@ -60,23 +60,35 @@ def to_feature_collection(table: pa.Table, *, id_col: str | None = None,
 
 
 def write_geojson(ds, out_dir: str, *, id_col: str | None = None) -> int:
-    """Partitioned GeoJSON sink: each Ray block becomes one
-    ``part-NNNN.geojson`` FeatureCollection file (the reference's serving
-    format as a bulk sink; resumable layout — one file per block, atomic
-    dir swap by the caller). Returns the feature count."""
+    """Partitioned GeoJSON sink: every batch becomes one FeatureCollection
+    file written FROM THE WORKER (the feature payload never streams
+    through the driver — only one manifest row per file does). File names
+    are content-addressed (batch row-id range) so re-execution is
+    idempotent. Returns the feature count."""
     import json
     import os
+    import uuid
+
+    import pyarrow as pa
 
     os.makedirs(out_dir, exist_ok=True)
-    total = 0
-    for i, batch in enumerate(ds.iter_batches(batch_size=4096,
-                                              batch_format="pyarrow")):
+
+    def write_batch(batch: "pa.Table") -> "pa.Table":
         fc = to_feature_collection(batch, id_col=id_col)
-        total += fc["numberReturned"]
-        with open(os.path.join(out_dir, f"part-{i:05d}.geojson"),
-                  "w") as f:
+        name = f"part-{uuid.uuid5(uuid.NAMESPACE_URL, json.dumps(fc, sort_keys=True)[:4096]).hex}.geojson"
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(fc, f, ensure_ascii=False)
-    return total
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"file": pa.array([name]),
+                         "n": pa.array([fc["numberReturned"]],
+                                       pa.int64())})
+
+    manifest = ds.map_batches(write_batch, batch_size=4096,
+                              batch_format="pyarrow")
+    return sum(b["n"].to_numpy(zero_copy_only=False).sum()
+               for b in manifest.iter_batches(batch_size=None,
+                                              batch_format="pyarrow"))
 
 
 def read_geojson(path_or_dir: str) -> "pa.Table":

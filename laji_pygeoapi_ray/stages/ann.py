@@ -229,14 +229,20 @@ def cosine_threshold_pairs(emb_ds, *, subset_ref=None,
     verifier inside each bucket."""
     num, den = int(tau2[0]), int(tau2[1])
     if subset_ref is None:
-        t = pa.concat_tables(
-            [b for b in emb_ds.iter_batches(batch_size=None,
-                                            batch_format="pyarrow")],
-            promote_options="default")
-        cid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cm = np.floor(_emb_matrix(t, emb_col).astype(np.float64)
-                      * scale + 0.5).astype(np.int64)
-        subset_ref = ray.put((cid, cm, (cm * cm).sum(axis=1)))
+        # pack the broadcast side in a REMOTE task from the Dataset's block
+        # refs — the vectors never land on the driver (same pattern as
+        # shard_corpus_refs)
+        @ray.remote
+        def pack(idc, embc, s, *blocks):
+            t = pa.concat_tables([b.select([idc, embc]) for b in blocks],
+                                 promote_options="default")
+            ids = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.floor(_emb_matrix(t, embc).astype(np.float64)
+                         * s + 0.5).astype(np.int64)
+            return ids, m, (m * m).sum(axis=1)
+
+        subset_ref = pack.remote(id_col, emb_col, scale,
+                                 *emb_ds.to_arrow_refs())
 
     def scan(batch: pa.Table) -> pa.Table:
         cid, cm, cn2 = ray.get(subset_ref)

@@ -73,7 +73,17 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--scaling", action="store_true")
 
+    pl = sub.add_parser("print-log", help="show the request audit log "
+                        "(reference print_log command)")
+    pl.add_argument("--log", default="/tmp/laji_ray_requests.jsonl")
+    pl.add_argument("--limit", type=int, default=100)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "print-log":
+        from .state.request_log import format_log, read_log
+        print(format_log(read_log(args.log, args.limit)))
+        return 0
 
     if args.cmd == "bench":
         import os
@@ -103,7 +113,14 @@ def main(argv=None) -> int:
             from .pipelines.etl import run_incremental_ingest
             print(json.dumps(run_incremental_ingest(args.input, args.out)))
         elif args.cmd == "get":
+            import datetime as _dt
+
             from .pipelines.filter_queries import fetch_by_local_id
+            from .state.request_log import log_request
+            log_request("/tmp/laji_ray_requests.jsonl",
+                        path="/collections/items/" + args.local_id,
+                        query_string="", date=_dt.datetime.now()
+                        .isoformat(timespec="seconds"))
             rows = fetch_by_local_id(args.sf_dir, args.local_id).take_all()
             if not rows:
                 print(json.dumps({"error": "not found",

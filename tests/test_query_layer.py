@@ -236,3 +236,19 @@ def test_provider_error_contract():
     with pytest.raises(query.FilterError) as ei:
         query.validate_paging(100, 200, total=500_000)
     assert ei.value.payload()["type"] == "urn:pygeoapi:lajiapi:too-many-results"
+
+
+def test_request_log_round_trip(tmp_path):
+    """RequestLog analogue: append, tail-N oldest-first, table render."""
+    from laji_pygeoapi_ray.state.request_log import (format_log, log_request,
+                                                     read_log)
+    log = str(tmp_path / "req.jsonl")
+    for i in range(5):
+        log_request(log, path=f"/collections/x/items?page={i}",
+                    query_string=f"limit=10&offset={i*10}",
+                    date=f"2026-01-0{i+1}T00:00:00")
+    rows = read_log(log, limit=3)
+    assert len(rows) == 3
+    assert rows[0]["date"] == "2026-01-03T00:00:00"   # oldest of last 3
+    out = format_log(rows)
+    assert "Status" in out and "page=4" in out

@@ -252,3 +252,35 @@ def test_request_log_round_trip(tmp_path):
     assert rows[0]["date"] == "2026-01-03T00:00:00"   # oldest of last 3
     out = format_log(rows)
     assert "Status" in out and "page=4" in out
+
+
+def test_api_key_verification_semantics():
+    """verify_password parity: found + type + expiry gates, memoized
+    lookup, empty/unknown keys rejected."""
+    import datetime as dt
+
+    from laji_pygeoapi_ray.state import auth
+
+    now = dt.datetime(2026, 6, 1)
+    auth.configure_key_store({
+        "good": {"id": "k1", "found": True, "downloadType": "API_KEY",
+                 "apiKeyExpires": "2027-01-01", "personId": "MA.1"},
+        "expired": {"id": "k2", "found": True, "downloadType": "API_KEY",
+                    "apiKeyExpires": "2025-01-01"},
+        "wrong-type": {"id": "k3", "found": True,
+                       "downloadType": "OTHER",
+                       "apiKeyExpires": "2027-01-01"},
+        "not-found": {"id": "k4", "found": False,
+                      "downloadType": "API_KEY",
+                      "apiKeyExpires": "2027-01-01"},
+    })
+    assert auth.verify_api_key("good", now=now) == "k1"
+    assert auth.verify_api_key(" good ", now=now) == "k1"   # stripped
+    assert auth.verify_api_key("expired", now=now) is None
+    assert auth.verify_api_key("wrong-type", now=now) is None
+    assert auth.verify_api_key("not-found", now=now) is None
+    assert auth.verify_api_key("", now=now) is None
+    assert auth.verify_api_key("unknown", now=now) is None
+    # memoization: second lookup hits the cache
+    auth.verify_api_key("good", now=now)
+    assert auth._get_api_key_info.cache_info().hits >= 1

@@ -66,3 +66,25 @@ class RunManifest:
         self.data["counters"] = counters
         self.data["last_update"] = time.strftime("%Y-%m-%d")
         self.save()
+
+
+def render_error_report(manifest_data: dict, *, context: str = "bulk ETL",
+                        timestamp: str | None = None) -> str | None:
+    """The ``send_error_email`` analogue (no SMTP in this environment):
+    render the failed-shard records of a run manifest into the reference's
+    notification body shape (``send_error_emails.py:23-36``) — context,
+    error type/message per failure, timestamp, lineage. Returns None when
+    the run had no failures (the reference also skips sending then)."""
+    failed = {sid: s for sid, s in manifest_data.get("shards", {}).items()
+              if s.get("status") == "failed"}
+    if not failed:
+        return None
+    lines = [f"Subject: [Laji-PyGeoAPI Error] {context}", "",
+             "Error occurred when loading data to the engine:", "",
+             f"Context: {context}",
+             f"Timestamp: {timestamp}",
+             f"Failed shards: {len(failed)}", ""]
+    for sid, s in sorted(failed.items()):
+        lines += [f"- {sid}: {s.get('error', '?')}",
+                  f"  input_files: {', '.join(s.get('input_files', []))}"]
+    return "\n".join(lines)

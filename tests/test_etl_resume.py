@@ -264,3 +264,20 @@ def test_compact_parquet_preserves_content(tmp_path):
     import pandas as pd
     pd.testing.assert_frame_equal(before.reset_index(drop=True),
                                   after.reset_index(drop=True))
+
+
+def test_error_report_rendering():
+    from laji_pygeoapi_ray.state.checkpoint import render_error_report
+    data = {"shards": {
+        "shard_0000": {"status": "done"},
+        "shard_0001": {"status": "failed",
+                       "error": "ArrowInvalid: not a parquet file",
+                       "input_files": ["a.parquet"]},
+    }}
+    rep = render_error_report(data, context="weekly run",
+                              timestamp="2026-08-17T00:00:00")
+    assert "[Laji-PyGeoAPI Error] weekly run" in rep
+    assert "shard_0001" in rep and "ArrowInvalid" in rep
+    assert "a.parquet" in rep
+    # no failures -> None (reference skips sending)
+    assert render_error_report({"shards": {"s": {"status": "done"}}}) is None

@@ -281,3 +281,37 @@ def test_error_report_rendering():
     assert "a.parquet" in rep
     # no failures -> None (reference skips sending)
     assert render_error_report({"shards": {"s": {"status": "done"}}}) is None
+
+
+def test_serving_config_generation(tmp_path):
+    """edit_config parity: one collection per (province, geom_type)
+    partition with counts, bbox from Parquet stats, and the provider
+    binding; occurrence-metadata heads the dict."""
+    from laji_pygeoapi_ray.pipelines.etl import run_geometry_etl
+    from laji_pygeoapi_ray.state.config_gen import generate_serving_config
+    from tests.conftest import SF_UNIT
+
+    out = str(tmp_path / "geom_out")
+    run_geometry_etl(SF_UNIT, out)
+    cfg = generate_serving_config(out)
+    keys = list(cfg)
+    assert keys[0] == "occurrence-metadata"
+    # one entry per hive partition (+ the metadata record)
+    import glob as _g
+    import os as _os
+    n_parts = len({_os.path.dirname(f) for f in _g.glob(
+        _os.path.join(out, "**", "*.parquet"), recursive=True)})
+    assert len(cfg) == n_parts + 1
+    # pick a point collection and check its contract
+    some = next(k for k in keys if k.endswith("_points"))
+    c = cfg[some]
+    assert c["providers"][0]["id_field"] == "Paikallinen_tunniste"
+    assert c["providers"][0]["time_field"] == "Keruu_aloitus_pvm"
+    assert "biogeographical area" in c["description"]
+    x0, y0, x1, y1 = c["extents"]["spatial"]["bbox"]
+    assert 19.0 < x0 <= x1 < 32.0 and 59.0 < y0 <= y1 < 71.0
+    # counts in descriptions sum to the corpus size
+    import re as _re
+    total = sum(int(_re.match(r"(\d+) ", cfg[k]["description"]).group(1))
+                for k in keys if k != "occurrence-metadata")
+    assert total == 500

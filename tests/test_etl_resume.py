@@ -315,3 +315,40 @@ def test_serving_config_generation(tmp_path):
     total = sum(int(_re.match(r"(\d+) ", cfg[k]["description"]).group(1))
                 for k in keys if k != "occurrence-metadata")
     assert total == 500
+
+
+def test_retry_and_ttl_cache_semantics():
+    """fetch_json_with_retry / load_or_update_cache parity (injected
+    clock+sleep; no real waiting)."""
+    from laji_pygeoapi_ray.sources.retry import TTLCache, with_retries
+
+    calls = {"n": 0}
+    slept = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return {"ok": True}
+
+    out = with_retries(flaky, max_retries=5, delay=7,
+                       sleep=slept.append)
+    assert out == {"ok": True} and calls["n"] == 3
+    assert slept == [7, 7]                      # delay between attempts
+    # exhaustion -> None (reference returns None, caller degrades)
+    assert with_retries(lambda: 1 / 0, max_retries=2, delay=1,
+                        sleep=slept.append) is None
+
+    t = {"now": 1000.0}
+    cache = TTLCache(timeout=100, clock=lambda: t["now"])
+    loads = {"n": 0}
+
+    def loader():
+        loads["n"] += 1
+        return loads["n"]
+
+    assert cache.load_or_update("k", loader) == 1
+    t["now"] += 50
+    assert cache.load_or_update("k", loader) == 1   # still valid
+    t["now"] += 100
+    assert cache.load_or_update("k", loader) == 2   # expired -> reload

@@ -352,3 +352,37 @@ def test_retry_and_ttl_cache_semantics():
     assert cache.load_or_update("k", loader) == 1   # still valid
     t["now"] += 100
     assert cache.load_or_update("k", loader) == 2   # expired -> reload
+
+
+def test_cell_index_prunes_files():
+    """update_indexes analogue: tile-sorted sink + per-file cell ranges =>
+    a bbox-cover read touches a strict subset of files, same rows."""
+    import glob
+    import os
+
+    import ray.data
+
+    from laji_pygeoapi_ray.functions import cells as C
+    from laji_pygeoapi_ray.sources.parquet import (build_cell_index,
+                                                   read_cell_pruned)
+
+    # reuse the clean-run maintenance output (tile-sorted, hive by province)
+    out = os.path.join(OUT_A, "merged")
+    if not os.path.isdir(out):
+        etl.run_etl(SF_UNIT, OUT_A, shards=4)
+        etl.run_maintenance(OUT_A)
+    idx = build_cell_index(out)
+    assert idx["files"]
+    cover = C.cover_bbox(24.6, 60.0, 25.3, 60.4, 7)
+    pruned = read_cell_pruned(out, cover)
+    full = ray.data.read_parquet(out)
+    # correctness: pruned ⊇ the exact matching rows of the full read
+    want = set(cover)
+    def exact(ds):
+        return sorted(r["image_id"] for r in ds.take_all()
+                      if r["cell7"] in want)
+    assert exact(pruned) == exact(full)
+    # pruning is real: fewer input files than the directory holds
+    n_all = len(glob.glob(os.path.join(out, "**", "*.parquet"),
+                          recursive=True))
+    assert pruned.input_files() and len(pruned.input_files()) < n_all

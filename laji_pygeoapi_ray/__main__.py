@@ -132,9 +132,15 @@ def main(argv=None) -> int:
 
             import ray.data
 
-            from .pipelines.query import bbox_query
+            from .functions import cells as _cells
+            from .pipelines.query import bbox_query, process_bbox
             from .pipelines.serving import Binding, apply_filters
-            ds = ray.data.read_parquet(os.path.join(args.out, "merged"))
+            from .sources.parquet import read_cell_pruned
+            merged = os.path.join(args.out, "merged")
+            bbox = [float(v) for v in args.bbox.split(",")]
+            x0, y0, x1, y1 = process_bbox(bbox)
+            ds = read_cell_pruned(merged,
+                                  _cells.cover_bbox(x0, y0, x1, y1, 7))
             if args.filter:
                 props = [tuple(f.split("=", 1)) for f in args.filter]
                 from .state import fixtures
@@ -146,7 +152,6 @@ def main(argv=None) -> int:
                     "fmt": Binding("fmt"),
                 }
                 ds = apply_filters(ds, props, bindings)
-            bbox = [float(v) for v in args.bbox.split(",")]
             t = bbox_query(ds, bbox, limit=args.limit, offset=args.offset)
             if args.geojson:
                 from .pipelines.features import to_feature_collection

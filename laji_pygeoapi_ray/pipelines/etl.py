@@ -152,6 +152,11 @@ def run_maintenance(out_dir: str) -> dict:
     shutil.rmtree(merged_dir, ignore_errors=True)
     deduped.write_parquet(tmp, partition_cols=["province"])
     os.replace(tmp, merged_dir)
+    # the reference rebuilds its GIST indexes after every load
+    # (edit_db.py:298-331); here that is the per-file cell-range index the
+    # pruned reader uses for file-level skipping
+    from ..sources.parquet import build_cell_index
+    build_cell_index(merged_dir)
 
     # per-province metadata (edit_metadata.py:122-207 analogue)
     from ray.data.aggregate import Count, Max, Min

@@ -127,14 +127,13 @@ def kth_value_2pass(ds, col: str, k: int, *, n_bins: int = 4096):
         raise ValueError(f"k={k} out of range for n={n}")
     b = int(np.searchsorted(cum, k + 1))
     below = int(cum[b - 1]) if b else 0
-    blo, bhi = lo + b * width, lo + (b + 1) * width
-
     def in_bin(t: "pa.Table") -> "pa.Table":
-        v = t[col]
-        keep = pc.and_(pc.greater_equal(v, blo),
-                       pc.less(v, bhi) if b < n_bins - 1
-                       else pc.less_equal(v, hi))
-        return t.select([col]).filter(keep)
+        # recompute the EXACT pass-1 bin function — boundary compares
+        # against lo + b·width can disagree with ((v−lo)/width) truncation
+        # by one ulp and silently drop/duplicate boundary rows
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return t.select([col]).filter(pa.array(bins == b))
 
     vals = np.sort(np.concatenate(
         [bt[col].to_numpy(zero_copy_only=False) for bt in

@@ -184,13 +184,18 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
     lcols = left_ds.schema().names
     icols = intervals_ds.schema().names
 
+    itypes = dict(zip(intervals_ds.schema().names,
+                      intervals_ds.schema().types))
+
     def tag_left(t: pa.Table) -> pa.Table:
         out = {"__side": pa.array(np.zeros(len(t), dtype=np.int8))}
         for c in lcols:
             out[c] = t[c]
         for c in icols:
             if c not in out:
-                out[c] = pa.nulls(len(t), pa.int64())
+                # typed null-fill: the union sides must agree per column
+                # (an int64 null under a timestamp column forks the schema)
+                out[c] = pa.nulls(len(t), itypes[c])
         return pa.table(out)
 
     def tag_right(t: pa.Table) -> pa.Table:

@@ -75,7 +75,8 @@ def write_geojson(ds, out_dir: str, *, id_col: str | None = None) -> int:
 
     def write_batch(batch: "pa.Table") -> "pa.Table":
         fc = to_feature_collection(batch, id_col=id_col)
-        name = f"part-{uuid.uuid5(uuid.NAMESPACE_URL, json.dumps(fc, sort_keys=True)[:4096]).hex}.geojson"
+        payload = json.dumps(fc, sort_keys=True)
+        name = f"part-{uuid.uuid5(uuid.NAMESPACE_URL, payload).hex}.geojson"
         tmp = os.path.join(out_dir, name + ".tmp")
         with open(tmp, "w") as f:
             json.dump(fc, f, ensure_ascii=False)

@@ -155,3 +155,67 @@ def median_event_value(sf_dir: str):
                             "value", (n - 1) // 2)
     return pa.table({"median_value": pa.array([v], pa.float64()),
                      "n": pa.array([n], pa.int64())})
+
+
+@register("topk_orders_per_segment", sql="""
+    SELECT mktsegment, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT c.c_mktsegment AS mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                     ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rk <= 3""")
+def topk_orders_per_segment(sf_dir: str):
+    """Top-k PER GROUP (top-3 orders by price per market segment): join +
+    one bucketed shuffle on the group key + per-group vectorized
+    sort/head — the grouped ranking operator (no global sort, no per-group
+    Python)."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import grouped_apply
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                           "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "mktsegment"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, cust, on=["o_custkey"], num_buckets=16)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df.groupby("mktsegment", sort=False).head(3).copy()
+        out["rk"] = out.groupby("mktsegment", sort=False).cumcount() + 1
+        return out[["mktsegment", "o_orderkey", "o_totalprice", "rk"]]
+
+    return grouped_apply(joined, ["mktsegment"], bucket_fn, num_buckets=8)
+
+
+@register("median_value_by_type", sql="""
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+    SELECT event_type, value AS median_value, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = (n - 1) // 2 + 1""")
+def median_value_by_type(sf_dir: str):
+    """Grouped EXACT median (k = (n-1)//2 per group, ties by event_id):
+    one bucketed shuffle on the group key, per-group vectorized order
+    selection."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("event_type", sort=False)
+        n = g["value"].transform("size")
+        pos = g.cumcount()
+        sel = df[pos == (n - 1) // 2].copy()
+        sel["n"] = n[pos == (n - 1) // 2]
+        return sel.rename(columns={"value": "median_value"})[
+            ["event_type", "median_value", "n"]]
+
+    return grouped_apply(ds, ["event_type"], bucket_fn, num_buckets=8)

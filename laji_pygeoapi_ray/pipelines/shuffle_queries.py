@@ -219,3 +219,91 @@ def median_value_by_type(sf_dir: str):
             ["event_type", "median_value", "n"]]
 
     return grouped_apply(ds, ["event_type"], bucket_fn, num_buckets=8)
+
+
+EVENT_TYPES = ("click", "purchase", "view")   # fixture enum, fixed order
+
+
+@register("event_hour_pivot", sql=f"""
+    SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS n_click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                AS BIGINT) AS n_purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+                AS BIGINT) AS n_view
+    FROM events GROUP BY 1""")
+def event_hour_pivot(sf_dir: str):
+    """Pivot (long → wide): per-hour counts spread into one column per
+    event type — pre-aggregated partial counts shuffle (a few rows per
+    batch), then a vectorized reshape of the tiny grouped result."""
+    from ..stages.shuffle import partial_group_counts
+    from ..stages.stream import add_window_column
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+    ds = ds.map_batches(add_window_column("ts", out_col="hour"),
+                        batch_format="pyarrow")
+    long = partial_group_counts(
+        ds.map_batches(lambda t: t.select(["event_type", "hour"]),
+                       batch_format="pyarrow"), ["event_type", "hour"])
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (df.pivot_table(index="hour", columns="event_type",
+                               values="n", aggfunc="sum", fill_value=0)
+                .reindex(columns=list(EVENT_TYPES), fill_value=0)
+                .reset_index())
+        wide.columns = ["hour"] + [f"n_{t}" for t in EVENT_TYPES]
+        for c in wide.columns:
+            wide[c] = wide[c].astype("int64")
+        return wide
+
+    # the grouped result is tiny (hours × types) — one reshape batch
+    return pivot(long.to_pandas())
+
+
+@register("event_lag_gaps", sql="""
+    SELECT event_id, user_id,
+           CAST(lag(event_id) OVER w AS DOUBLE) AS prev_event_id,
+           CAST(CAST(epoch_us(ts) AS BIGINT)
+                - CAST(epoch_us(lag(ts) OVER w) AS BIGINT) AS DOUBLE)
+               AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
+def event_lag_gaps(sf_dir: str):
+    """Window lag/lead: each event paired with its user's previous event
+    and the gap in µs (ties by event_id) — one key shuffle, per-user
+    vectorized shift (the window-function family)."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby("user_id", sort=False)
+        prev = g["event_id"].shift()
+        ts_us = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        prev_ts = pd.Series(ts_us).groupby(
+            df["user_id"].to_numpy(), sort=False).shift()
+        out = pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "prev_event_id": prev.astype("float64"),
+            "gap_us": (ts_us - prev_ts).astype("float64"),
+        })
+        return out
+
+    out = grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)
+
+    def nullify(t: pa.Table) -> pa.Table:
+        import numpy as np
+        cols = {}
+        for c in t.column_names:
+            if c in ("prev_event_id", "gap_us"):
+                v = t[c].to_numpy(zero_copy_only=False)
+                cols[c] = pa.array(v, mask=np.isnan(v))
+            else:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return out.map_batches(nullify, batch_format="pyarrow")

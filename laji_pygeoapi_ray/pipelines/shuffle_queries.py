@@ -307,3 +307,62 @@ def event_lag_gaps(sf_dir: str):
         return pa.table(cols)
 
     return out.map_batches(nullify, batch_format="pyarrow")
+
+
+@register("rollup_geom_counts", sql=lambda: f"""
+    WITH assigned AS ({__import__('laji_pygeoapi_ray.pipelines.geoqueries',
+        fromlist=['_pip_sql'])._pip_sql(
+            __import__('laji_pygeoapi_ray.state.fixtures',
+                       fromlist=['province_layer']).province_layer, True)}),
+    base AS (SELECT a.name AS province,
+                    {__import__('laji_pygeoapi_ray.stages.geometry',
+                                fromlist=['sql_geom_group'])
+                     .sql_geom_group('doc_id')} AS geom_group
+             FROM assigned a)
+    SELECT COALESCE(province, '(all)') AS province,
+           COALESCE(geom_group, '(all)') AS geom_group,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY ROLLUP (province, geom_group)""")
+def rollup_geom_counts(sf_dir: str):
+    """ROLLUP / grouping-sets: counts at (province, geom_group),
+    (province) and () levels from ONE partial-counts pass — the coarser
+    levels re-aggregate the tiny finest-level result, never the input."""
+    from ..stages import assign, geometry as geomstage
+    from ..stages.derive import derive_and_encode
+    from ..stages.shuffle import partial_group_counts
+    from ..sources.parquet import default_pool
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (7,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow")
+    ds = ds.map_batches(geomstage.normalize_validate,
+                        batch_format="pyarrow")
+    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
+                        batch_size=16384, concurrency=default_pool(),
+                        num_cpus=1)
+    fine = partial_group_counts(
+        ds.map_batches(lambda t: t.select(["province", "geom_group"]),
+                       batch_format="pyarrow"),
+        ["province", "geom_group"]).to_pandas()   # tiny: 21×3 rows
+
+    lvl1 = (fine.groupby("province", as_index=False)["n"].sum()
+            .assign(geom_group="(all)"))
+    total = pd.DataFrame({"province": ["(all)"], "geom_group": ["(all)"],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["province", "geom_group", "n"]]
+
+
+@register("hll_distinct_users")  # rows-only: sketch (approximate by design)
+def hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch over events (p=12, ~1.6 % err):
+    4 KB partials per batch, max-merge — accuracy vs exact COUNT DISTINCT
+    asserted in tests."""
+    from ..stages.shuffle import hll_distinct
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id")
+    return pa.table({"estimated_distinct_users":
+                     pa.array([est], pa.float64())})

@@ -131,3 +131,22 @@ def test_kth_value_2pass_edges():
     ds2 = ray.data.from_pandas(pd.DataFrame({"value": [3.0] * 10}))
     v, _ = kth_value_2pass(ds2, "value", 4)
     assert v == 3.0
+
+
+def test_hll_distinct_accuracy():
+    """HLL sketch within its 1.6% design error vs exact COUNT DISTINCT,
+    and merge-invariant across block splits."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from laji_pygeoapi_ray.stages.shuffle import hll_distinct
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 5000, 20000)
+    exact = len(np.unique(ids))
+    for blocks in (1, 8):
+        ds = ray.data.from_pandas(pd.DataFrame({"k": ids})) \
+            .repartition(blocks)
+        est = hll_distinct(ds, "k")
+        assert abs(est - exact) / exact < 0.05, (blocks, est, exact)

@@ -83,3 +83,27 @@ def orders_by_mktsegment_native(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["mktsegment", "n", "max_price"]),
         batch_format="pyarrow")
+
+
+@register("bloom_semijoin_orders", sql="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')""")
+def bloom_semijoin_orders(sf_dir: str):
+    """Semi join with a broadcast Bloom pre-filter (128 KB) + exact
+    verify: the big side is pruned inside the scan before any join
+    machinery — EXACT result (no false negatives; false positives removed
+    by the membership check), certified by the plain IN-subquery oracle."""
+    import numpy as np
+
+    from ..stages.join import bloom_semi_join
+
+    keys = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    import pyarrow.compute as pc
+    sel = keys.filter(pc.equal(keys["c_mktsegment"], "BUILDING"))
+    small = sel["c_custkey"].to_numpy(zero_copy_only=False)
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_totalprice"])
+    return bloom_semi_join(orders, np.asarray(small), "o_custkey")

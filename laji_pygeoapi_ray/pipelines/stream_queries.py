@@ -300,3 +300,79 @@ def event_session_join(sf_dir: str):
         "user_id", "ts", GAP_US)
     return interval_join(ev, sessions, key="user_id", ts_col="ts",
                          start_col="start_ts", end_col="end_ts")
+
+
+@register("running_user_totals", sql="""
+    SELECT event_id, user_id, ts,
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS running_cents,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS BIGINT) AS event_no
+    FROM events""")
+def running_user_totals(sf_dir: str):
+    """Running (cumulative) aggregate per user: one key shuffle, per-user
+    vectorized cumsum over the deterministic (ts, event_id) order. The
+    accumulator is INTEGER CENTS (floor(value·100+0.5)) — float running
+    sums are NOT portable across engines (DuckDB's window SUM reduces via
+    a segment tree, a different addition order); integer sums are exact
+    under any order."""
+    import numpy as np
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "value"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        g = df.groupby("user_id", sort=False)
+        df["running_cents"] = pd.Series(cents).groupby(
+            df["user_id"].to_numpy(), sort=False).cumsum()
+        df["event_no"] = g.cumcount() + 1
+        return df[["event_id", "user_id", "ts", "running_cents",
+                   "event_no"]]
+
+    return grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)
+
+
+VALUE_FLOOR = 200.0   # sparsifies the sets so the difference is non-empty
+
+
+@register("viewers_never_purchased", sql=f"""
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND value > CAST('{VALUE_FLOOR}' AS DOUBLE)
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value > CAST('{VALUE_FLOOR}' AS DOUBLE)""")
+def viewers_never_purchased(sf_dir: str):
+    """Set difference (EXCEPT): users with high-value views minus users
+    with high-value purchases — per-batch partial distinct sets, one
+    bucketed anti-join on the key hash; the wide input never shuffles
+    (only distinct keys do)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["event_type"],
+                     value_set=pa.array(["view", "purchase"])),
+            pc.greater(t["value"], VALUE_FLOOR))
+        t = t.filter(keep).select(["user_id", "event_type"])
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    dist = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        viewers = set(df[df["event_type"] == "view"]["user_id"])
+        buyers = set(df[df["event_type"] == "purchase"]["user_id"])
+        out = sorted(viewers - buyers)
+        return pd.DataFrame({"user_id": pd.array(out, dtype="int64")})
+
+    return grouped_apply(dist, ["user_id"], bucket_fn, num_buckets=16)

@@ -70,3 +70,72 @@ def broadcast_join(ds, small: pd.DataFrame, *, on: list[str],
         return df.merge(ray.get(ref), on=on, how=how)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+class BloomFilter:
+    """Deterministic blocked Bloom filter over int64 keys (k=4 probes via
+    splitmix64 re-hash; m bits). Vectorized build + probe; false-positive
+    rate ~ (1-e^(-kn/m))^k. The canonical big-side PRE-FILTER: broadcast
+    the small side's filter, drop most non-matching rows before the exact
+    join — no correctness loss (no false negatives), the exact verify
+    removes false positives."""
+
+    def __init__(self, n_bits_log2: int = 20, probes: int = 4):
+        self.m = 1 << n_bits_log2
+        self.probes = probes
+        self.bits = np.zeros(self.m // 8, dtype=np.uint8)
+
+    @staticmethod
+    def _mix(x: "np.ndarray", salt: int) -> "np.ndarray":
+        x = x.astype(np.uint64) + np.uint64(
+            (salt * 0x9E3779B97F4A7C15) % (1 << 64))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def add(self, keys: "np.ndarray") -> None:
+        for s in range(self.probes):
+            pos = (self._mix(keys, s) % np.uint64(self.m)).astype(np.int64)
+            np.bitwise_or.at(self.bits, pos >> 3,
+                             (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain(self, keys: "np.ndarray") -> "np.ndarray":
+        out = np.ones(len(keys), dtype=bool)
+        for s in range(self.probes):
+            pos = (self._mix(keys, s) % np.uint64(self.m)).astype(np.int64)
+            out &= (self.bits[pos >> 3] & (1 << (pos & 7))) != 0
+        return out
+
+
+def bloom_semi_join(big_ds, small_keys: "np.ndarray", on: str,
+                    *, n_bits_log2: int = 20):
+    """Semi join big ⋉ small with a broadcast Bloom pre-filter + exact
+    verify: the filter (128 KB at 2^20 bits) drops almost every
+    non-matching big-side row inside the scan; the surviving rows get the
+    exact membership check against the (sorted) key set — the result is
+    EXACT, the filter only saves work. At 100 TB the small side's keys may
+    themselves be partial-deduped first; only the filter + key array are
+    broadcast."""
+    bf = BloomFilter(n_bits_log2)
+    keys = np.unique(small_keys.astype(np.int64))
+    bf.add(keys)
+    import ray
+    ref = ray.put((bf.bits, keys))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bits, ks = ray.get(ref)
+        f = BloomFilter.__new__(BloomFilter)
+        f.m = len(bits) * 8
+        f.probes = 4
+        f.bits = bits
+        v = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = f.might_contain(v)
+        if not cand.any():
+            return t.slice(0, 0)
+        t = t.filter(pa.array(cand))
+        v = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ks, v)
+        exact = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == v)
+        return t.filter(pa.array(exact))
+
+    return big_ds.map_batches(fn, batch_format="pyarrow")

@@ -238,7 +238,8 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
 
 
 def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
-                     max_iters: int = 50, num_buckets: int = 16):
+                     max_iters: int = 50, num_buckets: int = 16,
+                     jump_from: int = 2):
     """Distributed near-dup clustering — iterative min-label propagation
     over the candidate-pair graph, all shuffles, NO driver-side pair
     materialization (the scale fallback to :func:`cluster_pairs`).
@@ -315,8 +316,58 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
         def min_bucket(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby("id", as_index=False)["label"].min()
 
-        lab = grouped_apply(lab.union(cands), ["id"], min_bucket,
+        # materialize: the jump stage consumes `lab` TWICE (query side +
+        # lookup side); without a checkpoint the whole min pipeline would
+        # re-execute for each consumer
+        # repartition: union concatenates block lists and groupby mirrors
+        # the input block count, so without coalescing the label dataset
+        # DOUBLES its blocks every round (3→7→15→…) and round cost grows
+        # geometrically (measured). repartition(shuffle=False) is a cheap
+        # split/merge, no exchange.
+        lab = grouped_apply(lab.union(cands).repartition(num_buckets),
+                            ["id"], min_bucket,
                             num_buckets=num_buckets).materialize()
+
+        # ---- pointer jumping (label doubling): label(v) ← label(label(v)).
+        # Every label value is itself an endpoint id, so the lookup always
+        # resolves; distances to the component minimum HALVE each round —
+        # convergence in O(log diameter) rounds instead of O(diameter)
+        # (path graphs would otherwise need one full two-shuffle round per
+        # hop). Two more hash exchanges per round, exponentially fewer
+        # rounds. ADAPTIVE: dup graphs are usually stars that converge in
+        # 1-2 rounds, so jumping starts only at round ``jump_from`` —
+        # shallow graphs never pay for it, deep ones still get O(log d).
+        if _ < jump_from:
+            s = lab.sum("label")
+            if s == prev_sum:
+                break
+            prev_sum = s
+            continue
+        queries_side = lab.map_batches(
+            lambda t: pa.table({"k": t["label"], "qid": t["id"],
+                                "lbl": pa.nulls(len(t), pa.int64())}),
+            batch_format="pyarrow")
+        lookup_side = lab.map_batches(
+            lambda t: pa.table({"k": t["id"],
+                                "qid": pa.nulls(len(t), pa.int64()),
+                                "lbl": t["label"]}),
+            batch_format="pyarrow")
+
+        def jump_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            lk = df[df["lbl"].notna()][["k", "lbl"]]
+            q = df[df["qid"].notna()][["k", "qid"]]
+            if q.empty:
+                return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64")})
+            m = q.merge(lk, on="k", how="left")
+            lbl = m["lbl"].fillna(m["k"]).astype("int64")
+            return pd.DataFrame({"id": m["qid"].astype("int64"),
+                                 "label": lbl})
+
+        lab = grouped_apply(
+            queries_side.union(lookup_side).repartition(num_buckets),
+            ["k"], jump_bucket,
+            num_buckets=num_buckets).materialize()
         s = lab.sum("label")
         if s == prev_sum:
             break

@@ -123,33 +123,36 @@ def test_merge_bucket_matches_duckdb(rows):
 
 # ---------------------------------------------- round-2 kernels (hypothesis)
 
-@settings(max_examples=8, deadline=None)
-@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
-                min_size=0, max_size=25),
-       st.integers(31, 40))
-def test_cluster_propagation_matches_union_find(pairs, n_ids):
-    """Distributed min-label propagation == driver union-find on random
-    graphs (any topology, self-loops filtered, ids beyond edges stay
-    singletons)."""
+def test_cluster_propagation_matches_union_find():
+    """Distributed min-label propagation (with pointer jumping) ==
+    driver union-find on ONE graph containing every adversarial topology
+    as disjoint components — worst-case path, star, forest, seeded random,
+    singletons. A single propagation run covers all components at the cost
+    of the deepest one (each Ray round is seconds of fixed shuffle cost at
+    the 4-CPU test session, so per-case runs were minutes)."""
     import ray.data
 
     from laji_pygeoapi_ray.stages import simdedup
 
-    pairs = [(a, b) for a, b in pairs if a != b]
-    pdf = pd.DataFrame(pairs or [(0, 0)], columns=["id_a", "id_b"])
-    if not pairs:
-        pdf = pdf.iloc[0:0]
-    ids = np.arange(n_ids, dtype=np.int64)
+    rng = np.random.default_rng(11)
+    pairs = (
+        [(i, i + 1) for i in range(8)]                   # path 0..8
+        + [(10, j) for j in range(11, 19)]               # star 10..18
+        + [(20, 21), (21, 22), (24, 25), (27, 28), (28, 29)]  # forest
+        + [tuple(sorted(p + 30)) for p in
+           rng.integers(0, 20, (15, 2)) if p[0] != p[1]]  # random 30..49
+    )                                                     # 50.. singletons
+    pdf = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    ids = np.arange(54, dtype=np.int64)
     exp = (simdedup.cluster_pairs(pdf, ids)
            .sort_values("doc_id").reset_index(drop=True))
     got = (simdedup.cluster_pairs_ds(
-               ray.data.from_pandas(pdf if len(pdf) else
-                                    pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                                  "id_b": pd.Series([], dtype="int64")})),
+               ray.data.from_pandas(pdf),
                ray.data.from_pandas(pd.DataFrame({"doc_id": ids})),
                num_buckets=4)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    assert (got["cluster_id"].to_numpy() == exp["cluster_id"].to_numpy()).all()
+    assert (got["cluster_id"].to_numpy()
+            == exp["cluster_id"].to_numpy()).all()
 
 
 @settings(max_examples=50, deadline=None)

@@ -3,8 +3,13 @@ launched as Ray jobs on a fixed-size cluster; locally the same module runs
 standalone).
 
     ray job submit -- python -m laji_pygeoapi_ray etl --sf-dir /root/testdata/sf0.01 --out /tmp/laji_out
-    python -m laji_pygeoapi_ray maintenance --out /tmp/laji_out
-    python -m laji_pygeoapi_ray query --out /tmp/laji_out --bbox 60.0,24.6,60.4,25.3 --limit 5
+    python -m laji_pygeoapi_ray maintenance --out /tmp/laji_out      # dedup + metadata + cell index
+    python -m laji_pygeoapi_ray geometry-etl --out /tmp/geom         # (province, geom_type) hive sink
+    python -m laji_pygeoapi_ray ingest --input events.parquet --out /tmp/inc   # watermark incremental
+    python -m laji_pygeoapi_ray query --out /tmp/laji_out --bbox 60.0,24.6,60.4,25.3 \
+        --filter "Eliomaakunta=Uusimaa (U)" [--geojson]              # pruned + filtered serving
+    python -m laji_pygeoapi_ray get --id "http://tun.fi/JX.42_0"     # single record
+    python -m laji_pygeoapi_ray print-log [--limit 100]              # request audit log
     python -m laji_pygeoapi_ray bench [--scaling]
 
 Owns its Ray session (guarded init + shutdown), per the driver contract —

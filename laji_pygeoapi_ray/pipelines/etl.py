@@ -342,6 +342,10 @@ def incremental_window_counts(delta_ds, state_dir: str) -> str:
         Sum("n", alias_name="n")).map_batches(
         lambda t: t.rename_columns(["event_type", "window", "n"]),
         batch_format="pyarrow")
+    # coalesce before the swap: union + groupby mirror the input block
+    # count, so without this the state table gains files every fold (the
+    # same geometric-growth trap as iterative label propagation, NOTES.md)
+    new = new.repartition(1)
     tmp = state_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     new.write_parquet(tmp)

@@ -243,3 +243,34 @@ def audio_features(sf_dir: str):
     return ds.map_batches(media.AudioFeatureStage, batch_format="pyarrow",
                           batch_size=256, concurrency=default_pool(0.5),
                           num_cpus=1)
+
+
+PHASH_SUB = 500          # all-pairs oracle subset bound (img_no < 500)
+PHASH_MAXHAM = 6
+
+
+@register("image_phash_hamming_pairs", sql=lambda: f"""
+    WITH base AS (SELECT {_img_no_sql()} AS img_no, phash
+                  FROM {_img_path_sql(ORACLE_N)}),
+    sub AS (SELECT * FROM base WHERE img_no < {PHASH_SUB})
+    SELECT a.img_no AS id_a, b.img_no AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM sub a JOIN sub b ON a.img_no < b.img_no
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAXHAM}""")
+def image_phash_hamming_pairs(sf_dir: str):
+    """VISUAL near-dup pairs by perceptual-hash Hamming distance (≤ 6 of
+    64 bits): band-blocked over the existing phash column — pigeonhole
+    guarantees no miss at this threshold (6 < 8 bands of 8 bits), so the
+    blocked engine result equals the oracle's all-pairs scan exactly.
+    Only (img_no, phash) is read; pixels never move."""
+    import pyarrow.compute as pc
+
+    from ..stages.simdedup import hamming_pairs
+
+    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["img_no"], PHASH_SUB))
+        .select(["img_no", "phash"]), batch_format="pyarrow")
+    return hamming_pairs(ds, id_col="img_no", hash_col="phash",
+                         max_hamming=PHASH_MAXHAM, band_bits=8)

@@ -156,33 +156,28 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          num_buckets=max(8, num_buckets // 4))
 
 
-def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+def hamming_pairs(hashed_ds, *, id_col: str, hash_col: str,
                   max_hamming: int = 8, band_bits: int = 16,
                   num_buckets: int = 16):
-    """SimHash near-dup pairs: 64-bit simhash blocked on its
-    ``64/band_bits`` bit-bands — a pair with Hamming < number-of-bands is
-    GUARANTEED to share a band (pigeonhole); exact Hamming verify inside
-    the bucket. band_bits trades recall vs bucket size: 16 bits (4 bands)
-    for web-scale corpora (small buckets), 8 bits (8 bands) for
-    high-recall small corpora."""
-    from .text import simhash_stage
-
-    hashed = ds.map_batches(simhash_stage(text_col), batch_format="pyarrow")
+    """Band-blocked Hamming near-dup pairs over an EXISTING int64 hash
+    column (pigeonhole: Hamming < 64/band_bits bands ⇒ some band equal) —
+    the generic core behind simhash_pairs, reusable for any 64-bit
+    fingerprint (e.g. the image table's phash)."""
     n_bands = 64 // band_bits
     mask = np.uint64((1 << band_bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         parts = []
         for b in range(n_bands):
             band = ((sh >> np.uint64(band_bits * b)) & mask).astype(np.int64)
             parts.append(pa.table({
-                id_col: ids, "simhash": sh.astype(np.int64),
+                id_col: ids, "__hash": sh.astype(np.int64),
                 "band_key": (np.int64(b) << 48) | band}))
         return pa.concat_tables(parts)
 
-    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+    exploded = hashed_ds.map_batches(explode, batch_format="pyarrow")
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -191,7 +186,7 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
             if len(g) < 2:
                 continue
             ids = g[id_col].to_numpy()
-            hs = g["simhash"].to_numpy(np.int64)
+            hs = g["__hash"].to_numpy(np.int64)
             ia, ib = np.triu_indices(len(ids), k=1)
             ham = tk.hamming64(hs[ia], hs[ib])
             keep = ham <= max_hamming
@@ -211,6 +206,21 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return grouped_apply(pairs, ["id_a", "id_b"],
                          lambda df: df.drop_duplicates(),
                          num_buckets=8)
+
+
+def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 8, band_bits: int = 16,
+                  num_buckets: int = 16):
+    """SimHash near-dup pairs: 64-bit simhash per doc, then the generic
+    band-blocked :func:`hamming_pairs` (pigeonhole recall guarantee for
+    Hamming < 64/band_bits; band_bits trades recall vs bucket size: 16
+    bits/4 bands for web-scale corpora, 8 bits/8 bands for high recall)."""
+    from .text import simhash_stage
+
+    hashed = ds.map_batches(simhash_stage(text_col), batch_format="pyarrow")
+    return hamming_pairs(hashed, id_col=id_col, hash_col="simhash",
+                         max_hamming=max_hamming, band_bits=band_bits,
+                         num_buckets=num_buckets)
 
 
 def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:

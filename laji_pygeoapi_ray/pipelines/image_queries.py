@@ -274,3 +274,27 @@ def image_phash_hamming_pairs(sf_dir: str):
         .select(["img_no", "phash"]), batch_format="pyarrow")
     return hamming_pairs(ds, id_col="img_no", hash_col="phash",
                          max_hamming=PHASH_MAXHAM, band_bits=8)
+
+
+@register("caption_stats", sql=lambda: f"""
+    SELECT {_img_no_sql()} AS img_no,
+      CAST(len(string_split(caption, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(caption, ' '))) AS BIGINT)
+          AS distinct_tokens
+    FROM {_img_path_sql(ORACLE_N)}""")
+def caption_stats(sf_dir: str):
+    """Text analysis over the MULTIMODAL table: token stats on the caption
+    column (Finnish diacritics included) — the text family composed onto
+    the image pipeline; only (image_id, caption) is read."""
+    from ..functions import textkernels as tk
+
+    ds = images_ds(sf_dir, columns=["image_id", "caption"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = tk.token_stats(t["caption"])
+        return pa.table({"img_no": t["img_no"],
+                         "n_tokens": pa.array(s["n_tokens"]),
+                         "distinct_tokens": pa.array(s["distinct_tokens"])})
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -376,3 +376,60 @@ def viewers_never_purchased(sf_dir: str):
         return pd.DataFrame({"user_id": pd.array(out, dtype="int64")})
 
     return grouped_apply(dist, ["user_id"], bucket_fn, num_buckets=16)
+
+
+@register("event_sliding_window_join", sql=f"""
+    WITH w AS (SELECT DISTINCT event_type,
+                      CAST(epoch_us(ts) AS BIGINT) // {US_PER_HOUR} AS h
+               FROM events),
+    wins AS (SELECT event_type, h AS win_start_hour FROM w
+             UNION SELECT event_type, h - 1 AS win_start_hour FROM w),
+    occupied AS (SELECT DISTINCT event_type,
+                        CAST(epoch_us(ts) AS BIGINT) // {US_PER_HOUR} AS h
+                 FROM events)
+    SELECT e.event_id, e.event_type,
+           ws.win_start_hour
+    FROM events e JOIN wins ws
+      ON e.event_type = ws.event_type
+     AND CAST(epoch_us(e.ts) AS BIGINT) // {US_PER_HOUR}
+         IN (ws.win_start_hour, ws.win_start_hour + 1)""")
+def event_sliding_window_join(sf_dir: str):
+    """OVERLAPPING range join: every event joined to BOTH 2h/1h sliding
+    windows covering it — interval_join_all (bin replication, per-bucket
+    merge + range filter), with the window set derived from the data. The
+    oracle enumerates window membership arithmetically."""
+    import numpy as np
+
+    from ..stages.shuffle import grouped_apply
+    from ..stages.stream import interval_join_all, tumbling_window_key
+
+    ev = read_table(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    # window table: one row per (event_type, win_start_hour) with real
+    # timestamp bounds [start, end] (end inclusive = 2h - 1µs)
+    def wins(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        h = tumbling_window_key(ts.astype(np.int64), US_PER_HOUR)
+        et = t["event_type"]
+        return pa.table({
+            "event_type": pa.concat_arrays([et.combine_chunks()] * 2),
+            "win_start_hour": np.concatenate([h, h - 1])})
+
+    w = ev.map_batches(wins, batch_format="pyarrow")
+    w = grouped_apply(w, ["event_type", "win_start_hour"],
+                      lambda df: df.drop_duplicates(), num_buckets=8)
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["win_start_hour"].to_numpy("int64") * US_PER_HOUR
+        df = df.copy()
+        df["win_start"] = pd.to_datetime(s, unit="us")
+        df["win_end"] = pd.to_datetime(s + 2 * US_PER_HOUR - 1, unit="us")
+        return df
+
+    w = w.map_batches(bounds, batch_format="pandas")
+    out = interval_join_all(ev, w, key="event_type", ts_col="ts",
+                            start_col="win_start", end_col="win_end",
+                            id_cols=("win_start_hour",))
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "win_start_hour"]),
+        batch_format="pyarrow")

@@ -234,3 +234,82 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
         return m[ok][out_cols].reset_index(drop=True)
 
     return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets)
+
+
+def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
+                      start_col: str, end_col: str,
+                      id_cols: tuple = ("interval_id",),
+                      bin_us: int = US_PER_HOUR, num_buckets: int = 32):
+    """Range join, GENERAL case: emit EVERY interval of the same ``key``
+    covering each left row (overlapping intervals allowed — the
+    generalization of :func:`interval_join`'s disjoint contract).
+
+    Distribution: intervals replicate to every ``bin_us`` time bin they
+    overlap; left rows go to their single bin; one hash shuffle on
+    (key, bin) co-locates candidates; a vectorized per-bucket merge +
+    range filter finishes. No row is double-emitted: an interval meets a
+    row only in the row's own bin. Partitioning assumption: intervals
+    spanning many bins replicate proportionally — pick ``bin_us`` near
+    the typical interval width."""
+    lcols = left_ds.schema().names
+    icols = intervals_ds.schema().names
+    itypes = dict(zip(intervals_ds.schema().names,
+                      intervals_ds.schema().types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        out = {"__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+               "__bin": pa.array(ts // np.int64(bin_us))}
+        for c in lcols:
+            out[c] = t[c]
+        for c in icols:
+            if c not in out:
+                out[c] = pa.nulls(len(t), itypes[c])
+        return pa.table(out)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        st = t[start_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        en = t[end_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        b0 = st // np.int64(bin_us)
+        b1 = en // np.int64(bin_us)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), reps)
+        offs = (np.arange(int(reps.sum()))
+                - np.repeat(np.cumsum(reps) - reps, reps))
+        bins = b0[idx] + offs
+        rt = t.take(pa.array(idx))
+        out = {"__side": pa.array(np.ones(len(rt), dtype=np.int8)),
+               "__bin": pa.array(bins)}
+        ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+        for c in lcols:
+            if c == key:
+                out[c] = rt[c]
+            elif c not in icols:
+                out[c] = pa.nulls(len(rt), ltypes[c])
+        for c in icols:
+            if c not in out:
+                out[c] = rt[c]
+        return pa.table(out)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(intervals_ds.map_batches(tag_right,
+                                              batch_format="pyarrow")))
+    out_cols = list(lcols) + [c for c in (*id_cols, start_col, end_col)
+                              if c not in lcols]
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0]
+        ivs = df[df["__side"] == 1]
+        if left.empty or ivs.empty:
+            return pd.DataFrame(columns=out_cols)
+        m = left[["__bin"] + list(lcols)].merge(
+            ivs[["__bin", key] + [c for c in icols if c != key]],
+            on=["__bin", key])
+        ok = (m[start_col] <= m[ts_col]) & (m[ts_col] <= m[end_col])
+        return m[ok][out_cols].reset_index(drop=True)
+
+    return grouped_apply(tagged, [key, "__bin"], bucket_fn,
+                         num_buckets=num_buckets)

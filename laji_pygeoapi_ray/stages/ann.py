@@ -297,9 +297,25 @@ def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
 
     qid = queries[id_col].to_numpy(np.int64)
     qm = np.stack(queries[emb_col].to_numpy()).astype(np.float64)
-    # fit on the query sample + its own distribution proxy: queries are a
-    # deterministic corpus subset here; a production fit samples the corpus
-    cent = fit_ivf_centroids(qm, n_lists)
+    # fit the quantizer on a deterministic CORPUS sample (hash-rank
+    # membership, packed by a remote task — the sample never rides through
+    # the driver-side queries table), not on the queries
+    from .sampling import id_hash
+
+    @ray.remote
+    def pack_sample(idc, embc, mod, *blocks):
+        t = pa.concat_tables([b.select([idc, embc]) for b in blocks],
+                             promote_options="default")
+        ids = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (id_hash(ids) % mod) == 0
+        m = _emb_matrix(t, embc).astype(np.float64)
+        return m[keep]
+
+    sample = ray.get(pack_sample.remote(id_col, emb_col, 4,
+                                        *emb_ds.to_arrow_refs()))
+    if len(sample) < n_lists:
+        sample = qm
+    cent = fit_ivf_centroids(sample, n_lists)
     cent_ref = ray.put(cent)
     qmq = quantize(qm)
 

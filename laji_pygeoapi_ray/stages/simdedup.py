@@ -249,7 +249,7 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
 
 def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
                      max_iters: int = 50, num_buckets: int = 16,
-                     jump_from: int = 2):
+                     jump_from: int = 2, stats_out: dict | None = None):
     """Distributed near-dup clustering — iterative min-label propagation
     over the candidate-pair graph, all shuffles, NO driver-side pair
     materialization (the scale fallback to :func:`cluster_pairs`).
@@ -382,6 +382,10 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
         if s == prev_sum:
             break
         prev_sum = s
+
+    if stats_out is not None:
+        stats_out["rounds"] = _ + 1          # per-partition metrics surface
+        stats_out["label_sum"] = prev_sum
 
     # attach singletons (ids with no pair): one anti-join shuffle at the END
     tagged_ids = ids_ds.map_batches(

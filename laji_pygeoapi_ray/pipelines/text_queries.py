@@ -228,3 +228,35 @@ def stratified_docs_by_lang(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
     return sampling.stratified_sample(ds, 20, stratum_col="lang",
                                       id_col="doc_id")
+
+
+# GPT-2-style coarse token classes (ASCII subset shared verbatim by Arrow
+# and DuckDB — both are RE2, so the count semantics are identical)
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register("bpe_token_counts", sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents""")
+def bpe_token_counts(sf_dir: str):
+    """Token counting, BPE-ish regex flavor (letter runs / digit runs /
+    punctuation — the GPT-2 pre-tokenizer's coarse classes) next to the
+    whitespace count: one vectorized RE2 pass per batch
+    (``pc.count_substring_regex``); DuckDB's regexp_extract_all is the
+    same RE2, so counts match exactly."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        bpe = pc.count_substring_regex(text, BPE_PATTERN)
+        ws = pc.add(pc.count_substring(text, " "), 1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+                         "n_ws_tokens": pc.cast(ws, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""The composed training-corpus build — every engine family in ONE
+pipeline, the end-to-end story of the brief:
+
+    image+caption table (Lance-shaped)
+      → decode + PSNR-verify                       [actor pool]
+      → caption quality gate (token stats)          [vectorized text]
+      → visual exact-dup removal (phash keep-first) [fingerprint shuffle]
+      → deterministic train/val split (hash)        [sampling]
+      → spatial enrichment (derive → tile → PIP)    [geo actor pool]
+      → write hive-partitioned by (split, province) [resumable sink]
+
+Every stage is an operator certified elsewhere by its own oracle/test;
+this module certifies the COMPOSITION (row accounting at each gate).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import cells, points
+from ..sources import images as imgsrc
+from ..sources.parquet import default_pool
+from ..stages import assign
+from ..stages.dedup import dedup_keep_latest
+from ..stages.images import ImageDecodeStage
+from ..stages.sampling import train_val_split
+from .image_queries import images_ds
+from .registry import register
+
+MIN_CAPTION_TOKENS = 5
+
+
+def build_training_corpus(sf_dir: str, out_dir: str | None = None):
+    """Returns (dataset, counters); writes the partitioned corpus when
+    ``out_dir`` is given."""
+    counters: dict[str, int] = {}
+    ds = images_ds(sf_dir)
+    counters["input"] = ds.count()
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecodeStage,
+                        fn_constructor_kwargs={"drop_bytes": True},
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=default_pool(0.5), num_cpus=1)
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        # decoded ok + caption long enough (BPE-ish class count)
+        ntok = pc.add(pc.count_substring(
+            pc.cast(t["caption"], pa.string()), " "), 1)
+        keep = pc.and_(t["decode_ok"],
+                       pc.greater_equal(ntok, MIN_CAPTION_TOKENS))
+        return t.filter(keep)
+
+    ds = ds.map_batches(quality_gate, batch_format="pyarrow")
+    ds = ds.materialize()
+    counters["after_quality"] = ds.count()
+
+    # visual exact-dup removal: keep-first per phash
+    ds = dedup_keep_latest(ds, ["phash"], ["image_id"],
+                           descending=False, num_buckets=32)
+    ds = ds.materialize()
+    counters["after_dedup"] = ds.count()
+
+    ds = train_val_split(ds, 80, id_col="img_no")
+
+    def enrich(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        t = t.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+        return t.append_column("cell7", pa.array(cells.encode(x, y, 7)))
+
+    ds = ds.map_batches(enrich, batch_format="pyarrow")
+    layers_ref = assign.put_layers()
+    ds = ds.map_batches(assign.PIPAssigner, fn_constructor_args=(layers_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=default_pool(0.3), num_cpus=1)
+    if out_dir is not None:
+        import os
+        import shutil
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds.write_parquet(tmp, partition_cols=["split", "province"])
+        os.replace(tmp, out_dir)
+    return ds, counters
+
+
+@register("training_corpus_counts")  # rows-only: composition op (each
+# stage has its own oracle; the composition is row-accounted in tests)
+def training_corpus_counts(sf_dir: str):
+    """Per-(split, province) record counts of the fully-built training
+    corpus — the composed pipeline's observable output."""
+    from ..stages.shuffle import partial_group_counts
+
+    ds, _ = build_training_corpus(sf_dir)
+    return partial_group_counts(
+        ds.map_batches(lambda t: t.select(["split", "province"]),
+                       batch_format="pyarrow"), ["split", "province"])

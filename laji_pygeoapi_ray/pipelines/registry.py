@@ -44,5 +44,6 @@ def _load_all() -> None:
     from . import geoqueries  # noqa: F401
     for mod in ("shuffle_queries", "knn_queries", "text_queries",
                 "ann_queries", "image_queries", "compute_queries",
-                "stream_queries", "join_queries", "filter_queries"):
+                "stream_queries", "join_queries", "filter_queries",
+                "corpus"):
         __import__(f"{__package__}.{mod}")

@@ -135,3 +135,28 @@ def test_decode_stage_tolerates_corrupt_rows():
     import pytest as _pytest
     with _pytest.raises(Exception):
         ImageDecodeStage(strict=True)(t)
+
+
+def test_training_corpus_composition(tmp_path):
+    """Row accounting through the composed corpus build: quality gate and
+    dedup shrink monotonically, split partitions the survivors, the hive
+    sink holds exactly the final rows."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from laji_pygeoapi_ray.pipelines.corpus import build_training_corpus
+    from tests.conftest import SF_UNIT
+
+    out = str(tmp_path / "corpus")
+    ds, c = build_training_corpus(SF_UNIT, out)
+    assert c["input"] == 400
+    assert 0 < c["after_quality"] <= c["input"]
+    assert 0 < c["after_dedup"] <= c["after_quality"]
+    files = glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    assert rows == c["after_dedup"]
+    dirs = {os.path.relpath(os.path.dirname(f), out) for f in files}
+    assert all(d.startswith("split=") and "province=" in d for d in dirs)
+    assert {d.split(os.sep)[0] for d in dirs} == {"split=train", "split=val"}

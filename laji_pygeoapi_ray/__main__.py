@@ -78,6 +78,12 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--scaling", action="store_true")
 
+    pc_ = sub.add_parser("build-corpus", help="composed training-corpus "
+                         "build (decode -> quality -> dedup -> split -> "
+                         "PIP -> hive sink)")
+    pc_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pc_.add_argument("--out", required=True)
+
     pl = sub.add_parser("print-log", help="show the request audit log "
                         "(reference print_log command)")
     pl.add_argument("--log", default="/tmp/laji_ray_requests.jsonl")
@@ -114,6 +120,10 @@ def main(argv=None) -> int:
         elif args.cmd == "geometry-etl":
             from .pipelines.etl import run_geometry_etl
             print(json.dumps(run_geometry_etl(args.sf_dir, args.out)))
+        elif args.cmd == "build-corpus":
+            from .pipelines.corpus import build_training_corpus
+            _, counters = build_training_corpus(args.sf_dir, args.out)
+            print(json.dumps(counters))
         elif args.cmd == "ingest":
             from .pipelines.etl import run_incremental_ingest
             print(json.dumps(run_incremental_ingest(args.input, args.out)))

@@ -55,8 +55,12 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
         right = df[df["__side"] == 1][rcols]
         return left.merge(right, on=on, how=how)
 
+    # restore source dtypes: inside a bucket each side's columns are
+    # null-filled for the other side's rows, so pandas upcasts int64
+    # columns to float64 for the WHOLE bucket — cast the join output back
     return grouped_apply(tagged, list(on), bucket_fn,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets,
+                         out_dtypes={c: types[c] for c in all_cols})
 
 
 def broadcast_join(ds, small: pd.DataFrame, *, on: list[str],

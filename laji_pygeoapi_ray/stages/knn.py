@@ -250,8 +250,13 @@ def knn_cell_exact_ds(points_ds, queries_ds, res: int, k: int,
         return pd.concat([out, redo], ignore_index=True)
 
     from .shuffle import grouped_apply
+    # out_dtypes: the meta rows' typed nulls make pandas float64-upcast
+    # neighbor_id/rank for the whole bucket; restore declared int64
     res_ds = grouped_apply(tagged, ["query_id"], certify,
-                           num_buckets=num_buckets).materialize()
+                           num_buckets=num_buckets,
+                           out_dtypes={"query_id": pa.int64(),
+                                       "neighbor_id": pa.int64(),
+                                       "rank": pa.int64()}).materialize()
 
     import pyarrow.compute as pc
     cert_rows = res_ds.map_batches(

@@ -24,6 +24,30 @@ import pandas as pd
 BUCKET_COL = "__bucket"
 
 
+def cast_columns(t, dtypes: dict):
+    """Cast named columns of an Arrow table to the given Arrow types,
+    converting float NaN to null first when the target is integral.
+
+    Pandas represents int64-with-nulls as float64+NaN, so any bucket_fn
+    whose bucket mixes nulls into an integer column (tagged unions, outer
+    joins) emits float64 blocks; this restores the declared schema so the
+    output hashes/compares as BIGINT, not DOUBLE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name in t.column_names:
+        col = t[name]
+        want = dtypes.get(name)
+        if want is None or col.type == want:
+            cols[name] = col
+            continue
+        if pa.types.is_floating(col.type) and not pa.types.is_floating(want):
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+        cols[name] = pc.cast(col, want)
+    return pa.table(cols)
+
+
 def add_bucket(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:
     """Append a stable hash-bucket column of the key tuple (deterministic
     across processes: pandas.util.hash_pandas_object uses a fixed key)."""
@@ -36,19 +60,28 @@ def add_bucket(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.Da
 
 def grouped_apply(ds, key_cols: list[str],
                   bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                  *, num_buckets: int = 64):
+                  *, num_buckets: int = 64, out_dtypes: dict | None = None):
     """Shuffle ``ds`` by hash bucket of ``key_cols`` and apply ``bucket_fn``
     to each bucket (a pandas DataFrame holding *all* rows of *all* keys in
     the bucket — bucket_fn must do its own within-bucket groupby).
 
     num_buckets sizes the shuffle parallelism: ~2-4× the cluster cores,
     bounded so each bucket fits a worker's heap.
+
+    out_dtypes (column name → pyarrow type) restores output columns that
+    pandas upcast (int64-with-null → float64) back to their declared Arrow
+    types — pass it whenever bucket_fn sees tagged-union / outer-join nulls
+    in integer columns.
     """
     ds = ds.map_batches(lambda df: add_bucket(df, key_cols, num_buckets),
                         batch_format="pandas")
-    return (ds.groupby(BUCKET_COL)
-              .map_groups(lambda df: bucket_fn(df.drop(columns=[BUCKET_COL])),
-                          batch_format="pandas"))
+    out = (ds.groupby(BUCKET_COL)
+             .map_groups(lambda df: bucket_fn(df.drop(columns=[BUCKET_COL])),
+                         batch_format="pandas"))
+    if out_dtypes:
+        out = out.map_batches(lambda t: cast_columns(t, out_dtypes),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return out
 
 
 def partial_group_counts(ds, key_cols: list[str], count_col: str = "n"):

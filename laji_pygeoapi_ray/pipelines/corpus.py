@@ -33,10 +33,18 @@ MIN_CAPTION_TOKENS = 5
 
 def build_training_corpus(sf_dir: str, out_dir: str | None = None):
     """Returns (dataset, counters); writes the partitioned corpus when
-    ``out_dir`` is given."""
-    counters: dict[str, int] = {}
-    ds = images_ds(sf_dir)
-    counters["input"] = ds.count()
+    ``out_dir`` is given.
+
+    Row accounting streams: each gate interposes a pass-through counting
+    stage (``state/metrics.py`` — fire-and-forget per-block increments to
+    a zero-CPU actor) so the pipeline is consumed exactly ONCE by its
+    real sink; nothing is materialized just to be counted. With
+    ``out_dir`` the counters are resolved after the write; without it the
+    caller consumes the returned dataset, then ``counters.resolve()``."""
+    from ..state.metrics import StageMetrics
+
+    counters = StageMetrics()
+    ds = counters.counted(images_ds(sf_dir), "input")
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(ImageDecodeStage,
                         fn_constructor_kwargs={"drop_bytes": True},
@@ -52,14 +60,12 @@ def build_training_corpus(sf_dir: str, out_dir: str | None = None):
         return t.filter(keep)
 
     ds = ds.map_batches(quality_gate, batch_format="pyarrow")
-    ds = ds.materialize()
-    counters["after_quality"] = ds.count()
+    ds = counters.counted(ds, "after_quality")
 
     # visual exact-dup removal: keep-first per phash
     ds = dedup_keep_latest(ds, ["phash"], ["image_id"],
                            descending=False, num_buckets=32)
-    ds = ds.materialize()
-    counters["after_dedup"] = ds.count()
+    ds = counters.counted(ds, "after_dedup")
 
     ds = train_val_split(ds, 80, id_col="img_no")
 
@@ -82,6 +88,7 @@ def build_training_corpus(sf_dir: str, out_dir: str | None = None):
         shutil.rmtree(out_dir, ignore_errors=True)
         ds.write_parquet(tmp, partition_cols=["split", "province"])
         os.replace(tmp, out_dir)
+        counters.resolve()
     return ds, counters
 
 

@@ -86,16 +86,48 @@ def _cos_sql() -> str:
 def cosine_neardup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.3 — sized to the synthetic
     embedding distribution, max pairwise cos ≈ 0.44) over the vec_id<250
-    subset — exact integer threshold test (9/100 rational), oracle-exact;
-    the full-corpus scale path is LSH buckets + this verifier."""
+    subset — exact integer threshold test (9/100 rational), oracle-exact.
+    The broadcast side is packed EXPLICITLY from the bounded subset
+    (`pack_broadcast_side`); the full-corpus no-broadcast scale path is
+    `cosine_neardup_pairs_lsh`."""
     import pyarrow.dataset as pads
 
-    from ..stages.ann import cosine_threshold_pairs
+    from ..stages.ann import cosine_threshold_pairs, pack_broadcast_side
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=(pads.field("vec_id") < COS_SUB))
-    return cosine_threshold_pairs(ds, tau2=(9, 100))
+    return cosine_threshold_pairs(ds, pack_broadcast_side(ds),
+                                  tau2=(9, 100))
+
+
+def _cos_lsh_sql() -> str:
+    q = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+         f"CAST({COS_SCALE!r} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))")
+    return f"""
+    WITH q AS (SELECT vec_id, {q} AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 CAST(list_dot_product(e, e) AS BIGINT) AS n2 FROM q),
+    d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(list_dot_product(a.e, b.e) AS BIGINT) AS dot,
+                 a.n2 AS na2, b.n2 AS nb2
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, dot FROM d
+    WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2"""
+
+
+@register("cosine_neardup_pairs_lsh", sql=_cos_lsh_sql)
+def cosine_neardup_pairs_lsh(sf_dir: str):
+    """FULL-corpus cosine near-dup sweep with NO broadcast side: SRP-LSH
+    band explode → one band_key shuffle → exact integer rational-τ verify
+    inside each bucket → pair dedup. The oracle is the exact all-pairs
+    self-join over the whole embeddings table — equality proves the
+    bucketed sweep loses no pair on this fixture (params sized for the
+    fixture's low τ; see `stages/ann.cosine_pairs_lsh` docstring)."""
+    from ..stages.ann import cosine_pairs_lsh
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_lsh(ds, tau2=(9, 100))
 
 
 @register("ann_topk_ivf")

@@ -208,7 +208,32 @@ def ann_topk_lsh(emb_ds, queries_ds, k: int, *, n_shards: int = 4,
                          num_buckets=num_buckets)
 
 
-def cosine_threshold_pairs(emb_ds, *, subset_ref=None,
+def pack_broadcast_side(emb_ds, *, scale: float = 1000.0,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Pack a BOUNDED embedding Dataset into one object-store ref of
+    (ids, quantized matrix, squared norms) for the broadcast side of
+    :func:`cosine_threshold_pairs`. The packing runs in a REMOTE task
+    over the Dataset's block refs — the vectors never land on the driver
+    (same pattern as :func:`shard_corpus_refs`).
+
+    Callers must bound the input themselves (a filtered subset / one
+    LSH bucket / one shard): packing an unbounded corpus here is exactly
+    the 100-TB trap this explicit helper exists to make visible — for a
+    full-corpus sweep use :func:`cosine_pairs_lsh` instead."""
+    @ray.remote
+    def pack(idc, embc, s, *blocks):
+        t = pa.concat_tables([b.select([idc, embc]) for b in blocks],
+                             promote_options="default")
+        ids = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.floor(_emb_matrix(t, embc).astype(np.float64)
+                     * s + 0.5).astype(np.int64)
+        return ids, m, (m * m).sum(axis=1)
+
+    return pack.remote(id_col, emb_col, scale, *emb_ds.to_arrow_refs())
+
+
+def cosine_threshold_pairs(emb_ds, subset_ref, *,
                            tau2: tuple[int, int] = (361, 400),
                            scale: float = 1000.0,
                            id_col: str = "vec_id",
@@ -223,26 +248,16 @@ def cosine_threshold_pairs(emb_ds, *, subset_ref=None,
     361/400 = 0.95²) over ``scale``-quantized int64 components (bounds:
     dim·(scale·max|x|)² products stay far below 2⁶³ — no rounding anywhere).
 
-    The broadcast side (``subset_ref`` or the materialized emb_ds) is the
-    small-side baseline; the scale path for a full-corpus sweep is LSH
-    bucketing (``LshAnnIndex``) with THIS integer test as the exact
-    verifier inside each bucket."""
+    ``subset_ref`` (REQUIRED — build with :func:`pack_broadcast_side`) is
+    the bounded broadcast side; the full-corpus sweep with no broadcast
+    side at all is :func:`cosine_pairs_lsh`."""
     num, den = int(tau2[0]), int(tau2[1])
     if subset_ref is None:
-        # pack the broadcast side in a REMOTE task from the Dataset's block
-        # refs — the vectors never land on the driver (same pattern as
-        # shard_corpus_refs)
-        @ray.remote
-        def pack(idc, embc, s, *blocks):
-            t = pa.concat_tables([b.select([idc, embc]) for b in blocks],
-                                 promote_options="default")
-            ids = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
-            m = np.floor(_emb_matrix(t, embc).astype(np.float64)
-                         * s + 0.5).astype(np.int64)
-            return ids, m, (m * m).sum(axis=1)
-
-        subset_ref = pack.remote(id_col, emb_col, scale,
-                                 *emb_ds.to_arrow_refs())
+        raise ValueError(
+            "cosine_threshold_pairs requires an explicit bounded "
+            "subset_ref (pack_broadcast_side); for a full-corpus sweep "
+            "use cosine_pairs_lsh — broadcasting the whole corpus is the "
+            "O(n^2) trap this signature forbids")
 
     def scan(batch: pa.Table) -> pa.Table:
         cid, cm, cn2 = ray.get(subset_ref)
@@ -258,6 +273,92 @@ def cosine_threshold_pairs(emb_ds, *, subset_ref=None,
                          "dot": d[ia, ib]})
 
     return emb_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _srp_planes(d: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    """Deterministic sign-random-projection planes, (T, d, B)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, d, n_bits))
+
+
+def cosine_pairs_lsh(emb_ds, *, tau2: tuple[int, int] = (361, 400),
+                     scale: float = 1000.0, n_bits: int = 4,
+                     n_tables: int = 64, seed: int = 42,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     num_buckets: int = 64, group_cap: int = 65536):
+    """Full-corpus cosine near-dup sweep — NO broadcast side: sign-random-
+    projection LSH buckets + the exact integer rational-τ verifier inside
+    each bucket (the scale path `cosine_threshold_pairs` documents).
+
+    Shape: one map_batches explodes every vector into its T per-table
+    bucket keys (band_key = table·2^B + signcode, quantized embedding
+    rides along as a fixed-size int64 list); ONE hash shuffle on band_key
+    cogroups colliding vectors; each bucket runs the all-pairs integer
+    test vectorized; a final (id_a, id_b) shuffle dedups pairs found in
+    several tables. Only bucket-collision pairs are ever scored — no
+    O(n²) matmul, no whole-corpus object.
+
+    Recall is probabilistic in general (P[collide] = 1-(1-(1-θ/π)^B)^T);
+    the defaults (B=4, T=64) are sized for the synthetic fixture's LOW
+    τ (cos ≥ 0.3, θ≈72°) where hyperplane LSH is weakest — at real
+    near-dup thresholds (τ ≥ 0.9, θ ≤ 26°) a handful of tables gives the
+    same recall and the T-fold explode shrinks accordingly. Buckets
+    larger than ``group_cap`` (degenerate codes) are skipped, mirroring
+    minhash's stop-bucket pruning (`simdedup.py`)."""
+    from .shuffle import grouped_apply
+
+    num, den = int(tau2[0]), int(tau2[1])
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        mq = np.floor(m * scale + 0.5).astype(np.int64)
+        d = mq.shape[1]
+        planes = _srp_planes(d, n_bits, n_tables, seed)
+        n = len(ids)
+        keys = np.empty((n_tables, n), dtype=np.int64)
+        for ti in range(n_tables):
+            codes = ((mq @ planes[ti]) > 0) @ weights
+            keys[ti] = ti * (1 << n_bits) + codes
+        flat = np.tile(mq, (n_tables, 1))
+        return pa.table({
+            "band_key": keys.ravel(),
+            "id": np.tile(ids, n_tables),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat.ravel()), d),
+        })
+
+    exploded = emb_ds.map_batches(explode, batch_format="pyarrow")
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("band_key", sort=False):
+            if len(g) < 2 or len(g) > group_cap:
+                continue
+            gids = g["id"].to_numpy(np.int64)
+            gm = np.stack(g["emb"].to_numpy()).astype(np.int64)
+            n2 = (gm * gm).sum(axis=1)
+            dmat = gm @ gm.T
+            ok = ((gids[:, None] < gids[None, :]) & (dmat > 0)
+                  & (den * dmat * dmat >= num * (n2[:, None] * n2[None, :])))
+            ia, ib = np.nonzero(ok)
+            if len(ia):
+                outs.append(pd.DataFrame({"id_a": gids[ia],
+                                          "id_b": gids[ib],
+                                          "dot": dmat[ia, ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "dot": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped_apply(exploded, ["band_key"], verify_bucket,
+                          num_buckets=num_buckets)
+    return grouped_apply(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]),
+        num_buckets=num_buckets)
 
 
 def fit_ivf_centroids(sample: np.ndarray, n_lists: int,

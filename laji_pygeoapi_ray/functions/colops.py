@@ -23,18 +23,22 @@ FAMILY_RE = re.compile(r"^(.*)\[\d+\]$")
 
 
 def dict_map(arr: pa.Array, mapping: dict, *, keep_on_miss: bool = False) -> pa.Array:
-    """Vectorized dict lookup over a string array: miss → null (the enum
-    maps) or the original value (the value-range fallback)."""
+    """Vectorized dict lookup over a string array via ``pc.index_in``
+    against the mapping's key array + ``pc.take`` from its value array —
+    no Python loop over rows. Miss → null (the enum maps) or the original
+    value (the value-range fallback)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    vals = arr.to_numpy(zero_copy_only=False)
+    arr = pc.cast(arr, pa.string())
+    keys = pa.array(list(mapping.keys()), pa.string())
+    vals = pa.array([mapping[k] for k in mapping], pa.string())
+    idx = pc.index_in(arr, value_set=keys)
+    mapped = pc.take(vals, idx)
     if keep_on_miss:
-        out = np.array([mapping.get(v, v) if v is not None else None
-                        for v in vals], dtype=object)
-    else:
-        out = np.array([mapping.get(v) if v is not None else None
-                        for v in vals], dtype=object)
-    return pa.array(out, type=pa.string())
+        # miss = input valid but key absent (idx null) → keep the input
+        mapped = pc.if_else(pc.and_(pc.is_valid(arr), pc.is_null(idx)),
+                            arr, mapped)
+    return mapped
 
 
 def combine_similar_columns(batch: pa.Table) -> pa.Table:

@@ -425,18 +425,23 @@ def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _emb_matrix(t, emb_col).astype(np.float64)
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        mq = quantize(m)
         return pa.table({"list_id": d2.argmin(1).astype(np.int64),
                          "side": np.zeros(len(t), dtype=np.int8),
-                         "id": ids, "emb": pa.array(list(quantize(m)))})
+                         "id": ids,
+                         "emb": pa.FixedSizeListArray.from_arrays(
+                             pa.array(mq.ravel()), mq.shape[1])})
 
     # queries: replicate to n_probe nearest lists (driver-side small table)
     qd2 = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
     probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    qrep = np.repeat(qmq, n_probe, axis=0)
     q_tbl = pa.table({
         "list_id": probes.ravel().astype(np.int64),
         "side": np.ones(probes.size, dtype=np.int8),
         "id": np.repeat(qid, n_probe),
-        "emb": pa.array(list(np.repeat(qmq, n_probe, axis=0))),
+        "emb": pa.FixedSizeListArray.from_arrays(
+            pa.array(qrep.ravel()), qrep.shape[1]),
     })
     import ray.data as rd
     tagged = emb_ds.map_batches(tag_corpus, batch_format="pyarrow") \

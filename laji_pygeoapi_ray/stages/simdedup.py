@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import textkernels as tk
 from .shuffle import grouped_apply
@@ -135,7 +136,7 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         if isinstance(bl, pa.ChunkedArray):
             bl = bl.combine_chunks()
         flat = bl.flatten().to_numpy(zero_copy_only=False)
-        reps = np.asarray([len(x) for x in bl.to_pylist()])
+        reps = pc.list_value_length(bl).to_numpy(zero_copy_only=False)
         return pa.table({id_col: np.repeat(ids, reps), "band_key": flat})
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")

@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..functions import cells, points
 from ..sources import images as imgsrc
@@ -112,22 +112,42 @@ def image_tile_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
-@register("image_decode_verify")  # rows-only: PSNR needs the codec
+@register("image_decode_verify", sql=lambda: f"""
+    SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_decode_ok,
+           COUNT(*) AS n_psnr_ok
+    FROM {_img_path_sql(ORACLE_N)} GROUP BY fmt""")
 def image_decode_verify(sf_dir: str):
     """The flagship multimodal pipeline head: decode every image (actor
-    pool, small batches), verify the north-rule invariants (PSNR ≥ 40 dB,
-    lossless exact), and emit per-fmt verification stats."""
+    pool, small batches) and verify the north-rule invariants (PSNR ≥
+    40 dB, lossless exact). Partial SQL twin: the oracle knows every
+    stored image must decode and pass PSNR by construction, so it emits
+    n = n_decode_ok = n_psnr_ok per fmt — the Ray side COMPUTES both
+    gates from the decoded pixels, and any decode or PSNR regression
+    breaks the equality. (min-PSNR/mean-luma diagnostics stay in the ETL
+    manifest, `pipelines/etl.py`.)"""
+    import pyarrow.compute as pc
+
     ds = images_ds(sf_dir)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(ImageDecodeStage,
                         fn_constructor_kwargs={"drop_bytes": True},
                         batch_format="pyarrow",
                         batch_size=512, concurrency=fixed_pool(), num_cpus=1)
-    agg = ds.groupby("fmt").aggregate(
-        Count(alias_name="n"), Min("psnr", alias_name="min_psnr"),
-        Mean("mean_lum", alias_name="avg_lum"))
+
+    def gates(t: pa.Table) -> pa.Table:
+        ok = pc.fill_null(t["decode_ok"], False)
+        psnr_ok = pc.and_(ok, pc.fill_null(
+            pc.greater_equal(t["psnr"], 40.0), False))
+        return pa.table({"fmt": t["fmt"],
+                         "decode_ok": pc.cast(ok, pa.int64()),
+                         "psnr_ok": pc.cast(psnr_ok, pa.int64())})
+
+    agg = ds.map_batches(gates, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Count(alias_name="n"), Sum("decode_ok", alias_name="n_decode_ok"),
+            Sum("psnr_ok", alias_name="n_psnr_ok"))
     return agg.map_batches(
-        lambda t: t.rename_columns(["fmt", "n", "min_psnr", "avg_lum"]),
+        lambda t: t.rename_columns(["fmt", "n", "n_decode_ok", "n_psnr_ok"]),
         batch_format="pyarrow")
 
 
@@ -158,13 +178,13 @@ def image_ann_neardup(sf_dir: str):
     return ann_topk_broadcast(emb, qdf, 5)
 
 
-@register("video_frame_sample")  # rows-only: fake-codec media op
 def video_frame_sample(sf_dir: str):
     """Video frame-sampling pipeline over deterministic synthetic clips
     (one 8-frame vraw clip per document): synth → FrameSampleStage actor
     pool (stride 2) → one row per sampled frame with per-frame luma mean +
-    64-bit frame hash. Determinism + degrade behavior asserted in
-    tests/test_media.py."""
+    64-bit frame hash. Not registered on its own — the oracle-checked
+    `video_frame_stats` projection subsumes it in the driver gate;
+    determinism + degrade behavior asserted in tests/test_media.py."""
     import ray.data as rd
 
     from ..stages import media

@@ -57,11 +57,14 @@ def knn_nearest_occurrence(sf_dir: str):
     return knn_broadcast(_points_ds(sf_dir), _query_points(sf_dir), K)
 
 
-@register("knn_cogroup_nearest")  # rows-only: the approximate scale path
+@register("knn_cogroup_nearest", sql=_knn_sql)
 def knn_cogroup_nearest(sf_dir: str):
-    """The cell-cogrouped kNN scale path as a driver query (rows-only;
-    exactness vs the broadcast path is asserted in
-    tests/test_knn_ann.py::test_knn_cell_cogroup_matches_broadcast)."""
+    """The cell-cogrouped kNN scale path as a driver query. At these
+    parameters (res=3 ring=1 — every query's true k neighbors fall inside
+    the ring on the derived-point distribution) the ring candidates are
+    complete, so it shares the exact oracle; the general-parameter
+    approximation bound is asserted in
+    tests/test_knn_ann.py::test_knn_cell_cogroup_matches_broadcast."""
     import ray.data as rd
 
     from ..stages.knn import knn_cell_cogroup

@@ -355,14 +355,33 @@ def rollup_geom_counts(sf_dir: str):
     return out[["province", "geom_group", "n"]]
 
 
-@register("hll_distinct_users")  # rows-only: sketch (approximate by design)
+@register("hll_distinct_users", sql="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct_users,
+           TRUE AS hll_within_5pct
+    FROM events""")
 def hll_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user sketch over events (p=12, ~1.6 % err):
-    4 KB partials per batch, max-merge — accuracy vs exact COUNT DISTINCT
-    asserted in tests."""
-    from ..stages.shuffle import hll_distinct
+    4 KB partials per batch, max-merge. Oracle-bearing now: the exact
+    distinct count is computed DISTRIBUTED (per-batch unique partials →
+    one dedup shuffle → count — the `distinct` operator) and
+    value-checked against COUNT(DISTINCT); the sketch is certified by the
+    hll_within_5pct flag, which goes false (→ red driver row) if the HLL
+    estimate drifts beyond ±5 % of the exact count."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply, hll_distinct
 
     ds = read_table(sf_dir, "events", ["user_id"])
     est = hll_distinct(ds, "user_id")
-    return pa.table({"estimated_distinct_users":
-                     pa.array([est], pa.float64())})
+    # exact distinct, distributed: per-batch unique → hash dedup shuffle
+    partials = ds.map_batches(
+        lambda t: pa.table({"user_id": pc.unique(t["user_id"])}),
+        batch_format="pyarrow")
+    exact = grouped_apply(partials, ["user_id"],
+                          lambda df: df.drop_duplicates(),
+                          num_buckets=16).count()
+    return pa.table({
+        "exact_distinct_users": pa.array([exact], pa.int64()),
+        "hll_within_5pct": pa.array([abs(est - exact) <= 0.05 * exact],
+                                    pa.bool_())})

@@ -304,9 +304,9 @@ def event_session_join(sf_dir: str):
 
 @register("running_user_totals", sql="""
     SELECT event_id, user_id, ts,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS running_cents,
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
            CAST(row_number() OVER (PARTITION BY user_id
                 ORDER BY ts, event_id) AS BIGINT) AS event_no
     FROM events""")

@@ -233,7 +233,12 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
         ok = m[start_col].notna() & (m[ts_col] <= m[end_col])
         return m[ok][out_cols].reset_index(drop=True)
 
-    return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets)
+    # restore source dtypes (the tagged union's typed nulls float64-upcast
+    # integer columns for the whole pandas bucket)
+    ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    out_dtypes = {c: ltypes.get(c, itypes.get(c)) for c in out_cols}
+    return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets,
+                         out_dtypes=out_dtypes)
 
 
 def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
@@ -311,5 +316,7 @@ def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
         ok = (m[start_col] <= m[ts_col]) & (m[ts_col] <= m[end_col])
         return m[ok][out_cols].reset_index(drop=True)
 
+    ltypes2 = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    out_dtypes = {c: ltypes2.get(c, itypes.get(c)) for c in out_cols}
     return grouped_apply(tagged, [key, "__bin"], bucket_fn,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets, out_dtypes=out_dtypes)

@@ -57,4 +57,11 @@ def assert_query_matches_oracle(name: str, sf_dir: str = SF_ORACLE):
     exp = normalize(con.sql(sql).df())
     assert list(got.columns) == list(exp.columns), (list(got.columns), list(exp.columns))
     assert len(got) == len(exp), (len(got), len(exp))
+    # driver's value hash is dtype-sensitive (int64 23 != float64 23.0):
+    # require matching numpy dtype KIND per column (int vs float vs bool);
+    # tolerate object/string spellings and datetime unit differences
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        assert gk == ek or {gk, ek} <= {"O", "U", "S"}, \
+            (name, c, got[c].dtype, exp[c].dtype)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)

@@ -10,15 +10,18 @@ Reproduced semantics (file:line into /root/reference/pygeoapi/scripts):
 - ``validate_geometry`` (process_data.py:25-39): mask invalid geometries,
   repair only those, count edits.
 
-Documented deviations (no GEOS here):
-- ``buffer`` uses a regular 16-gon disc / Minkowski sum (exact for convex
-  shapes); the mixed-GC ``union`` preserves GEOS unary_union's STRUCTURE
-  (disjoint parts stay separate MultiPolygon members — grouped by exact
-  convex-SAT overlap), with each merged group realised as the convex hull
-  of its vertices; coordinates differ from GEOS only for concave merges.
-- ``make_valid`` repairs self-intersecting rings by convex hull (GEOS
-  produces the odd-even rebuild); validity DETECTION (ring closure, ≥4
-  points, self-intersection, winding) is exact.
+Union and repair now run on the planar-overlay engine
+(``functions/polyclip.py``) with true GEOS semantics:
+- mixed-GC ``union`` = real unary_union: per-segment convex capsules for
+  buffered points/lines, overlaid with polygon parts; concave merges,
+  shared-edge dissolves, holes and disjoint structure all exact.
+- ``make_valid`` = the odd-even linework rebuild (a bowtie splits into
+  its two triangles, exactly as GEOS); falls back to the convex hull
+  only for degenerate linework the overlay cannot trace.
+
+Remaining documented deviation (no GEOS here): the buffer disc is a
+regular 16-gon (GEOS default quad_segs=8 → 32-gon), so buffered
+COORDINATES differ from GEOS while topology/structure match.
 
 WKB follows the OGC well-known-binary spec (little-endian, 2-D).
 """
@@ -164,6 +167,32 @@ def buffer_to_polygon(g: Geometry, dist: float = 0.5) -> Geometry:
     return Geometry("Polygon", [close_ring(convex_hull(cloud))])
 
 
+def buffer_capsules(g: Geometry, dist: float = 0.5) -> list[list[np.ndarray]]:
+    """Buffer a Point/LineString as a list of CONVEX capsule polygons —
+    one disc per point, one segment capsule (hull of the two endpoint
+    discs, exact Minkowski sum of a segment) per line segment. Their
+    union (polyclip.union_rings) is the true — possibly concave — buffer
+    of the whole geometry."""
+    if g.type == "Point":
+        pts = np.asarray(g.data, dtype=np.float64)[None, :]
+        segs = []
+    elif g.type == "LineString":
+        xy = np.asarray(g.data, dtype=np.float64)
+        pts = xy[:1] if len(xy) == 1 else np.empty((0, 2))
+        segs = list(zip(xy[:-1], xy[1:]))
+    else:
+        raise ValueError(f"buffer_capsules: unsupported {g.type}")
+    out = []
+    for p in pts:
+        disc = p[None, :] + dist * _DISC
+        out.append([close_ring(convex_hull(disc))])
+    for a, b in segs:
+        cloud = (np.stack([a, b])[:, None, :]
+                 + dist * _DISC[None, :, :]).reshape(-1, 2)
+        out.append([close_ring(convex_hull(cloud))])
+    return out
+
+
 def convex_overlap(a: np.ndarray, b: np.ndarray) -> bool:
     """Exact overlap test for two CONVEX rings via the separating-axis
     theorem: the polygons are disjoint iff some edge normal of either
@@ -206,35 +235,26 @@ def normalize_geometry(g: Geometry | None) -> tuple[Geometry | None, bool]:
         members = _flatten_members(g.data)
         return Geometry(f"Multi{base}", members), True
     # mixed: buffer non-polygons by 0.5, union, promote to MultiPolygon
-    # (process_data.py:163-176). Union semantics follow GEOS unary_union's
-    # STRUCTURE: parts that touch/overlap merge into one polygon (hull of
-    # the merged vertex set — the documented convex approximation), while
-    # DISJOINT parts stay separate members of the MultiPolygon.
-    buffered = [p if p.base_type == "Polygon" else buffer_to_polygon(p)
-                for p in _flatten_members(g.data)]
-    rings = [np.asarray(b.data[0] if b.type == "Polygon"
-                        else b.data[0].data[0]) for b in buffered]
-    hulls = [close_ring(convex_hull(r)) for r in rings]
-    # connectivity components via exact convex-convex overlap (SAT)
-    n_parts = len(hulls)
-    comp = list(range(n_parts))
+    # (process_data.py:163-176). TRUE unary_union via the planar-overlay
+    # engine: points/lines become per-segment convex capsules, polygons
+    # keep their rings (holes included), and the overlay merges touching
+    # parts with real (possibly concave) boundary coordinates while
+    # disjoint parts stay separate MultiPolygon members.
+    from .polyclip import union_rings
 
-    def find(i):
-        while comp[i] != i:
-            comp[i] = comp[comp[i]]
-            i = comp[i]
-        return i
-
-    for i in range(n_parts):
-        for j in range(i + 1, n_parts):
-            if find(i) != find(j) and convex_overlap(hulls[i], hulls[j]):
-                comp[find(j)] = find(i)
-    groups: dict[int, list[np.ndarray]] = {}
-    for i, r in enumerate(rings):
-        groups.setdefault(find(i), []).append(r)
-    members = [Geometry("Polygon",
-                        [close_ring(convex_hull(np.concatenate(rs)))])
-               for _, rs in sorted(groups.items())]
+    polys: list[list[np.ndarray]] = []
+    for p in _flatten_members(g.data):
+        if p.base_type == "Polygon":
+            polys.append([close_ring(np.asarray(r, dtype=np.float64))
+                          for r in p.data])
+        else:
+            polys.extend(buffer_capsules(p))
+    merged = union_rings(polys)
+    if not merged:      # degenerate linework: fall back to the hull
+        allpts = np.concatenate([r for rs in polys for r in rs])
+        merged = [(close_ring(convex_hull(allpts)), [])]
+    members = [Geometry("Polygon", [shell] + list(holes))
+               for shell, holes in merged]
     return Geometry("MultiPolygon", members), True
 
 
@@ -278,16 +298,38 @@ def is_valid(g: Geometry | None) -> bool:
 
 
 def make_valid(g: Geometry) -> Geometry:
-    """Repair an invalid polygonal geometry (convex-hull rebuild — the
-    engine's make_valid-lite; GEOS would odd-even decompose)."""
+    """Repair an invalid polygonal geometry with the GEOS linework
+    semantics: node every self-crossing and keep the odd-winding faces
+    (``polyclip.odd_even_rebuild`` — a bowtie splits into its two
+    triangles). Falls back to the convex hull only when the linework is
+    degenerate (no traceable face)."""
     if g.type == "Polygon":
+        from .polyclip import odd_even_rebuild
+
+        try:
+            parts = odd_even_rebuild(
+                [np.asarray(r, dtype=np.float64) for r in g.data])
+        except Exception:
+            parts = []
+        if len(parts) == 1:
+            shell, holes = parts[0]
+            return Geometry("Polygon", [shell] + list(holes))
+        if parts:
+            return Geometry("MultiPolygon",
+                            [Geometry("Polygon", [s] + list(hs))
+                             for s, hs in parts])
         return Geometry("Polygon",
                         [close_ring(convex_hull(np.asarray(g.data[0])[:-1]
                                                 if len(g.data[0]) > 1
                                                 else g.data[0]))])
     if g.type == "MultiPolygon":
-        return Geometry("MultiPolygon", [make_valid(p) if not is_valid(p)
-                                         else p for p in g.data])
+        members = []
+        for p in g.data:
+            rp = make_valid(p) if not is_valid(p) else p
+            # a repaired member may itself split (bowtie → 2 polygons):
+            # flatten so the result stays a legal MultiPolygon
+            members.extend(rp.data if rp.type == "MultiPolygon" else [rp])
+        return Geometry("MultiPolygon", members)
     return g
 
 

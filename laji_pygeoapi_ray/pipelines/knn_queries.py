@@ -83,3 +83,30 @@ def knn_cell_exact_nearest(sf_dir: str):
 
     return knn_cell_exact(_points_ds(sf_dir), _query_points(sf_dir),
                           res=7, k=K, ring=1, num_buckets=8)
+
+
+DW_RADIUS = 0.25     # degrees; ~mean NN spacing of the derived points
+DW_RES = 5           # cell width 12.51/32 ≈ 0.39 ≥ radius → ring = 1
+
+
+def _dwithin_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= CAST('{DW_RADIUS}' AS DOUBLE) * CAST('{DW_RADIUS}' AS DOUBLE)"""
+
+
+@register("dwithin_doc_pairs", sql=_dwithin_sql)
+def dwithin_doc_pairs(sf_dir: str):
+    """ST_DWithin radius self-join (the literal PostGIS capability of the
+    north star): all derived-point pairs within 0.25°, via the grid
+    ghost-cell cogroup with the exactly-once smaller-id-home rule — one
+    shuffle, no O(n²) scan; the oracle IS the O(n²) scan."""
+    from ..stages.knn import dwithin_pairs
+
+    return dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
+                         num_buckets=32)

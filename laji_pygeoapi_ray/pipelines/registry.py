@@ -42,7 +42,7 @@ _DRIVER_PRIORITY = [
     "topk_orders_per_segment", "knn_cell_exact_nearest",
     # tier 1: newly oracle-bearing this round
     "knn_cogroup_nearest", "image_decode_verify", "hll_distinct_users",
-    "cosine_neardup_pairs_lsh",
+    "cosine_neardup_pairs_lsh", "dwithin_doc_pairs",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -283,3 +283,89 @@ def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
     qds = ray.data.from_pandas(queries.reset_index(drop=True))
     return knn_cell_exact_ds(points_ds, qds, res, k, ring=ring,
                              num_buckets=num_buckets).to_pandas()
+
+
+def dwithin_pairs(points_ds, radius: float, *, res: int,
+                  num_buckets: int = 64):
+    """``ST_DWithin`` radius SELF-JOIN: every pair (id_a < id_b) of points
+    within euclidean distance ``radius`` — the literal PostGIS capability
+    the north star names (the kNN operators above are its "k nearest"
+    sibling).
+
+    Distribution (fixed-radius near-neighbor join): every point lands
+    HOME in its grid cell and GHOSTS into the ``ring`` neighboring cells
+    (ring = ceil(radius / cell_width) — the ring provably covers every
+    point within ``radius``); ONE hash shuffle on the cell id cogroups
+    candidates; each cell runs a vectorized home×(home+ghost) distance
+    matrix. Exactly-once rule: a pair is emitted ONLY in the home cell of
+    its smaller-id endpoint, so no cross-cell pair is double-counted and
+    no dedup shuffle is needed. Replication factor (2·ring+1)² is the
+    scale knob — pick ``res`` so the cell width is near ``radius``.
+
+    d2 is computed with the same operand order as the SQL twin
+    ((xa−xb)² + (ya−yb)², a = smaller id), so values are bit-identical.
+    Returns a Dataset (id_a, id_b, d2)."""
+    from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
+    from .shuffle import grouped_apply
+
+    n = 1 << res
+    cw = (FIN_X1 - FIN_X0) / n
+    ch = (FIN_Y1 - FIN_Y0) / n
+    ring = max(1, int(np.ceil(radius / min(cw, ch))))
+    r2 = radius * radius
+    offs = np.array([(dx, dy) for dy in range(-ring, ring + 1)
+                     for dx in range(-ring, ring + 1)], dtype=np.int64)
+    home_off = np.flatnonzero((offs[:, 0] == 0) & (offs[:, 1] == 0))[0]
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ix, iy = cells.cell_xy(x, y, res)
+        jx = ix[:, None] + offs[None, :, 0]
+        jy = iy[:, None] + offs[None, :, 1]
+        valid = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)
+        home = np.zeros_like(valid)
+        home[:, home_off] = True
+        cell = ((np.int64(res) << cells.RES_SHIFT)
+                | (jy << cells.IY_SHIFT) | jx)
+        m = valid.ravel()
+        k_rep = offs.shape[0]
+        return pa.table({
+            "cell": cell.ravel()[m],
+            "id": np.repeat(ids, k_rep)[m],
+            "x": np.repeat(x, k_rep)[m],
+            "y": np.repeat(y, k_rep)[m],
+            "home": home.ravel()[m]})
+
+    exploded = points_ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cell", sort=False):
+            h = g[g["home"]]
+            if h.empty or len(g) < 2:
+                continue
+            hid = h["id"].to_numpy(np.int64)
+            hx = h["x"].to_numpy(np.float64)
+            hy = h["y"].to_numpy(np.float64)
+            aid = g["id"].to_numpy(np.int64)
+            ax = g["x"].to_numpy(np.float64)
+            ay = g["y"].to_numpy(np.float64)
+            dx = hx[:, None] - ax[None, :]
+            dy = hy[:, None] - ay[None, :]
+            d2 = dx * dx + dy * dy
+            ok = (hid[:, None] < aid[None, :]) & (d2 <= r2)
+            ia, ib = np.nonzero(ok)
+            if len(ia):
+                outs.append(pd.DataFrame({"id_a": hid[ia],
+                                          "id_b": aid[ib],
+                                          "d2": d2[ia, ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "d2": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(exploded, ["cell"], bucket_fn,
+                         num_buckets=num_buckets)

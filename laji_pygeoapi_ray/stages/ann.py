@@ -515,9 +515,10 @@ def kmeans_distributed(emb_ds, n_clusters: int, *, n_iters: int = 10,
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = id_hash(ids)
         order = np.argsort(h, kind="stable")[:n_clusters]
-        m = _emb_matrix(t, emb_col).astype(np.float64)
+        m = _emb_matrix(t, emb_col).astype(np.float64)[order]
         return pa.table({"h": h[order],
-                         "emb": pa.array(list(m[order]))})
+                         "emb": pa.FixedSizeListArray.from_arrays(
+                             pa.array(m.ravel()), m.shape[1])})
 
     seeds = pa.concat_tables(
         [b for b in emb_ds.map_batches(seed_scan, batch_format="pyarrow")
@@ -525,8 +526,7 @@ def kmeans_distributed(emb_ds, n_clusters: int, *, n_iters: int = 10,
         promote_options="default")
     hs = seeds["h"].to_numpy(zero_copy_only=False)
     top = np.argsort(hs, kind="stable")[:n_clusters]
-    cent = np.stack([np.asarray(seeds["emb"][int(i)].as_py())
-                     for i in top]).astype(np.float64)
+    cent = _emb_matrix(seeds, "emb").astype(np.float64)[top]
 
     prev_obj = None
     for _ in range(n_iters):
@@ -544,7 +544,8 @@ def kmeans_distributed(emb_ds, n_clusters: int, *, n_iters: int = 10,
             obj = d2[np.arange(len(m)), a].sum()
             return pa.table({
                 "cluster": np.arange(k, dtype=np.int64),
-                "sum": pa.array(list(sums)),
+                "sum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel()), d),
                 "cnt": cnt,
                 "obj": np.full(k, obj / k)})
 
@@ -555,8 +556,7 @@ def kmeans_distributed(emb_ds, n_clusters: int, *, n_iters: int = 10,
         cl = parts["cluster"].to_numpy(zero_copy_only=False)
         cnt = np.zeros(n_clusters)
         sums = np.zeros_like(cent)
-        for i in range(len(parts)):
-            sums[cl[i]] += np.asarray(parts["sum"][i].as_py())
+        np.add.at(sums, cl, _emb_matrix(parts, "sum").astype(np.float64))
         np.add.at(cnt, cl, parts["cnt"].to_numpy(zero_copy_only=False))
         obj = float(parts["obj"].to_numpy(zero_copy_only=False).sum())
         nonempty = cnt > 0

@@ -111,44 +111,61 @@ class LshAnnIndex:
             order = np.argsort(codes, kind="stable")
             self.tables.append((codes[order], order))
 
-    def _candidates(self, qm: np.ndarray) -> list[np.ndarray]:
-        per_query = [[] for _ in range(len(qm))]
+    def _candidates_flat(self, qm: np.ndarray):
+        """All bucket-collision (query_idx, candidate_idx) pairs, deduped —
+        fully vectorized (the per-table bucket gather uses the
+        concatenate-ranges idiom, the cross-table dedup one lexsort)."""
+        parts_q, parts_c = [], []
         for P, (codes_sorted, order) in zip(self.planes, self.tables):
             qcodes = ((qm @ P) > 0) @ self.weights
             lo = np.searchsorted(codes_sorted, qcodes, side="left")
             hi = np.searchsorted(codes_sorted, qcodes, side="right")
-            for i, (a, b) in enumerate(zip(lo, hi)):
-                if b > a:
-                    per_query[i].append(order[a:b])
-        return [np.unique(np.concatenate(c)) if c else np.empty(0, np.int64)
-                for c in per_query]
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            flat = np.arange(tot) - starts + np.repeat(lo, lens)
+            parts_c.append(order[flat])
+            parts_q.append(np.repeat(np.arange(len(qm)), lens))
+        if not parts_q:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        q = np.concatenate(parts_q)
+        c = np.concatenate(parts_c)
+        o = np.lexsort((c, q))
+        q, c = q[o], c[o]
+        keep = np.r_[True, (q[1:] != q[:-1]) | (c[1:] != c[:-1])]
+        return q[keep], c[keep]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         qm = quantize(_emb_matrix(batch, "embedding"))
-        oq, op, os, orank = [], [], [], []
-        for i, cand in enumerate(self._candidates(qm)):
-            cand = cand[self.cid[cand] != qid[i]]
-            if cand.size == 0:
-                continue
-            scores = self.cm[cand] @ qm[i]
-            sel = np.lexsort((self.cid[cand], -scores))[:self.k]
-            oq.append(np.full(len(sel), qid[i]))
-            op.append(self.cid[cand][sel])
-            os.append(scores[sel])
-            orank.append(np.arange(1, len(sel) + 1))
-        if not oq:
+        qidx, cand = self._candidates_flat(qm)
+        if len(cand):
+            keep = self.cid[cand] != qid[qidx]
+            qidx, cand = qidx[keep], cand[keep]
+        if not len(cand):
             cols = {"query_id": pa.array([], pa.int64()),
                     "neighbor_id": pa.array([], pa.int64()),
                     "score": pa.array([], pa.float64())}
             if self.with_rank:
                 cols["rank"] = pa.array([], pa.int64())
             return pa.table(cols)
-        cols = {"query_id": np.concatenate(oq),
-                "neighbor_id": np.concatenate(op),
-                "score": np.concatenate(os)}
+        scores = np.einsum("ij,ij->i", self.cm[cand], qm[qidx])
+        # per-query top-k: one global lexsort by (query, -score, cid),
+        # then positional rank within each query segment
+        order = np.lexsort((self.cid[cand], -scores, qidx))
+        qs_, cs_, ss_ = qidx[order], cand[order], scores[order]
+        first = np.r_[True, qs_[1:] != qs_[:-1]]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(qs_)), 0))
+        pos = np.arange(len(qs_)) - grp_start
+        sel = pos < self.k
+        cols = {"query_id": qid[qs_[sel]],
+                "neighbor_id": self.cid[cs_[sel]],
+                "score": ss_[sel]}
         if self.with_rank:
-            cols["rank"] = np.concatenate(orank)
+            cols["rank"] = pos[sel] + 1
         return pa.table(cols)
 
 

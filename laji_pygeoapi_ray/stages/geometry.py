@@ -78,6 +78,15 @@ def normalize_validate(t: pa.Table) -> pa.Table:
             out.append(None)
             groups.append(None)
             continue
+        # fast path: Point (code 1) / LineString (2) / MultiPoint (4) /
+        # MultiLineString (5) are normalization no-ops and always valid —
+        # skip the decode/re-encode entirely (the hot 80 % of rows)
+        code = b[1]
+        if code in (1, 2, 4, 5):
+            out.append(b)
+            groups.append(G.WKB_TYPES[code][5:]
+                          if code in (4, 5) else G.WKB_TYPES[code])
+            continue
         g, _ = G.wkb_decode(b)
         g2, conv = G.normalize_geometry(g)
         converted += conv

@@ -92,11 +92,44 @@ def build_training_corpus(sf_dir: str, out_dir: str | None = None):
     return ds, counters
 
 
-@register("training_corpus_counts")  # rows-only: composition op (each
-# stage has its own oracle; the composition is row-accounted in tests)
+def _corpus_sql() -> str:
+    """SQL twin of the WHOLE composed pipeline: caption quality gate →
+    phash keep-first dedup → hash split → PIP province → counts. The
+    decode/PSNR gate keeps every synthetic image by construction (that
+    very fact is oracle-proven by `image_decode_verify`), so the SQL
+    models it as a no-op; every other stage is reproduced exactly."""
+    from ..functions import points
+    from ..functions.pip import sql_pip_assign
+    from ..stages.sampling import sql_id_hash
+    from ..state import fixtures
+    from .image_queries import ORACLE_N, _img_no_sql, _img_path_sql
+
+    x, y = points.sql_xy("img_no")
+    pts_cte = f"""
+        SELECT img_no, {x} AS x, {y} AS y FROM (
+          SELECT {_img_no_sql()} AS img_no, image_id, phash
+          FROM {_img_path_sql(ORACLE_N)}
+          WHERE len(string_split(caption, ' ')) >= {MIN_CAPTION_TOKENS}
+          QUALIFY image_id = MIN(image_id) OVER (PARTITION BY phash)
+        )"""
+    layer = fixtures.province_layer()
+    pip = sql_pip_assign(pts_cte, "img_no",
+                         fixtures.edges_values_sql(layer),
+                         fixtures.names_values_sql(layer))
+    return f"""
+    WITH assigned AS ({pip})
+    SELECT CASE WHEN {sql_id_hash('img_no')} % 100 < 80
+                THEN 'train' ELSE 'val' END AS split,
+           name AS province, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY 1, 2"""
+
+
+@register("training_corpus_counts", sql=_corpus_sql)
 def training_corpus_counts(sf_dir: str):
     """Per-(split, province) record counts of the fully-built training
-    corpus — the composed pipeline's observable output."""
+    corpus — the composed pipeline's observable output, oracle-checked
+    end-to-end (decode → quality gate → phash dedup → split → PIP all in
+    one equality)."""
     from ..stages.shuffle import partial_group_counts
 
     ds, _ = build_training_corpus(sf_dir)

@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     # tier 1: newly oracle-bearing this round
     "knn_cogroup_nearest", "image_decode_verify", "hll_distinct_users",
     "cosine_neardup_pairs_lsh", "dwithin_doc_pairs",
+    "training_corpus_counts",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",
@@ -72,7 +73,7 @@ _DRIVER_PRIORITY = [
     # COVERAGE.md and covered by its own pytest)
     "minhash_dedup_clusters", "simhash_near_pairs", "lang_id_pred",
     "ann_topk_lsh_sharded", "ann_topk_ivf", "kmeans_embedding_clusters",
-    "image_ann_neardup", "audio_features", "training_corpus_counts",
+    "image_ann_neardup", "audio_features",
 ]
 
 

@@ -160,3 +160,20 @@ def test_training_corpus_composition(tmp_path):
     dirs = {os.path.relpath(os.path.dirname(f), out) for f in files}
     assert all(d.startswith("split=") and "province=" in d for d in dirs)
     assert {d.split(os.sep)[0] for d in dirs} == {"split=train", "split=val"}
+
+
+def test_lance_adapter_falls_back_to_parquet():
+    """The Lance adapter (sources/lance.py) reads the Parquet stand-in
+    with identical schema when the lance wheel is absent; when present it
+    routes .lance paths to ray.data.read_lance (gated, not testable in
+    this container — HAVE_LANCE is False here by construction)."""
+    from laji_pygeoapi_ray.pipelines.image_queries import n_images_for
+    from laji_pygeoapi_ray.sources import images as imgsrc
+    from laji_pygeoapi_ray.sources.lance import HAVE_LANCE, read_image_table
+    from tests.conftest import SF_UNIT
+
+    path = imgsrc.materialize_images(n_images_for(SF_UNIT))
+    ds = read_image_table(path, columns=["image_id", "phash"])
+    assert set(ds.schema().names) == {"image_id", "phash"}
+    assert ds.count() == 400
+    assert not HAVE_LANCE   # container ships no lance wheel (NOTES.md)

@@ -260,3 +260,46 @@ def bpe_token_counts(sf_dir: str):
                          "n_ws_tokens": pc.cast(ws, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+VOCAB_K = 50
+
+
+@register("vocab_top_tokens", sql=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+          WHERE token <> '' GROUP BY token)
+    SELECT token, n, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+    WHERE rank <= {VOCAB_K}""")
+def vocab_top_tokens(sf_dir: str):
+    """Vocabulary building — the tokenizer-training primitive: global
+    token-frequency top-k over the corpus. Combine-before-shuffle shape:
+    one vectorized explode+partial-count per batch (an Arrow group_by of
+    thousands of tokens — only (token, n) partials leave the scan), a
+    small groupby-sum on distinct tokens, and a per-block partial top-k
+    merge (`topk_by`) — the wide text column never shuffles. Ties break
+    by token; counts are integers, so the oracle is exact."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.stream import topk_by
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        tok = pa.table({"token": flat}).filter(pc.not_equal(flat, ""))
+        out = tok.group_by(["token"]).aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    agg = agg.map_batches(lambda t: t.rename_columns(["token", "n"]),
+                          batch_format="pyarrow")
+    return topk_by(agg, "n", VOCAB_K, tie_col="token")

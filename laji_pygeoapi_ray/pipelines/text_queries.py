@@ -303,3 +303,48 @@ def vocab_top_tokens(sf_dir: str):
     agg = agg.map_batches(lambda t: t.rename_columns(["token", "n"]),
                           batch_format="pyarrow")
     return topk_by(agg, "n", VOCAB_K, tie_col="token")
+
+
+@register("token_doc_freq", sql=f"""
+    WITH pairs AS (SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents) WHERE token <> ''),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM pairs
+          GROUP BY token)
+    SELECT token, df, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY df DESC, token) AS rank FROM c)
+    WHERE rank <= {VOCAB_K}""")
+def token_doc_freq(sf_dir: str):
+    """Document frequency (the IDF building block): per-token distinct-doc
+    count, top-k. Distinct-per-key WITHOUT a pair shuffle: each document
+    lives in exactly one batch, so a per-batch (doc, token) group_by
+    already yields globally-distinct pairs — per-batch df partials then a
+    small per-token sum + top-k merge. Integer counts → exact oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.stream import topk_by
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        import numpy as np
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table({"doc_id": docs, "token": flat}) \
+            .filter(pc.not_equal(flat, ""))
+        dedup = pairs.group_by(["doc_id", "token"]).aggregate([])
+        out = dedup.group_by(["token"]).aggregate([([], "count_all")])
+        return out.rename_columns(["token", "df"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    agg = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    agg = agg.map_batches(lambda t: t.rename_columns(["token", "df"]),
+                          batch_format="pyarrow")
+    return topk_by(agg, "df", VOCAB_K, tie_col="token")

@@ -385,3 +385,31 @@ def hll_distinct_users(sf_dir: str):
         "exact_distinct_users": pa.array([exact], pa.int64()),
         "hll_within_5pct": pa.array([abs(est - exact) <= 0.05 * exact],
                                     pa.bool_())})
+
+
+PCTS = (50, 90, 99)
+
+
+@register("event_value_percentiles", sql=f"""
+    WITH r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM events)
+    SELECT CAST(p AS BIGINT) AS pct, v AS value FROM (
+      {" UNION ALL ".join(
+          f"SELECT {p} AS p, (SELECT value FROM r "
+          f"WHERE rn = (n - 1) * {p} // 100 + 1) AS v"
+          for p in PCTS)})""")
+def event_value_percentiles(sf_dir: str):
+    """EXACT p50/p90/p99 of events.value in ONE shared histogram pass +
+    ONE candidate-bin scan (`kth_values_2pass` — the multi-rank order
+    statistic; a naive implementation pays one full pass per
+    percentile)."""
+    from ..stages.shuffle import kth_values_2pass
+
+    ds = read_table(sf_dir, "events", ["value"])
+    n = ds.count()
+    ks = [(n - 1) * p // 100 for p in PCTS]
+    vals, _ = kth_values_2pass(read_table(sf_dir, "events", ["value"]),
+                               "value", ks)
+    return pa.table({"pct": pa.array(list(PCTS), pa.int64()),
+                     "value": pa.array(vals, pa.float64())})

@@ -115,31 +115,31 @@ def partial_group_counts(ds, key_cols: list[str], count_col: str = "n"):
                            batch_format="pyarrow")
 
 
-def kth_value_2pass(ds, col: str, k: int, *, n_bins: int = 4096):
-    """Distributed EXACT order statistic (the quantile/median operator):
-    value of the k-th smallest element (0-indexed) of ``col`` without a
-    global sort.
+def kth_values_2pass(ds, col: str, ks: list[int], *, n_bins: int = 4096):
+    """Distributed EXACT order statistics (the quantile/percentile
+    operator): values of the k-th smallest elements (0-indexed) of
+    ``col`` for EVERY k in ``ks`` — sharing ONE histogram pass and ONE
+    candidate scan, without a global sort.
 
     Pass 1: per-batch histograms over [min, max] (a few thousand ints per
-    batch — combine-before-shuffle), summed into one global histogram; the
-    cumulative count locates the bin containing rank k.
-    Pass 2: only that bin's values leave the scan (count/n_bins of the
-    data in expectation); the exact element is selected driver-side from
-    that small set.
+    batch — combine-before-shuffle), summed into one global histogram;
+    the cumulative count locates the bin containing each rank.
+    Pass 2: only the located bins' values leave the scan (|ks|·n/n_bins
+    rows in expectation); each exact element is selected driver-side
+    from its small bin.
 
-    Scale contract: the candidate bin must fit in driver memory — with
-    uniform-ish data that is n/n_bins rows; a pathological single-value
-    bin degenerates to that value being the answer anyway (all equal).
-    Returns (value, n)."""
+    Scale contract: the candidate bins must fit in driver memory — with
+    uniform-ish data that is |ks|·n/n_bins rows; a pathological
+    single-value bin degenerates to that value being the answer anyway
+    (all equal). Returns (values list aligned with ks, n)."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min
 
     stats = ds.aggregate(Min(col), Max(col))
     lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
     if lo == hi:
-        return lo, None
+        return [lo] * len(ks), None
     width = (hi - lo) / n_bins
 
     def hist(t: "pa.Table") -> "pa.Table":
@@ -156,24 +156,40 @@ def kth_value_2pass(ds, col: str, k: int, *, n_bins: int = 4096):
             bt["cnt"].to_numpy(zero_copy_only=False)
     cum = np.cumsum(total)
     n = int(cum[-1])
-    if not 0 <= k < n:
-        raise ValueError(f"k={k} out of range for n={n}")
-    b = int(np.searchsorted(cum, k + 1))
-    below = int(cum[b - 1]) if b else 0
-    def in_bin(t: "pa.Table") -> "pa.Table":
+    for k in ks:
+        if not 0 <= k < n:
+            raise ValueError(f"k={k} out of range for n={n}")
+    bins = {int(np.searchsorted(cum, k + 1)) for k in ks}
+    bin_arr = np.array(sorted(bins), dtype=np.int64)
+
+    def in_bins(t: "pa.Table") -> "pa.Table":
         # recompute the EXACT pass-1 bin function — boundary compares
         # against lo + b·width can disagree with ((v−lo)/width) truncation
         # by one ulp and silently drop/duplicate boundary rows
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-        return t.select([col]).filter(pa.array(bins == b))
+        vb = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return t.select([col]).filter(pa.array(np.isin(vb, bin_arr)))
 
-    vals = np.sort(np.concatenate(
+    cand = np.concatenate(
         [bt[col].to_numpy(zero_copy_only=False) for bt in
-         ds.map_batches(in_bin, batch_format="pyarrow")
+         ds.map_batches(in_bins, batch_format="pyarrow")
          .iter_batches(batch_size=None, batch_format="pyarrow")] or
-        [np.array([], dtype=np.float64)]))
-    return float(vals[k - below]), n
+        [np.array([], dtype=np.float64)])
+    cb = np.clip(((cand - lo) / width).astype(np.int64), 0, n_bins - 1)
+    out = []
+    for k in ks:
+        b = int(np.searchsorted(cum, k + 1))
+        below = int(cum[b - 1]) if b else 0
+        vals = np.sort(cand[cb == b])
+        out.append(float(vals[k - below]))
+    return out, n
+
+
+def kth_value_2pass(ds, col: str, k: int, *, n_bins: int = 4096):
+    """Single-rank convenience wrapper over :func:`kth_values_2pass`.
+    Returns (value, n)."""
+    vals, n = kth_values_2pass(ds, col, [k], n_bins=n_bins)
+    return vals[0], n
 
 
 HLL_P = 12                       # 4096 registers, ~1.6% standard error

@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions import cells, points
+from ..functions import cells, points, s2
 from ..sources.parquet import default_pool, read_table
 from ..functions.pip import sql_pip_assign
 from ..stages import assign
@@ -309,3 +309,67 @@ def tile_rollup_9_to_7(sf_dir: str):
         Sum("n", alias_name="n"), Sum("sub", alias_name="n_subtiles"))
     return agg.map_batches(lambda t: t.rename_columns(
         ["cell7", "n", "n_subtiles"]), batch_format="pyarrow")
+
+
+# --------------------------------------------------- REAL S2 cell pipelines
+
+S2_LEVEL = 11        # ≈ the H3 res-7 band on the S2 hierarchy
+S2_COARSE = 6
+
+
+def _s2_leaf_sql() -> str:
+    return s2.sql_leaf_cte(_points_cte(), "doc_id")
+
+
+@register("s2_cell_counts", sql=lambda: f"""
+    {_s2_leaf_sql()}
+    SELECT {s2.sql_parent('s2', S2_LEVEL)} AS s2_{S2_LEVEL},
+           COUNT(*) AS n
+    FROM s2_leaf GROUP BY 1""")
+def s2_cell_counts(sf_dir: str):
+    """Per-S2-cell occurrence counts with REAL S2 cell ids
+    (functions/s2.py — the public s2geometry face/Hilbert encoding,
+    vectorized): the north-star's named tiling key, alongside the
+    quadtree fincell twin ``tile_counts``. The oracle re-runs the whole
+    sphere→face→(s,t)→Hilbert pipeline as a recursive CTE, so the ids —
+    not just the counts — are what the value hash certifies."""
+    from ..stages.derive import derive_and_encode_s2
+    from ..stages.shuffle import partial_group_counts
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode_s2("doc_id", (S2_LEVEL,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return partial_group_counts(ds, [f"s2_{S2_LEVEL}"])
+
+
+@register("s2_rollup_11_to_6", sql=lambda: f"""
+    {_s2_leaf_sql()},
+    c11 AS (SELECT {s2.sql_parent('s2', S2_LEVEL)} AS s2_11, COUNT(*) AS n
+            FROM s2_leaf GROUP BY 1)
+    SELECT {s2.sql_parent('s2_11', S2_COARSE)} AS s2_{S2_COARSE},
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_subcells
+    FROM c11 GROUP BY 1""")
+def s2_rollup_11_to_6(sf_dir: str):
+    """Hierarchical S2 rollup: pre-aggregate at level 11, then coarsen to
+    level 6 purely by parent bit-arithmetic on the CELL ID (s2.parent —
+    no re-encode, no point data in the second shuffle). Certifies that
+    the id layout's parent/child algebra matches the from-scratch
+    recomputation in the oracle."""
+    from ..stages.derive import derive_and_encode_s2
+    from ..stages.shuffle import partial_group_counts
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode_s2("doc_id", (S2_LEVEL,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    c11 = partial_group_counts(ds, [f"s2_{S2_LEVEL}"])
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        c = t[f"s2_{S2_LEVEL}"].to_numpy(zero_copy_only=False)
+        return pa.table({f"s2_{S2_COARSE}": s2.parent(c, S2_COARSE),
+                         "n": t["n"],
+                         "sub": np.ones(len(t), dtype=np.int64)})
+
+    rolled = c11.map_batches(to_parent, batch_format="pyarrow")
+    agg = rolled.groupby(f"s2_{S2_COARSE}").aggregate(
+        Sum("n", alias_name="n"), Sum("sub", alias_name="n_subcells"))
+    return agg.map_batches(lambda t: t.rename_columns(
+        [f"s2_{S2_COARSE}", "n", "n_subcells"]), batch_format="pyarrow")

@@ -44,7 +44,7 @@ _DRIVER_PRIORITY = [
     "knn_cogroup_nearest", "image_decode_verify", "hll_distinct_users",
     "cosine_neardup_pairs_lsh", "dwithin_doc_pairs",
     "training_corpus_counts", "vocab_top_tokens", "token_doc_freq",
-    "event_value_percentiles",
+    "event_value_percentiles", "s2_cell_counts", "s2_rollup_11_to_6",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

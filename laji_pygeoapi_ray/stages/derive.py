@@ -35,6 +35,24 @@ def encode_cells(res: int, out_col: str | None = None):
     return fn
 
 
+def derive_and_encode_s2(key_col: str, levels: tuple[int, ...] = (11,)):
+    """Fused stage: key → point → REAL S2 cell id (``functions/s2.py``) at
+    each requested level. The sphere→Hilbert encode runs ONCE at leaf
+    level; every coarser level is integer parent arithmetic on the leaf id
+    (no re-projection)."""
+    from ..functions import s2
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(keys)
+        leaf = s2.encode_lonlat(x, y)
+        for lv in levels:
+            col = leaf if lv >= s2.MAX_LEVEL else s2.parent(leaf, lv)
+            batch = batch.append_column(f"s2_{lv}", pa.array(col))
+        return batch
+    return fn
+
+
 def derive_and_encode(key_col: str, resolutions: tuple[int, ...] = (7,)):
     """Fused stage: key → x, y, cell{r} for each requested resolution.
     One kernel invocation per batch; Ray Data would fuse the separate stages

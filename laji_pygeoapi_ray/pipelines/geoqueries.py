@@ -373,3 +373,42 @@ def s2_rollup_11_to_6(sf_dir: str):
         Sum("n", alias_name="n"), Sum("sub", alias_name="n_subcells"))
     return agg.map_batches(lambda t: t.rename_columns(
         [f"s2_{S2_COARSE}", "n", "n_subcells"]), batch_format="pyarrow")
+
+
+# Query parameter: the level-6 S2 cell covering central Helsinki — a
+# data-independent constant computed once from the cell algebra itself.
+_S2_TARGET = int(s2.encode_lonlat(np.array([24.94]), np.array([60.17]),
+                                  level=S2_COARSE)[0])
+_S2_LO = int(s2.range_min(np.array([_S2_TARGET], dtype=np.int64))[0])
+_S2_HI = int(s2.range_max(np.array([_S2_TARGET], dtype=np.int64))[0])
+
+
+@register("s2_range_query", sql=lambda: f"""
+    {_s2_leaf_sql()}
+    SELECT doc_id, s2 FROM s2_leaf
+    WHERE s2 BETWEEN {_S2_LO} AND {_S2_HI}""")
+def s2_range_query(sf_dir: str):
+    """Cell-range containment query — the S2 pruning path the north rule's
+    bbox/covering queries rely on: every descendant of a cell occupies ONE
+    contiguous leaf-id interval [range_min, range_max], so 'all points
+    inside this level-6 cell' is a single BETWEEN on the sorted/indexed
+    leaf-id column (no polygon test, no re-encode). Here the leaf ids are
+    derived in-flight and range-filtered per batch; on a cell-id-sorted
+    layout the same predicate prunes whole files. The oracle re-derives
+    the leaf ids from scratch and applies the identical interval."""
+    import pyarrow.compute as pc
+
+    from ..stages.derive import derive_and_encode_s2
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode_s2("doc_id", (s2.MAX_LEVEL,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rng(t: pa.Table) -> pa.Table:
+        leaf = t[f"s2_{s2.MAX_LEVEL}"]
+        keep = pc.and_(pc.greater_equal(leaf, _S2_LO),
+                       pc.less_equal(leaf, _S2_HI))
+        return pa.table({"doc_id": t["doc_id"],
+                         "s2": leaf}).filter(keep)
+
+    return ds.map_batches(rng, batch_format="pyarrow")

@@ -348,3 +348,264 @@ def token_doc_freq(sf_dir: str):
     agg = agg.map_batches(lambda t: t.rename_columns(["token", "df"]),
                           batch_format="pyarrow")
     return topk_by(agg, "df", VOCAB_K, tie_col="token")
+
+
+# ------------------------------------------ repetition / span-dedup signals
+
+def _gram_cte(n: int, pred: str = "") -> str:
+    """Shared DuckDB word-n-gram occurrence CTE (``grams(doc_id, gram)``),
+    same construction as the Ray-side ``simdedup.shingle_explode``."""
+    parts = " || ' ' || ".join(f"t[g + {k}]" if k else "t[g]"
+                               for k in range(n))
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents {pred}),
+    grams AS (SELECT doc_id, {parts} AS gram
+              FROM toks, (SELECT unnest(generate_series(
+                       1, (SELECT MAX(len(t)) FROM toks))) AS g) gs
+              WHERE g <= len(t) - {n - 1})"""
+
+
+@register("repetition_stats", sql=lambda: f"""
+    WITH {_gram_cte(2)},
+    c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_2grams,
+                 CAST(MAX(cnt) AS BIGINT) AS top_2gram_n
+          FROM c GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n_2grams, 0) AS n_2grams,
+           COALESCE(distinct_2grams, 0) AS distinct_2grams,
+           COALESCE(top_2gram_n, 0) AS top_2gram_n,
+           CAST(1 AS DOUBLE) - CAST(distinct_2grams AS DOUBLE)
+               / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac,
+           CAST(top_2gram_n AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+               AS top_2gram_frac
+    FROM documents d LEFT JOIN s USING (doc_id)""")
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals: word-2-gram total /
+    distinct / top-gram counts plus duplicate-2-gram and top-2-gram
+    fractions — the repetitious-text quality gate of a training-data
+    pipeline. Entirely batch-local (each doc lives in one batch): one
+    vectorized gram build + two Arrow group_bys per batch, zero shuffle."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tot = np.maximum(lens - 1, 0)
+        rowidx = np.repeat(np.arange(len(batch), dtype=np.int64), tot)
+        starts = np.cumsum(tot) - tot
+        tok0 = np.cumsum(lens) - lens
+        base = np.repeat(tok0, tot) + (np.arange(int(tot.sum())) -
+                                       np.repeat(starts, tot))
+        gram = pc.binary_join_element_wise(flat.take(pa.array(base)),
+                                           flat.take(pa.array(base + 1)),
+                                           " ")
+        c = (pa.table({"r": rowidx, "gram": gram})
+             .group_by(["r", "gram"]).aggregate([([], "count_all")])
+             .rename_columns(["r", "gram", "cnt"]))
+        s = c.group_by(["r"]).aggregate([("cnt", "count"), ("cnt", "max")])
+        r = s["r"].to_numpy(zero_copy_only=False)
+        distinct = np.zeros(len(batch), dtype=np.int64)
+        distinct[r] = s["cnt_count"].to_numpy(zero_copy_only=False)
+        top = np.zeros(len(batch), dtype=np.int64)
+        top[r] = s["cnt_max"].to_numpy(zero_copy_only=False)
+        empty = tot == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup = 1.0 - distinct.astype(np.float64) / tot.astype(np.float64)
+            topf = top.astype(np.float64) / tot.astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_2grams": pa.array(tot),
+            "distinct_2grams": pa.array(distinct),
+            "top_2gram_n": pa.array(top),
+            "dup_2gram_frac": pa.array(dup, mask=empty),
+            "top_2gram_frac": pa.array(topf, mask=empty)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SPAN_N = 4
+
+
+@register("span_dedup_stats", sql=lambda: f"""
+    WITH {_gram_cte(SPAN_N)},
+    m AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1),
+    per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN g.doc_id > m.first_doc
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+            FROM grams g JOIN m USING (gram) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+               AS dup_span_frac
+    FROM documents d LEFT JOIN per USING (doc_id)""")
+def span_dedup_stats(sf_dir: str):
+    """C4-style cross-document span dedup signal: per document, how many of
+    its word-{SPAN_N}-gram occurrences also occur in a LOWER-id document
+    (global first-occurrence rule — the deterministic 'keep the first copy'
+    tie-break of C4's three-sentence-span dedup). ONE shuffle, keyed on the
+    gram hash: within each gram bucket the global min doc_id is known
+    exactly, so per-doc (n, dup) partials come out of the bucket and only a
+    tiny per-doc sum follows; the text column itself never shuffles twice."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    grams = ds.map_batches(
+        simdedup.shingle_explode(n=SPAN_N, counted=True),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("gram")["doc_id"].transform("min").to_numpy()
+        cnt = df["cnt"].to_numpy()
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_spans": cnt,
+            "n_dup_spans": np.where(df["doc_id"].to_numpy() > first,
+                                    cnt, 0)})
+        return (out.groupby("doc_id", sort=False, as_index=False)
+                [["n_spans", "n_dup_spans"]].sum())
+
+    partial = grouped_apply(grams, ["gram"], bucket_fn, num_buckets=32)
+    # normalize to Arrow blocks before the union (grouped_apply emits
+    # pandas blocks; the zeros side is Arrow — block types must agree)
+    partial = partial.map_batches(lambda t: t, batch_format="pyarrow")
+
+    # LEFT-JOIN semantics for span-less docs: union zero rows for every id
+    zeros = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: t.append_column(
+            "n_spans", pa.array(np.zeros(len(t), dtype=np.int64)))
+        .append_column(
+            "n_dup_spans", pa.array(np.zeros(len(t), dtype=np.int64))),
+        batch_format="pyarrow")
+    agg = partial.union(zeros).groupby("doc_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_dup_spans", alias_name="n_dup_spans"))
+    agg = agg.map_batches(lambda t: t.rename_columns(
+        ["doc_id", "n_spans", "n_dup_spans"]), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_spans"].to_numpy(zero_copy_only=False)
+        d = t["n_dup_spans"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = d.astype(np.float64) / n.astype(np.float64)
+        return t.append_column("dup_span_frac", pa.array(frac, mask=n == 0))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TFIDF_MAX_ID, TFIDF_K = 50, 3
+
+
+@register("tfidf_top_terms", sql=lambda: f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE token <> '' AND doc_id < {TFIDF_MAX_ID} GROUP BY 1, 2),
+    idf AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks WHERE token <> '' GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 CAST(tf AS DOUBLE) * (((SELECT nd FROM n)
+                     - CAST(df AS DOUBLE)) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5) AS tfidf
+          FROM tf JOIN idf USING (token))
+    SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn FROM s)
+    WHERE rn <= {TFIDF_K}""")
+def tfidf_top_terms(sf_dir: str):
+    """TF-IDF keyword extraction: top-{TFIDF_K} tokens per document (query
+    subset doc_id < {TFIDF_MAX_ID}) with df computed over the FULL corpus,
+    scored with BM25's rational idf argument tf · (N − df + 0.5)/(df + 0.5)
+    — deliberately transcendental-free: libm ln differs from DuckDB's by
+    1 ulp, so a log-based score can never be hash-exact across engines,
+    while this one is pure integer-derived float arithmetic and therefore
+    bit-identical (same trick as the cosine near-dup rational test).
+    Composes the engine's df building block with a partitioned hash join
+    on token (`stages/join.hash_join` — both sides can be large at corpus
+    scale) and a per-doc top-k; ties break by token."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import grouped_apply
+
+    n_docs = float(read_table(sf_dir, "documents", ["doc_id"]).count())
+
+    # df over the full corpus: per-batch distinct (doc, token) → partial df
+    full = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table({"doc_id": docs, "token": flat}) \
+            .filter(pc.not_equal(flat, ""))
+        dedup = pairs.group_by(["doc_id", "token"]).aggregate([])
+        return (dedup.group_by(["token"]).aggregate([([], "count_all")])
+                .rename_columns(["token", "df"]))
+
+    dfds = full.map_batches(df_partial, batch_format="pyarrow",
+                            batch_size=65536, zero_copy_batch=True)
+    dfds = dfds.groupby("token").aggregate(Sum("df", alias_name="df"))
+    dfds = dfds.map_batches(lambda t: t.rename_columns(["token", "df"]),
+                            batch_format="pyarrow")
+
+    # tf over the query subset only (row filter pushed to the read)
+    sub = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < TFIDF_MAX_ID))
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table({"doc_id": docs, "token": flat}) \
+            .filter(pc.not_equal(flat, ""))
+        return (pairs.group_by(["doc_id", "token"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["doc_id", "token", "tf"]))
+
+    tfds = sub.map_batches(tf_partial, batch_format="pyarrow")
+
+    joined = hash_join(tfds, dfds, on=["token"], num_buckets=16)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * ((n_docs - df) + 0.5) / (df + 0.5)
+        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                         "tfidf": score})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "tfidf", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        return df[df["rank"] <= TFIDF_K]
+
+    return grouped_apply(scored, ["doc_id"], topk, num_buckets=8,
+                         out_dtypes={"rank": pa.int64()})

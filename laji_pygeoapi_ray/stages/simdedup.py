@@ -24,8 +24,10 @@ from .shuffle import grouped_apply
 
 
 def shingle_explode(text_col: str = "text", id_col: str = "doc_id",
-                    n: int = 3):
-    """map_batches stage: one (id, gram) row per DISTINCT word n-gram.
+                    n: int = 3, counted: bool = False):
+    """map_batches stage: one (id, gram) row per DISTINCT word n-gram, or —
+    with ``counted=True`` — one (id, gram, cnt) row per distinct gram with
+    its within-doc occurrence count (the repetition/span-dedup input shape).
 
     Fully vectorized: one Arrow split per batch, numpy index arithmetic to
     address the n tokens of every gram, ``binary_join_element_wise`` to
@@ -51,6 +53,9 @@ def shingle_explode(text_col: str = "text", id_col: str = "doc_id",
         parts = [flat.take(pa.array(base + j)) for j in range(n)]
         gram = pc.binary_join_element_wise(*parts, " ")
         t = pa.table({id_col: pa.array(doc, pa.int64()), "gram": gram})
+        if counted:
+            out = t.group_by([id_col, "gram"]).aggregate([([], "count_all")])
+            return out.rename_columns([id_col, "gram", "cnt"])
         return t.group_by([id_col, "gram"]).aggregate([])
     return fn
 

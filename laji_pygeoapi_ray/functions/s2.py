@@ -173,6 +173,33 @@ def range_max(ids: np.ndarray) -> np.ndarray:
     return ids + ((ids & -ids) - 1)
 
 
+def st_to_uv(s: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`uv_to_st` (the quadratic projection's UVtoST
+    inverse). Op order mirrored exactly by the SQL twin — rational
+    arithmetic only, so the two engines agree bit-for-bit."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5,
+                    (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+def cell_uv_rect(ids: np.ndarray, level: int):
+    """Cell ids at ``level`` → (face, u_lo, u_hi, v_lo, v_hi): the exact
+    per-face (u, v) extent of each cell — the 'vector tile extent' of the
+    S2 key. Decodes each cell's MIN leaf (any leaf floors to the same
+    grid corner) and applies the rational ST→UV inverse; no trig, so the
+    rect is bit-exact against the SQL twin."""
+    ids = np.asarray(ids, dtype=np.int64)
+    size = np.int64(1) << np.int64(MAX_LEVEL - level)
+    face, i, j = leaf_to_face_ij(range_min(ids))
+    i0, j0 = i & -size, j & -size
+    lim = np.float64(np.int64(1) << MAX_LEVEL)
+    s_lo, s_hi = i0 / lim, (i0 + size) / lim
+    t_lo, t_hi = j0 / lim, (j0 + size) / lim
+    return (face, st_to_uv(s_lo), st_to_uv(s_hi),
+            st_to_uv(t_lo), st_to_uv(t_hi))
+
+
 def token(cell_id: int) -> str:
     """Canonical hex token: 16 hex digits of the uint64 id, trailing zeros
     stripped (the public S2 token format)."""
@@ -257,3 +284,66 @@ s2_leaf AS (
 def sql_parent(expr: str, level: int) -> str:
     lsb = lsb_for_level(level)
     return f"((({expr}) & -({lsb})) | {lsb})"
+
+
+def _sql_lookup_ij_values() -> str:
+    return ", ".join(f"({i}, {int(v)})" for i, v in enumerate(LOOKUP_IJ))
+
+
+def sql_uv_rect_cte(cells_sql: str, key: str, level: int) -> str:
+    """``WITH RECURSIVE`` prologue + a ``s2_rect(key, face, u_lo, u_hi,
+    v_lo, v_hi)`` CTE mirroring :func:`cell_uv_rect` bit-for-bit: min-leaf
+    decode → inverse Hilbert table walk (LOOKUP_IJ joined per iteration) →
+    grid-floored (i, j) → exact rational ST→UV.
+
+    ``cells_sql`` must yield (``key``, s2) with s2 = cell ids at ``level``.
+    """
+    size = 1 << (MAX_LEVEL - level)
+    lim = _d(float(1 << MAX_LEVEL))
+    two61 = 1 << POS_BITS
+    half, one, three, four = _d(0.5), _d(1.0), _d(3.0), _d(4.0)
+    uv = (f"(CASE WHEN {{s}} >= {half} "
+          f"THEN ({four} * {{s}} * {{s}} - {one}) / {three} "
+          f"ELSE ({one} - {four} * ({one} - {{s}}) * ({one} - {{s}}))"
+          f" / {three} END)")
+    s_lo, s_hi = f"(CAST(i0 AS DOUBLE) / {lim})", \
+                 f"(CAST(i0 + {size} AS DOUBLE) / {lim})"
+    t_lo, t_hi = f"(CAST(j0 AS DOUBLE) / {lim})", \
+                 f"(CAST(j0 + {size} AS DOUBLE) / {lim})"
+    return f"""WITH RECURSIVE
+s2_cells AS ({cells_sql}),
+s2_minleaf AS (
+  SELECT {key}, s2 - ((s2 & -s2) - 1) AS leaf FROM s2_cells),
+s2_h AS (
+  SELECT {key},
+         CASE WHEN leaf < 0
+              THEN CAST(leaf AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+              ELSE CAST(leaf AS HUGEINT) END AS h
+  FROM s2_minleaf),
+s2_fp AS (
+  SELECT {key}, CAST(h // {two61} AS BIGINT) AS face,
+         CAST(h % {two61} AS BIGINT) AS pos
+  FROM s2_h),
+s2_lkij(idx, v) AS (VALUES {_sql_lookup_ij_values()}),
+s2_walk AS (
+  SELECT {key}, face, pos, 7 AS s2k,
+         CAST(face & 1 AS BIGINT) AS bits,
+         CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j
+  FROM s2_fp
+  UNION ALL
+  SELECT w.{key}, w.face, w.pos, w.s2k - 1,
+         CAST(lk.v & 3 AS BIGINT),
+         w.i + ((lk.v >> 6) << (w.s2k * 4)),
+         w.j + (((lk.v >> 2) & 15) << (w.s2k * 4))
+  FROM s2_walk w JOIN s2_lkij lk
+    ON lk.idx = w.bits + (((w.pos >> (w.s2k * 8 + 1))
+         & (CASE WHEN w.s2k = 7 THEN 15 ELSE 255 END)) << 2)
+  WHERE w.s2k >= 0),
+s2_ij AS (
+  SELECT {key}, face, i & -{size} AS i0, j & -{size} AS j0
+  FROM s2_walk WHERE s2k = -1),
+s2_rect AS (
+  SELECT {key}, face,
+         {uv.format(s=s_lo)} AS u_lo, {uv.format(s=s_hi)} AS u_hi,
+         {uv.format(s=t_lo)} AS v_lo, {uv.format(s=t_hi)} AS v_hi
+  FROM s2_ij)"""

@@ -412,3 +412,45 @@ def s2_range_query(sf_dir: str):
                          "s2": leaf}).filter(keep)
 
     return ds.map_batches(rng, batch_format="pyarrow")
+
+
+def _s2_extents_sql() -> str:
+    cells = f"""
+    {_s2_leaf_sql()}
+    SELECT {s2.sql_parent('s2', S2_LEVEL)} AS k,
+           {s2.sql_parent('s2', S2_LEVEL)} AS s2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s2_leaf GROUP BY 1, 2"""
+    return (s2.sql_uv_rect_cte(cells, "k", S2_LEVEL) + f"""
+    SELECT r.k AS s2_{S2_LEVEL}, c.n, r.face,
+           r.u_lo, r.u_hi, r.v_lo, r.v_hi
+    FROM s2_rect r JOIN s2_cells c ON c.k = r.k""")
+
+
+@register("s2_cell_extents", sql=_s2_extents_sql)
+def s2_cell_extents(sf_dir: str):
+    """Vector-tile extents on the REAL S2 key: per level-{S2_LEVEL} cell,
+    the occurrence count plus the cell's exact (face, u, v) rectangle —
+    the raster↔vector tile-extent op (`tile_polygons`' twin) on the S2
+    hierarchy. The rect comes from the cell ID alone (min-leaf decode →
+    inverse Hilbert walk → grid floor → rational ST→UV), so the oracle —
+    which re-runs encode AND the inverse walk as recursive CTEs — certifies
+    both directions of the id↔geometry mapping bit-for-bit. Rational
+    arithmetic only: no trig in the rect, hence hash-exact doubles."""
+    from ..stages.derive import derive_and_encode_s2
+    from ..stages.shuffle import partial_group_counts
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode_s2("doc_id", (S2_LEVEL,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    counts = partial_group_counts(ds, [f"s2_{S2_LEVEL}"])
+
+    def rect(t: pa.Table) -> pa.Table:
+        ids = t[f"s2_{S2_LEVEL}"].to_numpy(zero_copy_only=False)
+        face, u_lo, u_hi, v_lo, v_hi = s2.cell_uv_rect(ids, S2_LEVEL)
+        return pa.table({f"s2_{S2_LEVEL}": t[f"s2_{S2_LEVEL}"],
+                         "n": t["n"], "face": pa.array(face),
+                         "u_lo": pa.array(u_lo), "u_hi": pa.array(u_hi),
+                         "v_lo": pa.array(v_lo), "v_hi": pa.array(v_hi)})
+
+    return counts.map_batches(rect, batch_format="pyarrow")

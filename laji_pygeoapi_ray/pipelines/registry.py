@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     "training_corpus_counts", "vocab_top_tokens", "token_doc_freq",
     "event_value_percentiles", "s2_cell_counts", "s2_rollup_11_to_6",
     "repetition_stats", "span_dedup_stats", "tfidf_top_terms",
-    "s2_range_query",
+    "s2_range_query", "s2_cell_extents",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

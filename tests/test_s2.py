@@ -132,3 +132,49 @@ def test_token_format():
     t = s2.token(int(leaf))
     assert 1 <= len(t) <= 16 and int(t.ljust(16, "0"), 16) == np.int64(
         leaf).astype(np.uint64)
+
+
+def test_cell_uv_rect_contains_point_uv():
+    lon = RNG.uniform(-180.0, 180.0, 4000)
+    lat = RNG.uniform(-89.9, 89.9, 4000)
+    face, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
+    for lv in (4, 11, 20):
+        cells = s2.encode_lonlat(lon, lat, lv)
+        f, u_lo, u_hi, v_lo, v_hi = s2.cell_uv_rect(cells, lv)
+        assert np.array_equal(f, face)
+        assert ((u_lo <= u) & (u <= u_hi) & (v_lo <= v) & (v <= v_hi)).all()
+        # exact rect size: each level halves the st span, uv via quadratic
+        assert (u_hi > u_lo).all() and (v_hi > v_lo).all()
+
+
+def test_st_uv_roundtrip_exact_on_grid():
+    # grid-corner st values are exact dyadic rationals; the quadratic and
+    # its inverse must round-trip them through float64 exactly enough to
+    # preserve ordering and the [-1, 1] range
+    s = np.linspace(0.0, 1.0, 1 << 12)
+    u = s2.st_to_uv(s)
+    assert u[0] == -1.0 and u[-1] == 1.0
+    assert (np.diff(u) > 0).all()
+    back = s2.uv_to_st(u)
+    assert np.allclose(back, s, atol=1e-15)
+
+
+def test_cell_uv_rect_duckdb_twin_bit_equal():
+    import duckdb
+    import pyarrow as pa
+
+    lon = RNG.uniform(-180.0, 180.0, 3000)
+    lat = RNG.uniform(-89.9, 89.9, 3000)
+    for lv in (6, 11):
+        cells = np.unique(s2.encode_lonlat(lon, lat, lv))
+        f, u_lo, u_hi, v_lo, v_hi = s2.cell_uv_rect(cells, lv)
+        con = duckdb.connect()
+        con.register("g", pa.table({"k": cells, "s2": cells}))
+        df = con.execute(
+            s2.sql_uv_rect_cte("SELECT k, s2 FROM g", "k", lv)
+            + "\nSELECT face, u_lo, u_hi, v_lo, v_hi FROM s2_rect ORDER BY k"
+        ).df()
+        assert np.array_equal(df["face"].to_numpy(), f)
+        for name, arr in (("u_lo", u_lo), ("u_hi", u_hi),
+                          ("v_lo", v_lo), ("v_hi", v_hi)):
+            assert np.array_equal(df[name].to_numpy(), arr), (lv, name)

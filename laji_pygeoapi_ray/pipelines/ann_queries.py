@@ -141,6 +141,22 @@ def ann_topk_ivf_q(sf_dir: str):
     return ann_topk_ivf(ds, _queries_df(sf_dir), K, n_lists=8, n_probe=4)
 
 
+@register("ann_topk_ivf_full_probe", sql=_ann_sql)
+def ann_topk_ivf_full_probe(sf_dir: str):
+    """The SAME IVF machinery as `ann_topk_ivf` (quantizer fit on a remote
+    sample, corpus tagging, n_probe replication, cogroup shuffle, per-list
+    exact top-k + per-query merge) run at n_probe = n_lists — every query
+    probes every Voronoi list, so the result is PROVABLY the brute-force
+    top-k (each global top-k member is top-k within its own list) and the
+    whole pipeline gets an exact oracle (the `ann_topk_dot` SQL). The
+    default-parameter variant stays registered as the approximate
+    rows-only path; this row certifies its plumbing end-to-end."""
+    from ..stages.ann import ann_topk_ivf
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_topk_ivf(ds, _queries_df(sf_dir), K, n_lists=8, n_probe=8)
+
+
 @register("kmeans_embedding_clusters")
 def kmeans_embedding_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embedding corpus (iterative

@@ -238,12 +238,55 @@ def video_frame_stats(sf_dir: str):
         ["video_id", "frame_idx", "frame_lumasum"])
 
 
-@register("audio_features")  # rows-only: fake-codec media op (sin in SQL
-# would not be bit-stable; stage-level determinism tested in test_media.py)
+def _audio_sql() -> str:
+    # reproduce synth_audio (stages/media.py:59-65) + AudioFeatureStage
+    # sample-for-sample: DuckDB's sin is bit-equal to numpy's over this
+    # argument range (verified on the exact 2M-point argument set in
+    # tests), int16 truncation/clip mirror astype('<i2'), the power
+    # sum is exact integer arithmetic, /4096 is an exact power-of-two
+    # division and sqrt is correctly rounded — so rms/zcr are hash-exact.
+    import numpy as np
+    two_pi = repr(2 * np.pi)
+    four_pi = repr(2 * np.pi * 2)
+    return f"""
+    WITH ids AS (SELECT doc_id AS audio_id FROM documents),
+    samp AS (SELECT audio_id, s.i FROM ids,
+             (SELECT unnest(generate_series(0, 4095)) AS i) s),
+    sig AS (SELECT audio_id, i,
+            sin(({two_pi} * (CAST(220 AS DOUBLE)
+                  + (audio_id % 32) * CAST(55 AS DOUBLE)))
+                * (CAST(i AS DOUBLE) / CAST(16000 AS DOUBLE)))
+            + CAST(0.5 AS DOUBLE) *
+              sin((({four_pi} * (CAST(220 AS DOUBLE)
+                      + (audio_id % 32) * CAST(55 AS DOUBLE)))
+                   * (CAST(i AS DOUBLE) / CAST(16000 AS DOUBLE)))
+                  + audio_id) AS v
+            FROM samp),
+    pcm AS (SELECT audio_id, i,
+            CAST(trunc(LEAST(GREATEST(v * CAST(12000 AS DOUBLE),
+                 CAST(-32768 AS DOUBLE)), CAST(32767 AS DOUBLE)))
+                 AS BIGINT) AS p
+            FROM sig),
+    lagged AS (SELECT audio_id, i, p,
+               lag(p) OVER (PARTITION BY audio_id ORDER BY i) AS prev
+               FROM pcm)
+    SELECT audio_id,
+           sqrt(CAST(SUM(p * p) AS DOUBLE) / CAST(4096 AS DOUBLE)) AS rms,
+           CAST(SUM(CASE WHEN i >= 1 AND (p < 0) <> (prev < 0)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(4095 AS DOUBLE) AS zcr,
+           TRUE AS decode_ok
+    FROM lagged GROUP BY audio_id"""
+
+
+@register("audio_features", sql=_audio_sql)
 def audio_features(sf_dir: str):
     """Audio feature extraction over deterministic synthetic PCM clips (one
     araw clip per document): synth → AudioFeatureStage actor pool →
-    (audio_id, rms, zcr, decode_ok); payload dropped after decode."""
+    (audio_id, rms, zcr, decode_ok); payload dropped after decode. The SQL
+    twin regenerates every PCM sample from the sine formula and recomputes
+    rms/zcr exactly (see _audio_sql), certifying the codec parse, the
+    int16 quantization and both feature reductions."""
     import ray.data as rd
 
     from ..stages import media

@@ -46,7 +46,8 @@ _DRIVER_PRIORITY = [
     "training_corpus_counts", "vocab_top_tokens", "token_doc_freq",
     "event_value_percentiles", "s2_cell_counts", "s2_rollup_11_to_6",
     "repetition_stats", "span_dedup_stats", "tfidf_top_terms",
-    "s2_range_query", "s2_cell_extents",
+    "s2_range_query", "s2_cell_extents", "audio_features",
+    "ann_topk_ivf_full_probe",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",
@@ -76,7 +77,7 @@ _DRIVER_PRIORITY = [
     # COVERAGE.md and covered by its own pytest)
     "minhash_dedup_clusters", "simhash_near_pairs", "lang_id_pred",
     "ann_topk_lsh_sharded", "ann_topk_ivf", "kmeans_embedding_clusters",
-    "image_ann_neardup", "audio_features",
+    "image_ann_neardup",
 ]
 
 

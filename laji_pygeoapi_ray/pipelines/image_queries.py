@@ -361,3 +361,40 @@ def caption_stats(sf_dir: str):
                          "distinct_tokens": pa.array(s["distinct_tokens"])})
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+@register("image_phash_components", sql=lambda: f"""
+    WITH RECURSIVE base AS (SELECT {_img_no_sql()} AS img_no, phash
+                            FROM {_img_path_sql(ORACLE_N)}),
+    sub AS (SELECT * FROM base WHERE img_no < {PHASH_SUB}),
+    p AS (SELECT a.img_no AS ia, b.img_no AS ib
+          FROM sub a JOIN sub b ON a.img_no <> b.img_no
+          WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAXHAM}),
+    reach AS (SELECT img_no AS id, img_no AS r FROM sub
+              UNION
+              SELECT p.ia AS id, reach.r
+              FROM p JOIN reach ON reach.id = p.ib)
+    SELECT id AS img_no, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id""")
+def image_phash_components(sf_dir: str):
+    """Connected components over the phash Hamming-≤{PHASH_MAXHAM} graph —
+    the ORACLE for the engine's distributed clustering path: the same
+    `cluster_pairs_ds` (iterative min-label propagation, endpoint-only
+    labels, pointer jumping) that powers `minhash_dedup_clusters` runs here
+    over a DETERMINISTIC pair set (band-blocked Hamming pairs, pigeonhole-
+    exact), so the from-scratch SQL transitive closure certifies the whole
+    propagation loop's fixpoint labels value-for-value. cluster_id = min
+    img_no of the component; singletons label themselves."""
+    import pyarrow.compute as pc
+
+    from ..stages.simdedup import cluster_pairs_ds, hamming_pairs
+
+    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.less(t["img_no"], PHASH_SUB))
+        .select(["img_no", "phash"]), batch_format="pyarrow")
+    pairs = hamming_pairs(sub, id_col="img_no", hash_col="phash",
+                          max_hamming=PHASH_MAXHAM, band_bits=8)
+    ids = sub.select_columns(["img_no"])
+    return cluster_pairs_ds(pairs, ids, id_col="img_no")

@@ -609,3 +609,63 @@ def tfidf_top_terms(sf_dir: str):
 
     return grouped_apply(scored, ["doc_id"], topk, num_buckets=8,
                          out_dtypes={"rank": pa.int64()})
+
+
+POSTINGS_SHARD = 100     # index shard bound: docs 0..99
+
+
+@register("inverted_index_shard", sql=f"""
+    WITH pairs AS (SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < {POSTINGS_SHARD})
+        WHERE token <> ''),
+    g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                 string_agg(CAST(doc_id AS VARCHAR), ','
+                            ORDER BY doc_id) AS postings
+          FROM pairs GROUP BY token)
+    SELECT token, df, postings FROM g""")
+def inverted_index_shard(sf_dir: str):
+    """Inverted-index construction (the retrieval primitive): sorted
+    posting list per token, serialized as a comma-joined id string, over
+    one corpus shard (doc_id < {POSTINGS_SHARD} — at scale the index is
+    built per doc-range shard exactly like this, so postings rows stay
+    bounded; the full-corpus df twin is `token_doc_freq`). ONE shuffle of
+    (doc_id, token) pairs keyed on the token hash — per-batch distinct
+    pairs first, so each doc contributes each token once — then in-bucket
+    ordered aggregation, the same deterministic-order string_agg semantics
+    as the reference's AGGREGATE merge rule (edit_db.py:418)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < POSTINGS_SHARD))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        p = pa.table({"doc_id": docs, "token": flat}) \
+            .filter(pc.not_equal(flat, ""))
+        return p.group_by(["doc_id", "token"]).aggregate([])
+
+    pairs_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        ids = df["doc_id"].astype("int64").astype(str)
+        g = df.assign(s=ids).groupby("token", sort=False)
+        out = pd.DataFrame({
+            "df": g["doc_id"].size().astype("int64"),
+            "postings": g["s"].agg(",".join)}).reset_index()
+        return out[["token", "df", "postings"]]
+
+    return grouped_apply(pairs_ds, ["token"], bucket, num_buckets=32,
+                         out_dtypes={"df": pa.int64()})

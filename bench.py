@@ -94,6 +94,30 @@ def run_bench() -> dict:
         times[name] = round(best, 3)
 
     li_rows = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # REAL-S2 leaf-encode throughput (the north-star tiling key;
+    # functions/s2.py): derive + sphere→face→Hilbert encode at leaf level
+    # over synthetic keys. Reported as its own field — not part of the
+    # headline total, so the headline stays comparable across rounds.
+    from laji_pygeoapi_ray.stages.derive import derive_and_encode_s2
+
+    s2_n = 20_000_000
+
+    def s2_run(n: int) -> int:
+        ds = ray.data.range(n, override_num_blocks=max(32, ncpu * 2))
+        ds = ds.map_batches(derive_and_encode_s2("id", (30,)),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=262144)
+        # whole-block iteration: default-size driver batches re-slice every
+        # block and cap throughput at ~0.5M rows/s regardless of pipeline
+        return sum(b.num_rows
+                   for b in ds.iter_batches(batch_size=None,
+                                            batch_format="pyarrow"))
+
+    s2_run(1_000_000)                                 # warm, untimed
+    t0 = time.perf_counter()
+    s2_run(s2_n)
+    s2_sec = time.perf_counter() - t0
     ray.shutdown()
     # capacity probe AFTER the timed runs (it saturates every core): lets
     # a reader attribute a slow recorded run to host overcommit vs the
@@ -109,6 +133,7 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "spatial_join_rows_per_sec": round(
             li_rows / times["pip_lineitem_province_counts"]),
+        "s2_leaf_encode_rows_per_sec": round(s2_n / s2_sec),
         "host_parallel_capacity_of_32": capacity,
         "timing": "min of 2 passes per query",
     }

@@ -337,7 +337,8 @@ def s2_cell_counts(sf_dir: str):
     from ..stages.shuffle import partial_group_counts
     ds = read_table(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(derive_and_encode_s2("doc_id", (S2_LEVEL,)),
-                        batch_format="pyarrow", zero_copy_batch=True)
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=262144)
     return partial_group_counts(ds, [f"s2_{S2_LEVEL}"])
 
 
@@ -359,7 +360,8 @@ def s2_rollup_11_to_6(sf_dir: str):
     from ..stages.shuffle import partial_group_counts
     ds = read_table(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(derive_and_encode_s2("doc_id", (S2_LEVEL,)),
-                        batch_format="pyarrow", zero_copy_batch=True)
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=262144)
     c11 = partial_group_counts(ds, [f"s2_{S2_LEVEL}"])
 
     def to_parent(t: pa.Table) -> pa.Table:
@@ -402,7 +404,8 @@ def s2_range_query(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(derive_and_encode_s2("doc_id", (s2.MAX_LEVEL,)),
-                        batch_format="pyarrow", zero_copy_batch=True)
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=262144)
 
     def rng(t: pa.Table) -> pa.Table:
         leaf = t[f"s2_{s2.MAX_LEVEL}"]
@@ -442,7 +445,8 @@ def s2_cell_extents(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(derive_and_encode_s2("doc_id", (S2_LEVEL,)),
-                        batch_format="pyarrow", zero_copy_batch=True)
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=262144)
     counts = partial_group_counts(ds, [f"s2_{S2_LEVEL}"])
 
     def rect(t: pa.Table) -> pa.Table:

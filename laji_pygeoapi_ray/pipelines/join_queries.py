@@ -107,3 +107,121 @@ def bloom_semijoin_orders(sf_dir: str):
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_custkey", "o_totalprice"])
     return bloom_semi_join(orders, np.asarray(small), "o_custkey")
+
+
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+@register("local_supplier_volume", sql=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+               AS BIGINT) AS revenue_x10000,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{Q5_REGION}' AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+      AND o.o_orderdate < TIMESTAMP '{Q5_HI}'
+    GROUP BY 1""")
+def local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shape six-table join — the engine's multi-way join
+    composition anchor: two chained LARGE-LARGE partitioned hash joins
+    (orders⋈customer on custkey, then ⋈lineitem on orderkey — each ONE
+    shuffle of only the carried key/int columns), with the three dimension
+    tables (supplier→nation→region) collapsed into one broadcast
+    suppkey→(nationkey, name, in-region) lookup applied per batch, the
+    local-supplier predicate (c_nationkey = s_nationkey) filtered
+    vectorized, and revenue pre-aggregated per batch before a 5-row
+    groupby. Revenue is summed in exact integer cents×discount-percent
+    units (floor(x·100 + 0.5) quantization — 2-decimal money, same trick
+    as the quantized ANN dot products), so the float-order-dependence of
+    a naive SUM(price·(1−disc)) disappears and the oracle is hash-exact.
+    Date range pruned at the orders read."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(Q5_LO, "us")
+    hi = np.datetime64(Q5_HI, "us")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey"])
+        .rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on=["c_custkey"], num_buckets=16)
+    oc = oc.map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+    li = li.map_batches(lambda t: t.rename_columns(
+        ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    ol = hash_join(li, oc, on=["o_orderkey"], num_buckets=32)
+
+    # dimension collapse: suppkey → (nationkey, nation name) for in-region
+    # suppliers only, broadcast once
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {k.as_py(): v.as_py() for k, v in zip(reg["r_regionkey"],
+                                               reg["r_name"])}
+    nname = {k.as_py(): (v.as_py(), rk[g.as_py()])
+             for k, v, g in zip(nat["n_nationkey"], nat["n_name"],
+                                nat["n_regionkey"])}
+    # dense index arrays (suppkeys/nationkeys are small dense ints):
+    # nat_of_supp[suppkey] = nationkey if the supplier's region matches,
+    # else -1; name_of_nat[nationkey] = nation name — O(1) vectorized
+    # gather per batch, no per-row dict probes
+    skeys = np.asarray(sup["s_suppkey"].to_numpy())
+    snats = np.asarray(sup["s_nationkey"].to_numpy())
+    nat_of_supp = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    in_region = np.array([nname[n][1] == Q5_REGION for n in snats])
+    nat_of_supp[skeys[in_region]] = snats[in_region]
+    max_nat = max(nname)
+    name_of_nat = np.array([nname.get(n, ("",))[0]
+                            for n in range(max_nat + 1)])
+    dim_ref = ray.put((nat_of_supp, name_of_nat))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nat_of_supp, name_of_nat = ray.get(dim_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        s_nat = nat_of_supp[np.clip(sk, 0, len(nat_of_supp) - 1)]
+        keep = (s_nat >= 0) & (s_nat == cn)
+        if not keep.any():
+            return pa.table({"nation": pa.array([], pa.string()),
+                             "revenue_x10000": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        names = name_of_nat[s_nat[keep]]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dpct = 100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        rev = cents * dpct
+        part = (pa.table({"nation": pa.array(names), "rev": pa.array(rev)})
+                .group_by(["nation"])
+                .aggregate([("rev", "sum"), ([], "count_all")]))
+        return part.rename_columns(["nation", "revenue_x10000", "n_items"])
+
+    parts = ol.map_batches(finish, batch_format="pyarrow")
+    agg = parts.groupby("nation").aggregate(
+        Sum("revenue_x10000", alias_name="revenue_x10000"),
+        Sum("n_items", alias_name="n_items"))
+    return agg.map_batches(lambda t: t.rename_columns(
+        ["nation", "revenue_x10000", "n_items"]), batch_format="pyarrow")

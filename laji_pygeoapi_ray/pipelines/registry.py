@@ -48,7 +48,7 @@ _DRIVER_PRIORITY = [
     "repetition_stats", "span_dedup_stats", "tfidf_top_terms",
     "s2_range_query", "s2_cell_extents", "audio_features",
     "ann_topk_ivf_full_probe", "image_phash_components",
-    "inverted_index_shard",
+    "inverted_index_shard", "local_supplier_volume",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -19,9 +19,11 @@ Union and repair now run on the planar-overlay engine
   its two triangles, exactly as GEOS); falls back to the convex hull
   only for degenerate linework the overlay cannot trace.
 
-Remaining documented deviation (no GEOS here): the buffer disc is a
-regular 16-gon (GEOS default quad_segs=8 → 32-gon), so buffered
-COORDINATES differ from GEOS while topology/structure match.
+The buffer disc is a regular 32-gon matching GEOS's default
+quad_segs=8 vertex count (8 fillet segments per quadrant); vertex
+PLACEMENT starts at angle 0, so individual coordinates can still differ
+from a given GEOS build by a rotation while count/topology/structure
+match.
 
 WKB follows the OGC well-known-binary spec (little-endian, 2-D).
 """
@@ -142,15 +144,16 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1])
 
 
-_DISC = np.stack([np.cos(np.linspace(0, 2 * np.pi, 16, endpoint=False)),
-                  np.sin(np.linspace(0, 2 * np.pi, 16, endpoint=False))],
+# GEOS default quad_segs=8 → 8 fillet segments per quadrant → 32 vertices
+_DISC = np.stack([np.cos(np.linspace(0, 2 * np.pi, 32, endpoint=False)),
+                  np.sin(np.linspace(0, 2 * np.pi, 32, endpoint=False))],
                  axis=1)
 
 
 def buffer_to_polygon(g: Geometry, dist: float = 0.5) -> Geometry:
     """Dilate a point/line/polygon by ``dist``: Minkowski sum with a regular
-    16-gon, realised as the convex hull of every vertex's translated disc
-    (exact for points/segments/convex inputs)."""
+    32-gon (GEOS quad_segs=8), realised as the convex hull of every vertex's
+    translated disc (exact for points/segments/convex inputs)."""
     if g.type == "Point":
         verts = np.asarray(g.data, dtype=np.float64)[None, :]
     elif g.type == "LineString":

@@ -669,3 +669,41 @@ def inverted_index_shard(sf_dir: str):
 
     return grouped_apply(pairs_ds, ["token"], bucket, num_buckets=32,
                          out_dtypes={"df": pa.int64()})
+
+
+HH_K = 25
+
+
+@register("heavy_hitter_tokens", sql=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item
+                  FROM documents),
+    c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+          WHERE item <> '' GROUP BY item)
+    SELECT item, n, CAST(rank AS BIGINT) AS rank, TRUE AS certified
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, item) AS rank
+          FROM c)
+    WHERE rank <= {HH_K}""")
+def heavy_hitter_tokens(sf_dir: str):
+    """Sketch-certified EXACT top-k frequent tokens
+    (`shuffle.heavy_hitters_exact`): per-batch top-m candidate summaries +
+    a broadcast exact recount — unlike `vocab_top_tokens`, the full
+    distinct-token table never shuffles, which is the shape that survives
+    a 10^12-row corpus with a billion-token vocabulary. The `certified`
+    flag is the operator's own proof that the answer equals the exact
+    top-k (goes False → red driver row if the sketch bound cannot
+    exclude a hidden heavier item)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import heavy_hitters_exact
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def items(t: pa.Table) -> pa.Array:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return flat.filter(pc.not_equal(flat, ""))
+
+    out = heavy_hitters_exact(ds, items, HH_K, m=64, cand_cap=256)
+    return out.rename_columns(["item", "n", "rank", "certified"])

@@ -252,3 +252,102 @@ def hll_distinct(ds, col: str) -> float:
         for rb in b["regs"].to_pylist():
             merged = np.maximum(merged, np.frombuffer(rb, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def heavy_hitters_exact(ds, make_items, k: int, *,
+                        m: int = 1024, cand_cap: int = 4096):
+    """EXACT top-k most-frequent items with a CERTIFICATE, without ever
+    shuffling the full item-frequency table (the vocabulary groupby in
+    ``vocab_top_tokens`` moves every distinct item; at 10^12-row scale the
+    distinct-token set itself is shuffle-dominant — this operator moves only
+    ``m`` candidates per batch plus one recount of ≤ ``cand_cap`` items).
+
+    Space-saving-style two-pass:
+
+    Pass 1 (candidate sketch): per batch, EXACT in-batch counts (Arrow
+    group_by — the batch fits memory), keep only the top-``m``; also emit
+    the batch's m-th-largest count as that batch's drop threshold. A null
+    item row carries the threshold so one groupby-sum yields both the
+    summed candidate counters c_hat and the global drop bound
+    ``D = Σ_b thresh_b``. For every item: ``f_true − D ≤ c_hat ≤ f_true``;
+    an item surviving NO batch summary has ``f_true ≤ D``.
+
+    Pass 2 (exact recount): the top-``cand_cap`` candidates by c_hat are
+    broadcast (``ray.put``) and exactly recounted with per-batch partials;
+    the final top-k is exact — PROVABLY, whenever the k-th exact count
+    strictly exceeds the largest count any dropped item could hide
+    (``D`` for never-surfaced items, ``c_hat_cap + D`` for pruned
+    candidates). The ``certified`` flag carries that proof; a False flag
+    turns the driver row red rather than silently approximating.
+
+    ``make_items(batch: pa.Table) -> pa.Array[string]`` defines the item
+    stream (e.g. exploded tokens).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stream import topk_by
+
+    def sketch(t: "pa.Table") -> "pa.Table":
+        items = make_items(t)
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        cnt = (pa.table({"item": items})
+               .group_by(["item"]).aggregate([([], "count_all")])
+               .rename_columns(["item", "n"]))
+        n = cnt["n"].to_numpy(zero_copy_only=False)
+        it = cnt["item"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, -n))
+        # largest DROPPED count is the batch's exact drop bound
+        thresh = int(n[order[m]]) if len(n) > m else 0
+        keep = order[:m]
+        return pa.table({
+            "item": pa.array(np.append(it[keep], [None]), pa.string()),
+            "n": pa.array(np.append(n[keep], [thresh]), pa.int64())})
+
+    agg = (ds.map_batches(sketch, batch_format="pyarrow",
+                          batch_size=65536, zero_copy_batch=True)
+             .groupby("item").aggregate(Sum("n", alias_name="n"))
+             .map_batches(lambda t: t.rename_columns(["item", "n"]),
+                          batch_format="pyarrow"))
+    # the aggregated sketch is small (surviving candidates only) — pin it
+    # once so the null-sentinel split doesn't re-run the scan
+    agg = agg.materialize()
+    cand = topk_by(
+        agg.map_batches(lambda t: t.filter(pc.is_valid(t["item"])),
+                        batch_format="pyarrow"),
+        "n", cand_cap, tie_col="item")
+    null_rows = (agg.map_batches(
+        lambda t: t.filter(pc.is_null(t["item"])),
+        batch_format="pyarrow").take_all())
+    d_bound = int(null_rows[0]["n"]) if null_rows else 0
+    pruned = len(cand) == cand_cap
+    chat_cap = int(cand["n"][-1].as_py()) if pruned else 0
+
+    cand_ref = ray.put(cand["item"].to_pylist())
+
+    def recount(t: "pa.Table") -> "pa.Table":
+        keys = pa.array(ray.get(cand_ref), pa.string())
+        items = make_items(t)
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        mask = pc.is_in(items, value_set=keys)
+        cnt = (pa.table({"item": items.filter(mask)})
+               .group_by(["item"]).aggregate([([], "count_all")])
+               .rename_columns(["item", "n"]))
+        return cnt
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow",
+                            batch_size=65536, zero_copy_batch=True)
+               .groupby("item").aggregate(Sum("n", alias_name="n"))
+               .map_batches(lambda t: t.rename_columns(["item", "n"]),
+                            batch_format="pyarrow"))
+    top = topk_by(exact, "n", k, tie_col="item")
+    kth = int(top["n"][-1].as_py()) if len(top) >= k else 0
+    hide = max(d_bound, (chat_cap + d_bound) if pruned else 0)
+    certified = hide == 0 or kth > hide
+    return top.append_column(
+        "certified", pa.array([certified] * len(top), pa.bool_()))

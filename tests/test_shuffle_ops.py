@@ -150,3 +150,45 @@ def test_hll_distinct_accuracy():
             .repartition(blocks)
         est = hll_distinct(ds, "k")
         assert abs(est - exact) / exact < 0.05, (blocks, est, exact)
+
+
+def test_heavy_hitters_exact_and_certification():
+    """Two-pass certified heavy hitters: exact top-k equality vs a local
+    count on a Zipf-ish stream, block-count invariance, and the
+    certification flag correctly reporting both the provable and the
+    unprovable regime."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from laji_pygeoapi_ray.stages.shuffle import heavy_hitters_exact
+
+    rng = np.random.default_rng(11)
+    # heavy head + long uniform tail
+    head = np.repeat([f"h{i:02d}" for i in range(10)],
+                     [4000 - 300 * i for i in range(10)])
+    tail = np.array([f"t{i:04d}" for i in
+                     rng.integers(0, 3000, 20000)])
+    items = np.concatenate([head, tail])
+    rng.shuffle(items)
+    truth = pd.Series(items).value_counts()
+
+    def mk(t):
+        return t["item"].combine_chunks()
+
+    for blocks in (1, 8):
+        ds = ray.data.from_pandas(pd.DataFrame({"item": items})) \
+            .repartition(blocks)
+        out = heavy_hitters_exact(ds, mk, 5, m=512, cand_cap=1024)
+        assert out["certified"].to_pylist() == [True] * 5
+        got = dict(zip(out["item"].to_pylist(), out["n"].to_pylist()))
+        for it, n in got.items():
+            assert truth[it] == n, (blocks, it, n, truth[it])
+        assert sorted(got.values(), reverse=True) == \
+            sorted(truth.head(5).values, reverse=True)
+
+    # unprovable regime: m so small the drop bound swamps the kth count
+    ds = ray.data.from_pandas(pd.DataFrame({"item": items})).repartition(8)
+    out = heavy_hitters_exact(ds, mk, 5, m=2, cand_cap=4)
+    assert out["certified"].to_pylist() == [False] * len(out)

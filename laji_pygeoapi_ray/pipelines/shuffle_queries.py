@@ -413,3 +413,96 @@ def event_value_percentiles(sf_dir: str):
                                "value", ks)
     return pa.table({"pct": pa.array(list(PCTS), pa.int64()),
                      "value": pa.array(vals, pa.float64())})
+
+
+PROFILE_NUM = ("l_quantity", "l_discount", "l_tax")
+PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+@register("profile_lineitem", sql=lambda: " UNION ALL ".join(
+    [f"""SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+         MIN({c}) AS min_d, MAX({c}) AS max_d,
+         CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv FROM lineitem"""
+     for c in PROFILE_NUM] +
+    [f"""SELECT '{c}', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN({c}), MAX({c}),
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) FROM lineitem"""
+     for c in PROFILE_STR]))
+def profile_lineitem(sf_dir: str):
+    """Column profiler — the schema-statistics pass every 100-TB ingest
+    runs first: per-column row/null counts, min/max, and EXACT distinct
+    counts for bounded-cardinality columns, in ONE scan of only the
+    profiled columns. Per-batch partials (a handful of stats rows + the
+    batch's distinct values per column) are the only thing that shuffles;
+    one `grouped_apply` bucket per column folds them. The distinct-count
+    contract is bounded-cardinality columns (enums, flags, quantized
+    measures) — unbounded keys belong to the HLL profiler path
+    (`hll_distinct_users`)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    cols = list(PROFILE_NUM) + list(PROFILE_STR)
+    ds = read_table(sf_dir, "lineitem", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"col": [], "n_rows": [], "n_nulls": [], "min_d": [],
+               "max_d": [], "min_s": [], "max_s": [], "val": []}
+
+        def emit(c, n, nulls, mn_d, mx_d, mn_s, mx_s, val):
+            out["col"].append(c); out["n_rows"].append(n)
+            out["n_nulls"].append(nulls); out["min_d"].append(mn_d)
+            out["max_d"].append(mx_d); out["min_s"].append(mn_s)
+            out["max_s"].append(mx_s); out["val"].append(val)
+
+        for c in PROFILE_NUM:
+            a = t[c]
+            mm = pc.min_max(a)
+            emit(c, len(a), a.null_count,
+                 mm["min"].as_py(), mm["max"].as_py(), None, None, None)
+            for v in pc.unique(pc.drop_null(a)).to_pylist():
+                emit(c, 0, 0, None, None, None, None, repr(v))
+        for c in PROFILE_STR:
+            a = t[c]
+            mm = pc.min_max(a)
+            emit(c, len(a), a.null_count, None, None,
+                 mm["min"].as_py(), mm["max"].as_py(), None)
+            for v in pc.unique(pc.drop_null(a)).to_pylist():
+                emit(c, 0, 0, None, None, None, None, v)
+        return pa.table({
+            "col": pa.array(out["col"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min_d": pa.array(out["min_d"], pa.float64()),
+            "max_d": pa.array(out["max_d"], pa.float64()),
+            "min_s": pa.array(out["min_s"], pa.string()),
+            "max_s": pa.array(out["max_s"], pa.string()),
+            "val": pa.array(out["val"], pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536, zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c, g in df.groupby("col", sort=True):
+            stats = g[g["val"].isna()]
+            rows.append({
+                "col": c,
+                "n_rows": int(stats["n_rows"].sum()),
+                "n_nulls": int(stats["n_nulls"].sum()),
+                "min_d": stats["min_d"].min(),
+                "max_d": stats["max_d"].max(),
+                "min_s": stats["min_s"].min(),
+                "max_s": stats["max_s"].max(),
+                "ndv": int(g["val"].nunique())})
+        return pd.DataFrame(rows)
+
+    return grouped_apply(parts, ["col"], fold, num_buckets=8,
+                         out_dtypes={"n_rows": pa.int64(),
+                                     "n_nulls": pa.int64(),
+                                     "ndv": pa.int64(),
+                                     "min_s": pa.string(),
+                                     "max_s": pa.string()})

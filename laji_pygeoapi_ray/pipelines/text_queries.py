@@ -707,3 +707,46 @@ def heavy_hitter_tokens(sf_dir: str):
 
     out = heavy_hitters_exact(ds, items, HH_K, m=64, cand_cap=256)
     return out.rename_columns(["item", "n", "rank", "certified"])
+
+
+QG_PCT = 90
+
+
+@register("quality_gate_p90", sql=f"""
+    WITH s AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    r AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) AS rn,
+                 COUNT(*) OVER () AS n FROM s)
+    SELECT doc_id, n_tokens FROM s
+    WHERE n_tokens >= (SELECT v FROM r
+                       WHERE rn = (n - 1) * {QG_PCT} // 100 + 1)""")
+def quality_gate_p90(sf_dir: str):
+    """Corpus-percentile quality gate — the 'keep only docs above the
+    corpus p90' training-data filter, computed DISTRIBUTED: the wide text
+    column is scanned once into a tiny (doc_id, n_tokens) projection
+    (pinned — two int64s per doc), the exact p90 threshold comes from the
+    shared-histogram order statistic (`kth_values_2pass`, no global
+    sort), and the gate is a vectorized filter over the projection.
+    Integer token counts → the threshold and the survivor set are exact."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import kth_values_2pass
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        n = pc.add(pc.count_substring(text, " "), 1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    proj = ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n = proj.count()
+    vals, _ = kth_values_2pass(proj, "n_tokens",
+                               [(n - 1) * QG_PCT // 100])
+    thresh = int(vals[0])
+    return proj.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tokens"], thresh)),
+        batch_format="pyarrow")

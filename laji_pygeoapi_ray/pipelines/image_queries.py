@@ -16,6 +16,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..functions import cells, points
+from ..functions.pip import sql_pip_assign
 from ..sources import images as imgsrc
 from ..stages import assign
 from ..stages.images import ImageDecodeStage
@@ -398,3 +399,79 @@ def image_phash_components(sf_dir: str):
                           max_hamming=PHASH_MAXHAM, band_bits=8)
     ids = sub.select_columns(["img_no"])
     return cluster_pairs_ds(pairs, ids, id_col="img_no")
+
+
+def _img_points_cte(n: int) -> str:
+    x, y = points.sql_xy("img_no")
+    return (f"SELECT img_no, {x} AS x, {y} AS y FROM "
+            f"(SELECT {_img_no_sql()} AS img_no FROM {_img_path_sql(n)})")
+
+
+def _zonal_sql() -> str:
+    from ..state import fixtures
+
+    layer = fixtures.province_layer()
+    assigned = sql_pip_assign(_img_points_cte(ORACLE_N), "img_no",
+                              fixtures.edges_values_sql(layer),
+                              fixtures.names_values_sql(layer))
+    return f"""
+    WITH assigned AS ({assigned}),
+    base AS (SELECT {_img_no_sql()} AS img_no, w, h, phash
+             FROM {_img_path_sql(ORACLE_N)})
+    SELECT a.name AS province, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_psnr_ok,
+           CAST(SUM(b.w * b.h) AS BIGINT) AS sum_px,
+           CAST(SUM(bit_count(b.phash)) AS BIGINT) AS phash_bits
+    FROM assigned a JOIN base b USING (img_no) GROUP BY 1"""
+
+
+@register("zonal_image_stats", sql=_zonal_sql)
+def zonal_image_stats(sf_dir: str):
+    """Zonal (per-province) statistics of the image table — the
+    raster↔vector composition at the heart of the north star: decode every
+    image (actor pool), derive its occurrence point, PIP-assign the
+    biogeographical province (the full `flagship_images` chain — its two
+    actor pools autoscale so they share the CPU budget, NOTES.md deadlock
+    rule), and aggregate per-zone pixel counts + phash-popcount payloads
+    with per-batch partials (only a handful of (province, sums) rows cross
+    the shuffle). The PSNR gate is computed from the DECODED pixels
+    engine-side; the twin emits n_psnr_ok = n by construction (any
+    decode/PSNR regression breaks equality), while province assignment,
+    pixel totals and popcounts are recomputed exactly in SQL."""
+    import pyarrow.compute as pc
+
+    from .flagship import flagship_images
+
+    ds = flagship_images(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        psnr_ok = pc.cast(pc.and_(
+            pc.fill_null(t["decode_ok"], False),
+            pc.fill_null(pc.greater_equal(t["psnr"], 40.0), False)),
+            pa.int64())
+        px = pc.multiply(pc.cast(t["w"], pa.int64()),
+                         pc.cast(t["h"], pa.int64()))
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        bits = np.unpackbits(
+            ph.astype("<i8").view(np.uint8).reshape(-1, 8),
+            axis=1).sum(axis=1).astype(np.int64)
+        g = pa.table({"province": t["province"],
+                      "one": pa.array([1] * len(t), pa.int64()),
+                      "n_psnr_ok": psnr_ok, "sum_px": px,
+                      "phash_bits": pa.array(bits)})
+        return (g.group_by(["province"])
+                 .aggregate([("one", "sum"), ("n_psnr_ok", "sum"),
+                             ("sum_px", "sum"), ("phash_bits", "sum")])
+                 .rename_columns(["province", "n", "n_psnr_ok", "sum_px",
+                                  "phash_bits"]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("province").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("n_psnr_ok", alias_name="n_psnr_ok"),
+        Sum("sum_px", alias_name="sum_px"),
+        Sum("phash_bits", alias_name="phash_bits"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["province", "n", "n_psnr_ok",
+                                    "sum_px", "phash_bits"]),
+        batch_format="pyarrow")

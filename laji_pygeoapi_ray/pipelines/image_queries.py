@@ -475,3 +475,53 @@ def zonal_image_stats(sf_dir: str):
         lambda t: t.rename_columns(["province", "n", "n_psnr_ok",
                                     "sum_px", "phash_bits"]),
         batch_format="pyarrow")
+
+
+@register("caption_integrity", sql=lambda: f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN caption = 'Havainto ' || img_no ||
+                ': metsässä nähty yksilö lähellä jokea (erä ' ||
+                (img_no % 7) || ')' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_caption_ok,
+           CAST(SUM(CASE WHEN local_id =
+                replace(image_id, '#', '_') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_id_ok
+    FROM (SELECT image_id, caption, {_img_no_sql()} AS img_no,
+                 replace(image_id, '#', '_') AS local_id
+          FROM {_img_path_sql(ORACLE_N)})""")
+def caption_integrity(sf_dir: str):
+    """North-rule per-row invariant #2: captions survive the FULL flagship
+    pipeline byte-for-byte (decode → derive → PIP → local-id), verified
+    engine-side by regenerating each caption from its image number and
+    comparing the pipeline OUTPUT bytes; the '#'→'_' local-id encode is
+    checked the same way. The twin recomputes both invariants in SQL over
+    the stored table — a pipeline stage that mutates either column breaks
+    the n_caption_ok / n_id_ok equality."""
+    import pyarrow.compute as pc
+
+    from .flagship import flagship_images
+
+    ds = flagship_images(sf_dir)
+
+    def gate(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        expect = pc.binary_join_element_wise(
+            "Havainto ", pa.array(no.astype("U"), pa.string()),
+            ": metsässä nähty yksilö lähellä jokea (erä ",
+            pa.array((no % 7).astype("U"), pa.string()), ")", "")
+        cap_ok = pc.cast(pc.equal(t["caption"], expect), pa.int64())
+        id_ok = pc.cast(pc.equal(
+            t["local_id"],
+            pc.replace_substring(t["image_id"], "#", "_")), pa.int64())
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "n_caption_ok": pa.array(
+                             [pc.sum(cap_ok).as_py() or 0], pa.int64()),
+                         "n_id_ok": pa.array(
+                             [pc.sum(id_ok).as_py() or 0], pa.int64())})
+
+    parts = ds.map_batches(gate, batch_format="pyarrow")
+    tot = parts.to_pandas().sum()
+    return pa.table({"n": pa.array([int(tot["n"])], pa.int64()),
+                     "n_caption_ok": pa.array([int(tot["n_caption_ok"])],
+                                              pa.int64()),
+                     "n_id_ok": pa.array([int(tot["n_id_ok"])], pa.int64())})

@@ -458,3 +458,57 @@ def s2_cell_extents(sf_dir: str):
                          "v_lo": pa.array(v_lo), "v_hi": pa.array(v_hi)})
 
     return counts.map_batches(rect, batch_format="pyarrow")
+
+
+@register("focal_density_3x3", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, (cell >> {cells.IY_SHIFT}) & {(1 << cells.IY_SHIFT) - 1} AS iy,
+                 cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1),
+    off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                  (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    sc AS (SELECT ((CAST({RES} AS BIGINT) << {cells.RES_SHIFT})
+                   | ((iy + dy) << {cells.IY_SHIFT}) | (ix + dx)) AS cell7, n
+           FROM c, off
+           WHERE ix + dx BETWEEN 0 AND {(1 << RES) - 1}
+             AND iy + dy BETWEEN 0 AND {(1 << RES) - 1})
+    SELECT cell7, CAST(SUM(n) AS BIGINT) AS focal_n FROM sc GROUP BY 1""")
+def focal_density_3x3(sf_dir: str):
+    """Focal (moving-window) density — the raster convolution primitive:
+    per-tile occurrence counts smoothed over each cell's 3×3 neighborhood.
+    Scatter-to-neighbors instead of a 9-way self-join: the per-cell count
+    table (already tiny — partial counts, the wide input never shuffles)
+    emits one (neighbor, n) row per valid offset, then ONE groupby-sum.
+    Border cells clip (no phantom neighbors outside the 2^res grid).
+    Integer counts → exact oracle. The same shape at res 9 + 5×5 kernel is
+    the hot-cell smoothing pass for the skew detector (`hot_cells`)."""
+    from ..stages.shuffle import partial_group_counts
+
+    cnt = partial_group_counts(_docs_points(sf_dir), [f"cell{RES}"])
+
+    n_max = (1 << RES) - 1
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[f"cell{RES}"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ix = cell & mask
+        iy = (cell >> cells.IY_SHIFT) & mask
+        outc, outn = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx <= n_max) & (jy >= 0) & (jy <= n_max)
+                outc.append((np.int64(RES) << cells.RES_SHIFT)
+                            | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+                outn.append(n[ok])
+        return pa.table({"cell7": np.concatenate(outc),
+                         "n": np.concatenate(outn)})
+
+    sc = cnt.map_batches(scatter, batch_format="pyarrow")
+    agg = sc.groupby("cell7").aggregate(Sum("n", alias_name="focal_n"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["cell7", "focal_n"]),
+        batch_format="pyarrow")

@@ -512,3 +512,63 @@ def focal_density_3x3(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["cell7", "focal_n"]),
         batch_format="pyarrow")
+
+
+@register("province_cover_cells", sql=lambda: f"""
+    WITH g AS (SELECT unnest(generate_series(0, {(1 << (2 * RES)) - 1}))
+                   AS i),
+    ctr AS (SELECT ((CAST({RES} AS BIGINT) << {cells.RES_SHIFT})
+                    | ((i >> {RES}) << {cells.IY_SHIFT})
+                    | (i & {(1 << RES) - 1})) AS cell7,
+                   {points._d(points.FIN_X0)}
+                     + (CAST(i & {(1 << RES) - 1} AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE))
+                       * {points._d(points._W / (1 << RES))} AS x,
+                   {points._d(points.FIN_Y0)}
+                     + (CAST(i >> {RES} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       * {points._d(points._H / (1 << RES))} AS y
+            FROM g),
+    assigned AS ({sql_pip_assign("SELECT cell7, x, y FROM ctr", "cell7",
+                                 fixtures.edges_values_sql(fixtures.province_layer()),
+                                 fixtures.names_values_sql(fixtures.province_layer()))})
+    SELECT cell7, name AS province FROM assigned
+    WHERE name IS NOT NULL""")
+def province_cover_cells(sf_dir: str):
+    """Polygon cover / polyfill — the vector→raster inverse of
+    `tile_polygons` and the H3-`polyfill` / S2-`RegionCoverer` primitive
+    behind every polygon-keyed spatial join: every res-{RES} tile whose
+    CENTER lies inside a province polygon, labelled with that province.
+    The engine enumerates the grid as a streamed `range` (no input table
+    — at res 15 this is 10⁹ cells, still just blocks of integers),
+    derives exact cell centers, and reuses the PIP actor pool; the twin
+    re-derives every center and repeats the crossing test in SQL. The
+    center rule makes cover sets disjoint across provinces (boundary
+    tiles go to the polygon containing the center point, matching the
+    reference's one-province-per-record semantics)."""
+    n = 1 << RES
+    cw = np.float64(points._W / n)
+    ch = np.float64(points._H / n)
+
+    def centers(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False)
+        ix = i & (n - 1)
+        iy = i >> RES
+        x = points.FIN_X0 + (ix.astype(np.float64) + 0.5) * cw
+        y = points.FIN_Y0 + (iy.astype(np.float64) + 0.5) * ch
+        cell = (np.int64(RES) << cells.RES_SHIFT) \
+            | (iy << cells.IY_SHIFT) | ix
+        return pa.table({"cell7": cell, "x": x, "y": y})
+
+    ds = ray.data.range(n * n, override_num_blocks=16)
+    ds = ds.map_batches(centers, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
+                        batch_size=16384, concurrency=default_pool(),
+                        num_cpus=1)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return (t.select(["cell7", "province"])
+                 .filter(pc.is_valid(t["province"])))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

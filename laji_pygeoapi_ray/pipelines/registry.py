@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = [
     "inverted_index_shard", "local_supplier_volume",
     "heavy_hitter_tokens", "quality_gate_p90", "profile_lineitem",
     "zonal_image_stats", "caption_integrity", "focal_density_3x3",
+    "province_cover_cells",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -57,7 +57,7 @@ class GridIndex:
     assigned, it is skipped for later polygons.
     """
 
-    def __init__(self, layer: list[Polygon], grid: int = 32):
+    def __init__(self, layer: list[Polygon], grid: int = 64):
         self.layer = layer
         self.grid = grid
         xs = np.concatenate([p.ring[:, 0] for p in layer])
@@ -76,6 +76,57 @@ class GridIndex:
             hi_iy = min(int((by1 - self.y0) / self.h * grid), grid - 1)
             for iy in range(lo_iy, hi_iy + 1):
                 self.bitmap[iy * grid + lo_ix:iy * grid + hi_ix + 1, i] = True
+        self._build_resolved()
+
+    def _cell_range(self, bx0, by0, bx1, by1):
+        g = self.grid
+        lo_ix = max(int((bx0 - self.x0) / self.w * g), 0)
+        hi_ix = min(int((bx1 - self.x0) / self.w * g), g - 1)
+        lo_iy = max(int((by0 - self.y0) / self.h * g), 0)
+        hi_iy = min(int((by1 - self.y0) / self.h * g), g - 1)
+        return lo_ix, lo_iy, hi_ix, hi_iy
+
+    def _build_resolved(self):
+        """Per-cell constant-answer table — the interior fast path.
+
+        A grid cell whose candidate set is a SINGLE polygon P and which no
+        edge of P touches has constant crossing parity over the whole cell
+        (parity flips only when a path crosses an edge; the cell is convex),
+        so the cell's answer is decided by its center: pid(P) if the center
+        is inside, else -1 (bbox pruning already excludes every other
+        polygon). Cells with no candidates resolve to -1 outright. Any
+        other cell stores -2 = run the exact per-point edge tests. Exact by
+        construction — every resolved answer equals what the edge loop
+        would compute; the SQL-twin oracles stay bit-identical."""
+        g = self.grid
+        crossed = np.zeros((g * g, len(self.layer)), dtype=bool)
+        for i, poly in enumerate(self.layer):
+            x1 = poly.ring[:, 0]
+            y1 = poly.ring[:, 1]
+            x2 = np.roll(x1, -1)
+            y2 = np.roll(y1, -1)
+            for ex0, ey0, ex1, ey1 in zip(np.minimum(x1, x2),
+                                          np.minimum(y1, y2),
+                                          np.maximum(x1, x2),
+                                          np.maximum(y1, y2)):
+                lo_ix, lo_iy, hi_ix, hi_iy = self._cell_range(
+                    ex0, ey0, ex1, ey1)
+                for iy in range(lo_iy, hi_iy + 1):
+                    crossed[iy * g + lo_ix:iy * g + hi_ix + 1, i] = True
+        cx = self.x0 + (np.arange(g, dtype=np.float64) + 0.5) * (self.w / g)
+        cy = self.y0 + (np.arange(g, dtype=np.float64) + 0.5) * (self.h / g)
+        CX, CY = np.meshgrid(cx, cy)            # [iy, ix] like cell ids
+        cx, cy = CX.ravel(), CY.ravel()
+        n_cand = self.bitmap.sum(axis=1)
+        self.resolved = np.full(g * g, -2, dtype=np.int64)
+        self.resolved[n_cand == 0] = -1
+        for i, poly in enumerate(self.layer):
+            only = self.bitmap[:, i] & (n_cand == 1) & ~crossed[:, i]
+            idx = np.flatnonzero(only)
+            if idx.size == 0:
+                continue
+            inside = crossing_parity(cx[idx], cy[idx], poly.ring)
+            self.resolved[idx] = np.where(inside, poly.pid, -1)
 
     def _cell_of(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         g = self.grid
@@ -96,14 +147,26 @@ class GridIndex:
                 out[i:i + self.CHUNK] = self.assign(px[i:i + self.CHUNK],
                                                     py[i:i + self.CHUNK])
             return out
-        out = np.full(n, -1, dtype=np.int64)
-        cand = self.bitmap[self._cell_of(px, py)]          # (n, n_polys)
+        cell = self._cell_of(px, py)
+        out = self.resolved[cell]          # fancy index → fresh array
+        # resolution is valid only for points actually inside the index
+        # bbox — _cell_of CLIPS outside points into border cells, whose
+        # constant answer doesn't speak for them
+        inb = ((px >= self.x0) & (px <= self.x1)
+               & (py >= self.y0) & (py <= self.y1))
+        todo = np.flatnonzero((out == -2) | ~inb)
+        if todo.size == 0:
+            return out
+        sub = np.full(todo.size, -1, dtype=np.int64)
+        cand = self.bitmap[cell[todo]]                     # (t, n_polys)
+        tpx, tpy = px[todo], py[todo]
         for i, poly in enumerate(self.layer):
-            todo = np.flatnonzero(cand[:, i] & (out == -1))
-            if todo.size == 0:
+            rem = np.flatnonzero(cand[:, i] & (sub == -1))
+            if rem.size == 0:
                 continue
-            inside = crossing_parity(px[todo], py[todo], poly.ring)
-            out[todo[inside]] = poly.pid
+            inside = crossing_parity(tpx[rem], tpy[rem], poly.ring)
+            sub[rem[inside]] = poly.pid
+        out[todo] = sub
         return out
 
 

@@ -102,3 +102,28 @@ def test_region_table_names_roundtrip():
     for pid, name in PROVINCE_ID_MAPPING.items():
         assert title_from_table_name(region_table_name(pid) + "_points") == name
     assert title_from_table_name("unknown_polygons") == "Finland"
+
+
+def test_grid_index_resolved_fast_path_exact():
+    """The per-cell constant-answer table must agree with the exact edge
+    loop everywhere — including points OUTSIDE the index bbox, which
+    _cell_of clips into border cells (regression: clipped points must
+    never take a border cell's resolved answer)."""
+    import numpy as np
+
+    from laji_pygeoapi_ray.functions.pip import GridIndex, crossing_parity
+    from laji_pygeoapi_ray.state import fixtures
+
+    for layer in (fixtures.province_layer(), fixtures.municipality_layer()):
+        gi = GridIndex(layer)
+        assert (gi.resolved != -2).any()      # fast path actually engages
+        rng = np.random.default_rng(5)
+        px = rng.uniform(gi.x0 - 0.5, gi.x1 + 0.5, 100000)
+        py = rng.uniform(gi.y0 - 0.5, gi.y1 + 0.5, 100000)
+        got = gi.assign(px, py)
+        want = np.full(len(px), -1, np.int64)
+        for poly in layer:
+            todo = np.flatnonzero(want == -1)
+            ins = crossing_parity(px[todo], py[todo], poly.ring)
+            want[todo[ins]] = poly.pid
+        assert (got == want).all()

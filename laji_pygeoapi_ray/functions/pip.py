@@ -24,22 +24,39 @@ import numpy as np
 from ..state.fixtures import Polygon
 
 
-def crossing_parity(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+def ring_edges(ring: np.ndarray) -> list:
+    """Ring (V, 2) → cached-friendly list of non-horizontal edges as python
+    float tuples (x1, y1, x2, y2). Building this ONCE per polygon (GridIndex
+    holds it) removes the per-call np.roll/slicing that dominated
+    crossing_parity at high call rates (boundary-cell chunks call it per
+    polygon per 32k chunk)."""
+    x1e = ring[:, 0]
+    y1e = ring[:, 1]
+    x2e = np.roll(x1e, -1)
+    y2e = np.roll(y1e, -1)
+    keep = y1e != y2e
+    return [(float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(x1e[keep], y1e[keep],
+                                  x2e[keep], y2e[keep])]
+
+
+def crossing_parity(px: np.ndarray, py: np.ndarray,
+                    ring: np.ndarray | None = None,
+                    edges: list | None = None) -> np.ndarray:
     """Boolean inside-mask of points (px, py) vs one polygon ring (V, 2).
 
     Loops over the (few) edges with (n,)-sized temporaries and accumulates
     the parity with XOR instead of materializing an (n, E) crossing matrix:
     same float64 ops in the same order (bit-identical to the SQL twin), but
     the working set stays cache-resident — ~2× faster under a full actor
-    pool where memory bandwidth is the binding resource."""
-    x1e = ring[:, 0]
-    y1e = ring[:, 1]
-    x2e = np.roll(ring[:, 0], -1)
-    y2e = np.roll(ring[:, 1], -1)
+    pool where memory bandwidth is the binding resource. Pass precomputed
+    ``edges`` (:func:`ring_edges`) in hot paths; scalar edge constants are
+    python floats — numpy scalar·array arithmetic is the identical float64
+    op sequence."""
+    if edges is None:
+        edges = ring_edges(ring)
     inside = np.zeros(px.shape[0], dtype=bool)
-    for x1, y1, x2, y2 in zip(x1e, y1e, x2e, y2e):
-        if y1 == y2:
-            continue
+    for x1, y1, x2, y2 in edges:
         straddles = (y1 > py) != (y2 > py)
         xs = (x2 - x1) * (py - y1) / (y2 - y1) + x1
         inside ^= straddles & (px < xs)
@@ -60,6 +77,7 @@ class GridIndex:
     def __init__(self, layer: list[Polygon], grid: int = 64):
         self.layer = layer
         self.grid = grid
+        self._edges = [ring_edges(p.ring) for p in layer]
         xs = np.concatenate([p.ring[:, 0] for p in layer])
         ys = np.concatenate([p.ring[:, 1] for p in layer])
         self.x0, self.x1 = float(xs.min()), float(xs.max())
@@ -125,7 +143,8 @@ class GridIndex:
             idx = np.flatnonzero(only)
             if idx.size == 0:
                 continue
-            inside = crossing_parity(cx[idx], cy[idx], poly.ring)
+            inside = crossing_parity(cx[idx], cy[idx],
+                                     edges=self._edges[i])
             self.resolved[idx] = np.where(inside, poly.pid, -1)
 
     def _cell_of(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
@@ -164,7 +183,8 @@ class GridIndex:
             rem = np.flatnonzero(cand[:, i] & (sub == -1))
             if rem.size == 0:
                 continue
-            inside = crossing_parity(tpx[rem], tpy[rem], poly.ring)
+            inside = crossing_parity(tpx[rem], tpy[rem],
+                                     edges=self._edges[i])
             sub[rem[inside]] = poly.pid
         out[todo] = sub
         return out

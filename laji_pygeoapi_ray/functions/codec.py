@@ -91,9 +91,14 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB (inf for identical images)."""
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    if mse == 0:
+    # exact integer SSE (uint8 inputs) — same mse up to float-summation
+    # ulps, ~3x cheaper than the float64-temporaries path; every consumer
+    # is a >=40dB / ==inf gate with wide margin
+    d = a.astype(np.int32) - b.astype(np.int32)
+    sse = int((d * d).sum(dtype=np.int64))
+    if sse == 0:
         return float("inf")
+    mse = sse / a.size
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
 
 
@@ -153,7 +158,8 @@ def _block_pattern(seed: int, h: int, w: int) -> np.ndarray:
     x *= np.uint64(0xFF51AFD7ED558CCD)
     x ^= x >> np.uint64(29)
     block = (x % np.uint64(61)).astype(np.float64).reshape(8, 8) - 30.0
-    return np.kron(block, np.ones((h // 8, w // 8)))
+    # pure replication — bit-identical to np.kron(block, ones) and ~4x faster
+    return block.repeat(h // 8, axis=0).repeat(w // 8, axis=1)
 
 
 def procedural_image(seed: int, h: int, w: int) -> np.ndarray:
@@ -169,7 +175,15 @@ def procedural_image(seed: int, h: int, w: int) -> np.ndarray:
         phase = 6.28318 * ((s * (c + 7)) % 1.0)
         sin_row = np.sin(xs * f + phase)            # (w,)
         cos_col = np.cos(ys * f * 1.3 + phase * 0.5)  # (h,)
-        wave = (sin_row[None, :] + cos_col[:, None]) + plane
-        img[:, :, c] = np.clip((wave + 2.0) / 4.0 * 255.0 + blocks,
-                               0, 255).astype(np.uint8)
+        # in-place op chain — identical float64 op order to the original
+        # ((sin+cos) + plane + 2.0) / 4.0 * 255.0 + blocks expression,
+        # with one (h, w) temporary instead of six
+        wave = np.add.outer(cos_col, sin_row)       # = sin[None]+cos[:,None]
+        wave += plane
+        wave += 2.0
+        wave /= 4.0
+        wave *= 255.0
+        wave += blocks
+        np.clip(wave, 0, 255, out=wave)
+        img[:, :, c] = wave.astype(np.uint8)
     return img

@@ -202,3 +202,111 @@ def minhash_bands_batch(sig: np.ndarray, bands: int = 16) -> np.ndarray:
         out[:, b] = ((np.uint64(b) << np.uint64(56))
                      | (h >> np.uint64(8))).astype(np.int64)
     return out
+
+
+# --- SQL-twinnable 64-bit string hash (simhash family) ----------------------
+# Byte-wise polynomial mod POLY_P (Horner, B=257) spread to 64 bits by the
+# splitmix64 finalizer (Vigna's public-domain mix constants).  Chosen over a
+# keyed siphash precisely because every step is reproducible in DuckDB SQL:
+# the polynomial via list_reduce over codepoints (ASCII corpus: unicode ==
+# byte, the rolling-fingerprint contract), the wrap-around uint64 multiply
+# via HUGEINT 32-bit-split arithmetic (sql_wrap_mul), xor-shift via UBIGINT
+# (sql_xor_shift).  numpy side wraps natively in uint64.
+POLY_P = 2147483647            # 2^31 - 1
+POLY_B = 257
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+_TWO32 = 1 << 32
+_TWO64 = 1 << 64
+
+
+def mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (wrap-around semantics)."""
+    z = np.asarray(z, dtype=np.uint64).copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(_MIX1)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(_MIX2)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def poly_mix_hash(strings) -> np.ndarray:
+    """uint64 hash per string: polynomial-mod-POLY_P over the raw bytes,
+    then :func:`mix64`.  Fully vectorized straight off the Arrow string
+    buffers (offsets + data; no per-row Python).  Safe bounds: per-byte
+    contribution < 2^39 and a 2^24-byte string's segment sum < 2^55 —
+    both inside int64."""
+    import pyarrow as pa
+
+    arr = strings
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.offset:              # sliced view (rare): rebuild so the raw
+        arr = pa.array(arr.to_pylist(), pa.string())  # buffers index from 0
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=n + 1).astype(np.int64)
+    base = off[0]
+    off = off - base
+    nbytes = int(off[-1])
+    if nbytes:
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                             count=nbytes + int(base))[int(base):]
+    else:
+        data = np.empty(0, np.uint8)
+    slen = np.diff(off)
+    sums = np.zeros(n, dtype=np.int64)
+    if nbytes:
+        sid = np.repeat(np.arange(n), slen)
+        from_end = off[sid + 1] - 1 - np.arange(nbytes)
+        maxlen = int(slen.max())
+        pow_ = np.empty(maxlen, dtype=np.int64)
+        pow_[0] = 1
+        for k in range(1, maxlen):
+            pow_[k] = (pow_[k - 1] * POLY_B) % POLY_P
+        contrib = (data.astype(np.int64) * pow_[from_end]) % POLY_P
+        has = slen > 0
+        sums[has] = np.add.reduceat(contrib, off[:-1][has]) % POLY_P
+    return mix64(sums.astype(np.uint64))
+
+
+def sql_wrap_mul(expr: str, m: int) -> str:
+    """HUGEINT SQL expression: ``(expr * m) mod 2^64`` for expr in
+    [0, 2^64) — DuckDB integer multiply raises on overflow, so split the
+    multiplicand at 32 bits (every partial product fits HUGEINT)."""
+    mlo = m % _TWO32
+    return (f"((({expr}) % {_TWO32}) * {m} + "
+            f"((({expr}) // {_TWO32}) * {mlo} % {_TWO64}) * {_TWO32})"
+            f" % {_TWO64}")
+
+
+def sql_xor_shift(expr: str, k: int) -> str:
+    """HUGEINT SQL expression: ``expr XOR (expr >> k)`` for expr in
+    [0, 2^64) (xor through UBIGINT; shift as floor division)."""
+    return (f"CAST(xor(CAST(({expr}) AS UBIGINT), "
+            f"CAST(({expr}) // {1 << k} AS UBIGINT)) AS HUGEINT)")
+
+
+def sql_poly_hash(col: str) -> str:
+    """BIGINT SQL expression: the polynomial-mod-POLY_P of string column
+    ``col`` — byte-for-byte the numpy Horner loop (ASCII: unicode(c) ==
+    byte value)."""
+    return (f"list_reduce(list_transform(range(1, length({col}) + 1), "
+            f"i -> CAST(unicode(({col})[i]) AS BIGINT)), "
+            f"(a, c) -> (a * {POLY_B} + c) % {POLY_P})")
+
+
+def sql_mix64_ctes(src: str, carry: str, z0: str = "z0", out: str = "h",
+                   prefix: str = "mx") -> str:
+    """Three chained CTE definitions applying :func:`mix64` to HUGEINT
+    column ``z0`` of CTE ``src``; the last CTE (``{prefix}3``) exposes
+    ``carry`` columns plus ``out``.  Splice into a WITH list."""
+    s1 = sql_wrap_mul(sql_xor_shift(z0, 30), _MIX1)
+    s2 = sql_wrap_mul(sql_xor_shift("z1", 27), _MIX2)
+    s3 = sql_xor_shift("z2", 31)
+    return (f"{prefix}1 AS (SELECT {carry}, {s1} AS z1 FROM {src}),\n"
+            f"{prefix}2 AS (SELECT {carry}, {s2} AS z2 FROM {prefix}1),\n"
+            f"{prefix}3 AS (SELECT {carry}, {s3} AS {out} FROM {prefix}2)")

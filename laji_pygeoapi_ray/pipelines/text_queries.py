@@ -122,12 +122,50 @@ def minhash_dedup_clusters(sf_dir: str):
     return simdedup.cluster_pairs_ds(pairs, ids)
 
 
-@register("simhash_near_pairs")  # rows-only
+def _simhash_oracle() -> str:
+    """Exact SQL twin of the FULL simhash pipeline: 3-token shingles, the
+    poly-mod-p + splitmix64 gram hash (textkernels.sql_* builders), per-doc
+    DISTINCT bit votes, sign threshold, then an all-pairs Hamming scan.
+    With 8-bit band blocking engine-side, pigeonhole guarantees every
+    Hamming ≤ 7 pair survives blocking — blocked result == all-pairs."""
+    pow2 = ", ".join(f"CAST({1 << j} AS HUGEINT)" for j in range(64))
+    return f"""
+    WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+      FROM toks WHERE len(t) >= 3),
+    ph AS (SELECT doc_id, CAST({tk.sql_poly_hash('gram')} AS HUGEINT) AS z0
+           FROM grams),
+    {tk.sql_mix64_ctes('ph', 'doc_id')},
+    dh AS (SELECT DISTINCT doc_id, h FROM mx3),
+    pw AS (SELECT unnest(range(64)) AS j, unnest([{pow2}]) AS p2),
+    bits AS (SELECT doc_id, j, p2,
+             SUM(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+             FROM dh CROSS JOIN pw GROUP BY doc_id, j, p2),
+    sim AS (SELECT doc_id,
+            SUM(CASE WHEN votes >= 0 THEN p2 ELSE CAST(0 AS HUGEINT) END) AS u
+            FROM bits GROUP BY doc_id),
+    sim0 AS (SELECT d.doc_id, COALESCE(s.u, CAST(0 AS HUGEINT)) AS u
+             FROM docs d LEFT JOIN sim s USING (doc_id)),
+    sh AS (SELECT doc_id, CAST(CASE WHEN u >= {1 << 63}
+               THEN u - {1 << 64} ELSE u END AS BIGINT) AS v FROM sim0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.v, b.v)) <= 7"""
+
+
+@register("simhash_near_pairs", sql=_simhash_oracle)
 def simhash_near_pairs(sf_dir: str):
-    """SimHash near-dup candidate pairs (Hamming ≤ 8 over 64-bit simhash,
-    16-bit band blocking)."""
+    """SimHash near-dup pairs (Hamming ≤ 7 over the 64-bit simhash, 8-bit
+    band blocking — pigeonhole-exact at this threshold, so the oracle is a
+    plain all-pairs scan).  The gram hash is SQL-twinnable by construction
+    (poly-mod-p + splitmix64; textkernels.poly_mix_hash), which is what
+    moved this query out of the rows-only set."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return simdedup.simhash_pairs(ds)
+    return simdedup.simhash_pairs(ds, max_hamming=7, band_bits=8)
 
 
 @register("lang_id_pred")  # rows-only (model op)

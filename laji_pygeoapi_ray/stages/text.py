@@ -45,10 +45,11 @@ class LangIdStage:
 def simhash_stage(text_col: str = "text", out_col: str = "simhash",
                   shingle_n: int = 3):
     """Batched SimHash: grams via one Arrow split + numpy index math,
-    keyed-siphash gram hashes, per-doc DISTINCT (simhash votes count each
-    distinct shingle once), bit votes via one ``add.reduceat`` per batch —
-    no per-doc Python loop."""
-    import pandas as pd
+    SQL-twinnable gram hashes (``tk.poly_mix_hash``: byte polynomial mod
+    2^31-1 + splitmix64 finalizer — reproducible in DuckDB, so the whole
+    simhash pipeline carries an exact oracle), per-doc DISTINCT (simhash
+    votes count each distinct shingle once), bit votes via one
+    ``add.reduceat`` per batch — no per-doc Python loop."""
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -68,8 +69,7 @@ def simhash_stage(text_col: str = "text", out_col: str = "simhash",
         base = np.repeat(tok0, counts) + pos
         parts = [flat.take(pa.array(base + j)) for j in range(n)]
         grams = pc.binary_join_element_wise(*parts, " ")
-        gh = pd.util.hash_array(
-            grams.to_numpy(zero_copy_only=False)).astype(np.uint64) % tk._PRIME
+        gh = tk.poly_mix_hash(grams)
         # per-doc distinct (votes count each distinct shingle once)
         doc_of = np.repeat(np.arange(len(batch)), counts)
         order = np.lexsort((gh, doc_of))

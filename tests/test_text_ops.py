@@ -136,3 +136,30 @@ def test_rolling_fingerprint_edges():
     h0 = ((tv('a') * 33 + tv('b')) * 33 + tv('c')) * 33 + tv('d')
     h1 = ((tv('b') * 33 + tv('c')) * 33 + tv('d')) * 33 + tv('e')
     assert rows[0]["fingerprint"] == min(h0, h1)
+
+
+def test_poly_mix_hash_sql_parity():
+    """The SQL-twinnable gram hash: numpy (poly_mix_hash) must equal the
+    DuckDB expression chain (sql_poly_hash + sql_mix64_ctes) byte-for-byte
+    — the contract the simhash_near_pairs oracle rests on."""
+    import duckdb
+    import pyarrow as pa
+
+    strs = ["tok1 tok2 tok3", "a b c", "hello world foo", "x y z",
+            "Z", "  ", "a" * 300, "0 1 2 3 4 5"]
+    got = [int(x) for x in tk.poly_mix_hash(pa.array(strs))]
+    lits = ", ".join("'" + s + "'" for s in strs)
+    q = f"""
+    WITH g(gram) AS (SELECT unnest([{lits}])),
+    ph AS (SELECT gram, CAST({tk.sql_poly_hash('gram')} AS HUGEINT) AS z0
+           FROM g),
+    {tk.sql_mix64_ctes('ph', 'gram')}
+    SELECT gram, CAST(h AS UBIGINT) AS h FROM mx3
+    """
+    con = duckdb.connect()
+    want = dict(con.sql(q).fetchall())
+    assert [want[s] for s in strs] == got
+
+
+def test_simhash_near_pairs_oracle():
+    assert_query_matches_oracle("simhash_near_pairs", SF_UNIT)

@@ -310,3 +310,23 @@ def sql_mix64_ctes(src: str, carry: str, z0: str = "z0", out: str = "h",
     return (f"{prefix}1 AS (SELECT {carry}, {s1} AS z1 FROM {src}),\n"
             f"{prefix}2 AS (SELECT {carry}, {s2} AS z2 FROM {prefix}1),\n"
             f"{prefix}3 AS (SELECT {carry}, {s3} AS {out} FROM {prefix}2)")
+
+
+def sql_xor2(x: str, y: str) -> str:
+    """HUGEINT SQL expression: ``x XOR y`` for both in [0, 2^64)."""
+    return (f"CAST(xor(CAST(({x}) AS UBIGINT), CAST(({y}) AS UBIGINT)) "
+            f"AS HUGEINT)")
+
+
+def sql_wrap_mul_col(g: str, a: str) -> str:
+    """HUGEINT SQL expression: ``(g * a) mod 2^64`` where BOTH operands are
+    columns in [0, 2^64) (32-bit split keeps every partial in HUGEINT)."""
+    return (f"((({g}) % {_TWO32}) * ({a}) + "
+            f"((({g}) // {_TWO32}) * (({a}) % {_TWO32}) % {_TWO64}) "
+            f"* {_TWO32}) % {_TWO64}")
+
+
+def minhash_perm_constants() -> list[tuple[int, int, int]]:
+    """The (j, a_j, b_j) minhash permutation constants — exported so the
+    DuckDB twin recomputes signatures with the exact same parameters."""
+    return [(j, int(_A[j]), int(_B[j])) for j in range(MINHASH_PERMS)]

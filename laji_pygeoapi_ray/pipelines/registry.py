@@ -51,7 +51,7 @@ _DRIVER_PRIORITY = [
     "inverted_index_shard", "local_supplier_volume",
     "heavy_hitter_tokens", "quality_gate_p90", "profile_lineitem",
     "zonal_image_stats", "caption_integrity", "focal_density_3x3",
-    "province_cover_cells", "simhash_near_pairs",
+    "province_cover_cells", "simhash_near_pairs", "minhash_dedup_clusters",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",
@@ -79,7 +79,7 @@ _DRIVER_PRIORITY = [
     "bpe_token_counts", "ann_topk_dot", "image_phash_hamming_pairs",
     # tier 4: rows-only (no SQL twin by nature; each justified in
     # COVERAGE.md and covered by its own pytest)
-    "minhash_dedup_clusters", "lang_id_pred",
+    "lang_id_pred",
     "ann_topk_lsh_sharded", "ann_topk_ivf", "kmeans_embedding_clusters",
     "image_ann_neardup",
 ]

@@ -107,13 +107,77 @@ def ngram_jaccard_pairs(sf_dir: str):
                                   num_buckets=16)
 
 
-@register("minhash_dedup_clusters")  # rows-only: salted hashing has no SQL twin
+def _minhash_oracle() -> str:
+    """Exact SQL twin of the FULL MinHash+LSH clustering pipeline: distinct
+    3-token shingles → poly-mod-p + splitmix64 gram hash → 64 permutation
+    minima ((a·g + b) wrapped mod 2^64, then mod 2^61-1 — the numpy uint64
+    arithmetic, reproduced with HUGEINT split multiplies) → per-band
+    multiply-xor fold into the 16 LSH bucket keys → bucket pairs (distinct
+    ids, 2 ≤ bucket ≤ group_cap=256 — the engine's stop-bucket pruning) →
+    recursive-CTE transitive closure with cluster_id = min doc_id.  Every
+    constant comes from textkernels (shared single source)."""
+    M = int(tk._BANDMIX)
+    C0 = (M * M) % (1 << 64)                    # fold state after r=0's multiply
+    perms = ", ".join(f"({j}, CAST({a} AS HUGEINT), CAST({b} AS HUGEINT))"
+                      for j, a, b in tk.minhash_perm_constants())
+    sig_v = (f"(({tk.sql_wrap_mul_col('g', 'a')} + b) % {1 << 64})"
+             f" % {tk._PRIME}")
+    wm = tk.sql_wrap_mul
+    x2 = tk.sql_xor2
+    return f"""
+    WITH RECURSIVE docs AS (SELECT doc_id, COALESCE(text, '') AS text
+                            FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+    grams0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+        FROM toks WHERE len(t) >= 3),
+    grams AS (SELECT DISTINCT doc_id, gram FROM grams0),
+    ph AS (SELECT doc_id, CAST({tk.sql_poly_hash('gram')} AS HUGEINT) AS z0
+           FROM grams),
+    {tk.sql_mix64_ctes('ph', 'doc_id')},
+    gh AS (SELECT doc_id, h AS g FROM mx3),
+    pw(j, a, b) AS (VALUES {perms}),
+    sigs AS (SELECT doc_id, j, MIN({sig_v}) AS v
+             FROM gh CROSS JOIN pw GROUP BY doc_id, j),
+    bnd AS (SELECT doc_id, j // 4 AS band,
+            MAX(CASE WHEN j % 4 = 0 THEN v END) AS s0,
+            MAX(CASE WHEN j % 4 = 1 THEN v END) AS s1,
+            MAX(CASE WHEN j % 4 = 2 THEN v END) AS s2,
+            MAX(CASE WHEN j % 4 = 3 THEN v END) AS s3
+            FROM sigs GROUP BY doc_id, j // 4),
+    k0 AS (SELECT doc_id, band, s1, s2, s3, {x2(str(C0), 's0')} AS h
+           FROM bnd),
+    k1 AS (SELECT doc_id, band, s2, s3, {x2(wm('h', M), 's1')} AS h FROM k0),
+    k2 AS (SELECT doc_id, band, s3, {x2(wm('h', M), 's2')} AS h FROM k1),
+    k3 AS (SELECT doc_id, band, {x2(wm('h', M), 's3')} AS h FROM k2),
+    kf1 AS (SELECT doc_id, band, {tk.sql_xor_shift('h', 29)} AS h FROM k3),
+    kf2 AS (SELECT doc_id, band, {wm('h', M)} AS h FROM kf1),
+    keys AS (SELECT doc_id, CAST(band * {1 << 56} +
+                 ({tk.sql_xor_shift('h', 32)}) // 256 AS BIGINT) AS band_key
+             FROM kf2),
+    eligible AS (SELECT band_key FROM keys GROUP BY band_key
+                 HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 256),
+    edges AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM keys a JOIN keys b USING (band_key)
+              WHERE a.doc_id <> b.doc_id
+                AND band_key IN (SELECT band_key FROM eligible)),
+    reach AS (SELECT doc_id AS id, doc_id AS r FROM docs
+              UNION
+              SELECT e.ia AS id, reach.r FROM edges e JOIN reach
+                  ON reach.id = e.ib)
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id"""
+
+
+@register("minhash_dedup_clusters", sql=_minhash_oracle)
 def minhash_dedup_clusters(sf_dir: str):
     """MinHash+LSH near-dup clustering → (doc_id, cluster_id). Candidate
     pairs from band-bucket collisions; clustering by DISTRIBUTED iterative
     min-label propagation (cluster_pairs_ds — no driver-side pair
-    materialization; asserted equal to union-find in pytest). Verified on
-    planted near-dups in pytest."""
+    materialization; asserted equal to union-find in pytest).  Now carries
+    an exact from-scratch SQL oracle (_minhash_oracle): the SQL-twinnable
+    gram hash made the signatures, band keys, stop-bucket pruning and the
+    recursive closure all reproducible in DuckDB."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     # dedupe=False: min-label propagation is idempotent under duplicate
     # edges, so the pair-dedup exchange is pure overhead here

@@ -99,11 +99,11 @@ def minhash_stage(text_col: str = "text", shingle_n: int = 3,
     (explode downstream for the bucket groupby).
 
     Fully vectorized: grams via one Arrow split + numpy index math (the
-    shingle_explode machinery), gram hashing via pandas' keyed siphash
-    (``hash_array`` — deterministic across processes), signatures via one
-    ``minimum.reduceat`` per permutation, band keys via a multiply-xor
-    fold. No per-doc Python loop."""
-    import pandas as pd
+    shingle_explode machinery), SQL-twinnable gram hashing
+    (``tk.poly_mix_hash`` — deterministic across processes AND across
+    engines, so the minhash clusters query carries an exact DuckDB
+    oracle), signatures via one ``minimum.reduceat`` per permutation,
+    band keys via a multiply-xor fold. No per-doc Python loop."""
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -123,8 +123,7 @@ def minhash_stage(text_col: str = "text", shingle_n: int = 3,
         base = np.repeat(tok0, counts) + pos
         parts = [flat.take(pa.array(base + j)) for j in range(n)]
         grams = pc.binary_join_element_wise(*parts, " ")
-        gh = pd.util.hash_array(
-            grams.to_numpy(zero_copy_only=False)).astype(np.uint64) % tk._PRIME
+        gh = tk.poly_mix_hash(grams)
 
         has = counts > 0
         keys = np.zeros((len(batch), bands), dtype=np.int64)
@@ -134,9 +133,11 @@ def minhash_stage(text_col: str = "text", shingle_n: int = 3,
         # docs with no grams get NO bands (old path: empty-signature rows
         # still emitted bands of the max-sentinel; those never matched
         # anything, so dropping them is behavior-equivalent and cheaper)
-        bl = [list(k) if h else [] for k, h in zip(keys, has)]
-        return batch.append_column("bands",
-                                   pa.array(bl, pa.list_(pa.int64())))
+        offsets = np.zeros(len(batch) + 1, dtype=np.int32)
+        np.cumsum(has * bands, out=offsets[1:])
+        col = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(keys[has].ravel(), pa.int64()))
+        return batch.append_column("bands", col)
     return fn
 
 

@@ -163,3 +163,9 @@ def test_poly_mix_hash_sql_parity():
 
 def test_simhash_near_pairs_oracle():
     assert_query_matches_oracle("simhash_near_pairs", SF_UNIT)
+
+
+def test_minhash_dedup_clusters_oracle():
+    """The flagship near-dup pipeline vs the from-scratch SQL twin
+    (signatures, band fold, stop-bucket pruning, recursive closure)."""
+    assert_query_matches_oracle("minhash_dedup_clusters", SF_UNIT)

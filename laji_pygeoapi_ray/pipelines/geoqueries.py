@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions import cells, points, s2
+from ..functions import cells, hexgrid, points, s2
 from ..sources.parquet import default_pool, read_table
 from ..functions.pip import sql_pip_assign
 from ..stages import assign
@@ -309,6 +309,33 @@ def tile_rollup_9_to_7(sf_dir: str):
         Sum("n", alias_name="n"), Sum("sub", alias_name="n_subtiles"))
     return agg.map_batches(lambda t: t.rename_columns(
         ["cell7", "n", "n_subtiles"]), batch_format="pyarrow")
+
+
+# --------------------------------------------------------- HEX (H3-analogue)
+
+HEX_RES = 7          # 128 hex columns across the bbox — same band as cell7
+
+
+@register("hex_cell_counts", sql=lambda: f"""
+    SELECT hex7, COUNT(*) AS n
+    FROM {hexgrid.sql_hex_cte(_points_cte(), 'doc_id', HEX_RES, out='hex7')}
+    GROUP BY hex7""")
+def hex_cell_counts(sf_dir: str):
+    """Per-HEX-cell occurrence counts — the true H3-analogue tiling
+    (``functions/hexgrid.py``: pointy-top axial lattice, cube rounding).
+    Unlike the quadtree twin ``tile_counts``, every cell has six
+    edge-sharing equidistant neighbors (no corner bias in density
+    products). The oracle recomputes the fractional-axial + cube-round
+    assignment op-for-op in SQL, so the hex ids themselves are what the
+    value hash certifies. Scale shape: per-batch partial counts, only
+    (hex_id, n) rows shuffle."""
+    from ..stages.derive import derive_and_encode_hex
+    from ..stages.shuffle import partial_group_counts
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode_hex("doc_id", HEX_RES),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=262144)
+    return partial_group_counts(ds, [f"hex{HEX_RES}"])
 
 
 # --------------------------------------------------- REAL S2 cell pipelines

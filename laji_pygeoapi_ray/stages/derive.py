@@ -53,6 +53,20 @@ def derive_and_encode_s2(key_col: str, levels: tuple[int, ...] = (11,)):
     return fn
 
 
+def derive_and_encode_hex(key_col: str, res: int = 7):
+    """Fused stage: key → point → HEX cell id (``functions/hexgrid.py`` —
+    the H3-analogue hexagonal lattice). One kernel per batch; only the
+    packed int64 hex id is appended."""
+    from ..functions import hexgrid
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(keys)
+        return batch.append_column(f"hex{res}",
+                                   pa.array(hexgrid.hex_id(x, y, res)))
+    return fn
+
+
 def derive_and_encode(key_col: str, resolutions: tuple[int, ...] = (7,)):
     """Fused stage: key → x, y, cell{r} for each requested resolution.
     One kernel invocation per batch; Ray Data would fuse the separate stages

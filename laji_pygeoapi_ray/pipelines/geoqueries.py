@@ -311,6 +311,43 @@ def tile_rollup_9_to_7(sf_dir: str):
         ["cell7", "n", "n_subtiles"]), batch_format="pyarrow")
 
 
+@register("cell_majority_lang", sql=lambda: f"""
+    WITH pts AS (SELECT d.doc_id, d.lang,
+                        {cells.sql_cell('p.x', 'p.y', RES)} AS cell7
+                 FROM documents d JOIN ({_points_cte()}) p USING (doc_id)),
+    c AS (SELECT cell7, lang, COUNT(*) AS n FROM pts GROUP BY 1, 2)
+    SELECT cell7, lang AS majority_lang, CAST(n AS BIGINT) AS n FROM c
+    QUALIFY row_number() OVER (PARTITION BY cell7
+                               ORDER BY n DESC, lang) = 1""")
+def cell_majority_lang(sf_dir: str):
+    """Raster MAJORITY (mode) aggregate: the modal document language per
+    res-7 tile, deterministic ties (count desc, then lexicographic) — the
+    classic zonal-majority / majority-resample GIS operator the square
+    tile family lacked. Scale shape: per-batch partial (cell, lang)
+    counts (combine-before-shuffle), one tiny groupby-sum, then a bucketed
+    per-cell argmax over the already-aggregated table — the wide document
+    table never shuffles."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    key = f"cell{RES}"
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    cnt = partial_group_counts(ds.select_columns([key, "lang"]),
+                               [key, "lang"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "n", "lang"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby(key, sort=False).head(1)
+        return out.rename(columns={key: "cell7", "lang": "majority_lang"})[
+            ["cell7", "majority_lang", "n"]]
+
+    return grouped_apply(cnt, [key], bucket_fn, num_buckets=8)
+
+
 # --------------------------------------------------------- HEX (H3-analogue)
 
 HEX_RES = 7          # 128 hex columns across the bbox — same band as cell7

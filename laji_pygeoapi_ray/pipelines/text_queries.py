@@ -332,6 +332,20 @@ def stratified_docs_by_lang(sf_dir: str):
                                       id_col="doc_id")
 
 
+@register("weighted_sample_docs", sql=lambda: f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {sampling.sql_id_hash('doc_id')} % 10000 < n_chars""")
+def weighted_sample_docs(sf_dir: str):
+    """Length-weighted deterministic sampling: inclusion probability
+    n_chars/10000 per document (importance sampling by an integer weight
+    column — the corpus-mixing op that up-weights long/high-value docs
+    without any RNG). Stateless vectorized filter; membership is a pure
+    function of doc_id."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return sampling.weighted_sample(ds, id_col="doc_id",
+                                    weight_col="n_chars", mod=10000)
+
+
 # GPT-2-style coarse token classes (ASCII subset shared verbatim by Arrow
 # and DuckDB — both are RE2, so the count semantics are identical)
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

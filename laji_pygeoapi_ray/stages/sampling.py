@@ -76,3 +76,18 @@ def stratified_sample(ds, k: int, *, stratum_col: str, id_col: str,
     return grouped_apply(ds.map_batches(add_h, batch_format="pyarrow"),
                          [stratum_col], bucket_fn,
                          num_buckets=num_buckets)
+
+
+def weighted_sample(ds, *, id_col: str, weight_col: str, mod: int = 10000):
+    """Weight-proportional deterministic Bernoulli sample: keep a row iff
+    ``h(id) % mod < weight`` — inclusion probability min(weight, mod)/mod,
+    so records are kept in proportion to an integer importance weight
+    (length/quality/domain priors in corpus construction) with NO
+    randomness: membership is a pure function of the id, reproducible
+    across runs, block orders and cluster sizes. SQL twin:
+    ``WHERE (id·KNUTH) % 2³² % mod < weight``."""
+    def fn(t: pa.Table) -> pa.Table:
+        h = id_hash(t[id_col].to_numpy(zero_copy_only=False))
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((h % mod) < w))
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -110,3 +110,58 @@ def dwithin_doc_pairs(sf_dir: str):
 
     return dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
                          num_buckets=32)
+
+
+def _knn_interp_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    q AS (SELECT * FROM pts WHERE id % {QUERY_MOD} = 0),
+    d AS (SELECT q.id AS query_id, p.id AS neighbor_id,
+                 (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2
+          FROM q, pts p WHERE p.id <> q.id),
+    r AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+            FROM d) WHERE rank <= {K})
+    SELECT r.query_id,
+           CAST(SUM(dd.n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(CAST(SUM(dd.n_chars) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+    FROM r JOIN documents dd ON dd.doc_id = r.neighbor_id
+    GROUP BY r.query_id"""
+
+
+@register("knn_interpolated_chars", sql=_knn_interp_sql)
+def knn_interpolated_chars(sf_dir: str):
+    """kNN spatial interpolation (uniform-weight kNN regression): for each
+    query point, the mean payload value (n_chars) of its k=5 nearest
+    occurrence points. The composition anchor kNN → payload join →
+    grouped aggregate: the kNN stage emits only (query_id, neighbor_id)
+    key pairs, the payload attaches via ONE partitioned hash join (no
+    payload broadcast — document payloads are corpus-scale), and the mean
+    is exact (integer sum / integer count, one float division at the
+    end). The IDW variant swaps the uniform weight for 1/d² inside the
+    same shape."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import hash_join
+
+    knn = knn_broadcast(_points_ds(sf_dir), _query_points(sf_dir), K)
+    pairs = knn.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id"])
+                   .rename_columns(["query_id", "doc_id"]),
+        batch_format="pyarrow")
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    j = hash_join(pairs, docs, on=["doc_id"], num_buckets=8)
+    agg = j.groupby("query_id").aggregate(
+        Sum("n_chars", alias_name="sum_chars"), Count(alias_name="k"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["query_id", "sum_chars", "k"])
+        s = t["sum_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("mean_chars", pa.array(s / k))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -113,6 +113,45 @@ def image_tile_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+@register("image_augment_stats", sql=lambda: f"""
+    SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_sum_ok,
+           COUNT(*) AS n_dims_ok, COUNT(*) AS n_pool_ok
+    FROM {_img_path_sql(ORACLE_N)} GROUP BY fmt""")
+def image_augment_stats(sf_dir: str):
+    """Deterministic augmentation pipeline (hflip → rot90 → 2×2 sum-pool)
+    over every image, verified by integer pixel invariants measured on
+    the ACTUAL augmented arrays (stages/images.AugmentStage): permutation
+    ops preserve the channel sum, rot90 swaps dims, sum-pooling preserves
+    totals. The twin pins per-format n = n_sum_ok = n_dims_ok = n_pool_ok
+    — the decode-verify trust model: any kernel regression breaks the
+    driver hash. Actor pool, bytes dropped at the stage boundary."""
+    import pyarrow.compute as pc
+
+    from ..stages.images import AugmentStage
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(AugmentStage, batch_format="pyarrow",
+                        batch_size=512, concurrency=fixed_pool(),
+                        num_cpus=1)
+
+    def gates(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": t["fmt"],
+            "sum_ok": pc.cast(t["aug_sum_ok"], pa.int64()),
+            "dims_ok": pc.cast(t["aug_dims_ok"], pa.int64()),
+            "pool_ok": pc.cast(t["aug_pool_ok"], pa.int64())})
+
+    agg = ds.map_batches(gates, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Count(alias_name="n"), Sum("sum_ok", alias_name="n_sum_ok"),
+            Sum("dims_ok", alias_name="n_dims_ok"),
+            Sum("pool_ok", alias_name="n_pool_ok"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "n", "n_sum_ok", "n_dims_ok",
+                                    "n_pool_ok"]),
+        batch_format="pyarrow")
+
+
 @register("image_decode_verify", sql=lambda: f"""
     SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_decode_ok,
            COUNT(*) AS n_psnr_ok

@@ -101,6 +101,42 @@ class ThumbnailStage:
         return batch.append_column("thumb_png", pa.array(out, pa.binary()))
 
 
+class AugmentStage:
+    """Actor stage: deterministic training-time augmentations (horizontal
+    flip → 90° rotation → 2×2 sum-pool pyramid level) with their exact
+    integer invariants computed from the ACTUAL augmented pixels:
+
+    - flip/rotation permute pixels → the int64 channel-sum is preserved,
+    - rot90 swaps the output dims to (w, h),
+    - 2×2 sum-pooling preserves the total sum exactly (even dims).
+
+    Each invariant is *measured* on the augmented arrays (not assumed), so
+    a broken flip/rot/pool kernel flips the corresponding flag; the
+    aggregate query's SQL twin pins the per-format counts. Bytes drop
+    after decode (payload never travels past the pool)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sum_ok = np.zeros(n, dtype=bool)
+        dims_ok = np.zeros(n, dtype=bool)
+        pool_ok = np.zeros(n, dtype=bool)
+        for i, (fmt, data) in enumerate(zip(batch["fmt"].to_pylist(),
+                                            batch["bytes"].to_pylist())):
+            img = codec.decode(data, fmt)
+            s0 = int(img.sum(dtype=np.int64))
+            aug = np.rot90(img[:, ::-1], 1)
+            sum_ok[i] = int(aug.sum(dtype=np.int64)) == s0
+            dims_ok[i] = aug.shape[:2] == (img.shape[1], img.shape[0])
+            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+            pool = img.astype(np.int64).reshape(h2, 2, w2, 2, 3) \
+                      .sum(axis=(1, 3))
+            pool_ok[i] = int(pool.sum()) == s0
+        batch = batch.append_column("aug_sum_ok", pa.array(sum_ok))
+        batch = batch.append_column("aug_dims_ok", pa.array(dims_ok))
+        batch = batch.append_column("aug_pool_ok", pa.array(pool_ok))
+        return batch.drop_columns(["bytes"])
+
+
 class ImageEmbedStage:
     """Actor stage: decode → 8×8 block-mean luma → L2-normalized 64-d
     embedding (``img_vec`` list<float> column) — the multimodal bridge from

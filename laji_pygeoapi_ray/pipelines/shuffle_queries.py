@@ -543,3 +543,59 @@ def event_value_histogram(sf_dir: str):
         return t.select(["bin", "lo_edge", "n"])
 
     return cnt.map_batches(edges, batch_format="pyarrow")
+
+
+def _travel_sql() -> str:
+    from ..functions import points
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT user_id, ts, event_id, {x} AS x, {y} AS y
+               FROM events),
+    l AS (SELECT user_id, x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    q AS (SELECT user_id,
+                 CAST(floor((dx * dx + dy * dy) * 1000000000.0 + 0.5)
+                      AS BIGINT) AS dq
+          FROM l)
+    SELECT user_id, CAST(COUNT(dq) AS BIGINT) AS n_steps,
+           CAST(COALESCE(SUM(dq), 0) AS BIGINT) AS travel_q
+    FROM q GROUP BY user_id"""
+
+
+@register("user_travel_stats", sql=_travel_sql)
+def user_travel_stats(sf_dir: str):
+    """Trajectory aggregation (the movement-analytics composite): each
+    user's events ordered by time form a path over their derived points;
+    per user emit the step count and the path's total squared step length
+    in exact integer nano-units (floor(d²·1e9 + 0.5) per step, summed as
+    int64 — float-order-independent across blocks, same playbook as the
+    quantized revenue/dot-product sums). ONE key shuffle on user_id +
+    per-user vectorized lag/diff — window function ∘ geometry ∘ grouped
+    aggregate in a single bucketed pass."""
+    from ..functions import points as pts
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        x, y = pts.derive_xy(df["event_id"].to_numpy(np.int64))
+        uid = df["user_id"].to_numpy(np.int64)
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        dx = np.empty(len(df)); dy = np.empty(len(df))
+        dx[0] = dy[0] = np.nan
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        dq = np.floor((dx * dx + dy * dy) * 1000000000.0 + 0.5)
+        dq[new_user] = np.nan
+        step = (~new_user).astype(np.int64)
+        trav = np.where(np.isnan(dq), 0.0, dq).astype(np.int64)
+        out = pd.DataFrame({"user_id": uid, "s": step, "t": trav})
+        g = out.groupby("user_id", as_index=False).agg(
+            n_steps=("s", "sum"), travel_q=("t", "sum"))
+        return g
+
+    return grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)

@@ -232,3 +232,39 @@ def sorted_page_docs(sf_dir: str):
     return bbox_query(ds, BBOX, limit=20, offset=5,
                       sortby=[("n_chars", "-"), ("doc_id", "+")],
                       select_properties=["doc_id", "n_chars"])
+
+
+@register("keyset_page_docs", sql=_sorted_page_sql)
+def keyset_page_docs(sf_dir: str):
+    """Keyset (cursor) pagination — the scale path OFFSET paging can't
+    take: OFFSET n forces every deeper page to re-rank n+limit rows,
+    while a keyset cursor pushes `(sort_key, id) after last-seen` DOWN
+    into the scan as a vectorized predicate, so page depth never costs
+    more than one page. Here page 1 (5 rows) yields the cursor and the
+    next 20 rows are fetched keyset-style; sharing `sorted_page_docs`'
+    LIMIT 20 OFFSET 5 oracle proves keyset ≡ offset semantics exactly
+    (sort = n_chars desc, doc_id asc — the unique tail key makes the
+    cursor total)."""
+    from .query import bbox_query
+
+    sortby = [("n_chars", "-"), ("doc_id", "+")]
+
+    def enriched():
+        ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+        return ds.map_batches(derive_and_encode("doc_id", (7,)),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    page1 = bbox_query(enriched(), BBOX, limit=5, offset=0, sortby=sortby,
+                       select_properties=["doc_id", "n_chars"])
+    c_chars = page1["n_chars"][-1].as_py()
+    c_id = page1["doc_id"][-1].as_py()
+
+    def after_cursor(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        di = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (nc < c_chars) | ((nc == c_chars) & (di > c_id))
+        return t.filter(pa.array(keep))
+
+    ds2 = enriched().map_batches(after_cursor, batch_format="pyarrow")
+    return bbox_query(ds2, BBOX, limit=20, offset=0, sortby=sortby,
+                      select_properties=["doc_id", "n_chars"])

@@ -866,3 +866,37 @@ def quality_gate_p90(sf_dir: str):
     return proj.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_tokens"], thresh)),
         batch_format="pyarrow")
+
+
+EPOCH_SEED = 3      # the epoch number; changing it re-permutes the corpus
+
+
+@register("epoch_shuffle_head", sql=lambda: f"""
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS rank
+    FROM (SELECT doc_id,
+                 ((doc_id + {EPOCH_SEED}) * {sampling.KNUTH})
+                     % {sampling.MOD32} AS shuffle_key
+          FROM documents)
+    QUALIFY rank <= 64""")
+def epoch_shuffle_head(sf_dir: str):
+    """Deterministic EPOCH SHUFFLE — the reproducible global permutation a
+    training loop needs per epoch: order = hash(id + epoch_seed), so the
+    permutation is a pure function of (corpus, epoch) — identical across
+    runs, block orders and cluster sizes, unlike ``ds.random_shuffle``
+    (seed-per-run) — and any contiguous range of it can be materialized
+    without permuting the data at rest (here: the first 64 positions via
+    distributed bottom-k, per-block partials + one page-sized merge)."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ((d + np.int64(EPOCH_SEED)) * np.int64(sampling.KNUTH)) \
+            % np.int64(sampling.MOD32)
+        return t.append_column("shuffle_key", pa.array(h))
+
+    from ..stages.stream import topk_by
+    out = topk_by(ds.map_batches(add_key, batch_format="pyarrow"),
+                  "shuffle_key", 64, tie_col="doc_id", descending=False)
+    return out.select(["doc_id", "shuffle_key", "rank"])

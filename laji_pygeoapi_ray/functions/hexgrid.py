@@ -137,3 +137,29 @@ def sql_hex_cte(pts_sql: str, key: str, res: int,
     SELECT {key},
            CAST(qh AS BIGINT) * {PACK} + CAST(rh AS BIGINT) AS {out}
     FROM __hx_c)"""
+
+
+def sql_unpack_center_cte(ids_sql: str, key: str, id_col: str,
+                          res: int) -> str:
+    """DuckDB twin of ``unpack`` + :func:`hex_center`: a subquery over
+    ``ids_sql`` (columns ``key``, ``id_col`` = packed hex id) yielding
+    (``key``, x, y) = the hex centers. Nearest-division unpack (the packed
+    low half is signed) and the exact center op order of the numpy
+    kernel."""
+    s = _d(hex_size(res))
+    half = PACK >> 1
+    return f"""(
+    WITH __hc_i AS ({ids_sql}),
+    __hc_q AS (
+        SELECT {key},
+               CAST(floor(({id_col} + {half}) / {PACK}) AS BIGINT) AS q
+        FROM __hc_i),
+    __hc_qr AS (
+        SELECT i.{key}, CAST(q AS DOUBLE) AS qf,
+               CAST(i.{id_col} - q * {PACK} AS DOUBLE) AS rf
+        FROM __hc_i i JOIN __hc_q USING ({key}))
+    SELECT {key},
+           {s} * (({_d(SQRT3)} * qf) + ({_d(SQRT3 / 2.0)} * rf))
+               + {_d(FIN_X0)} AS x,
+           {s} * ({_d(1.5)} * rf) + {_d(FIN_Y0)} AS y
+    FROM __hc_qr)"""

@@ -375,6 +375,55 @@ def hex_cell_counts(sf_dir: str):
     return partial_group_counts(ds, [f"hex{HEX_RES}"])
 
 
+HEX_COARSE = 5
+
+
+@register("hex_rollup_7_to_5", sql=lambda: f"""
+    WITH h7 AS (SELECT doc_id, hex7 FROM
+        {hexgrid.sql_hex_cte(_points_cte(), 'doc_id', HEX_RES, out='hex7')}),
+    c7 AS (SELECT hex7, COUNT(*) AS n FROM h7 GROUP BY hex7),
+    ctr AS (SELECT hex7, x, y FROM {hexgrid.sql_unpack_center_cte(
+        'SELECT hex7 FROM c7', 'hex7', 'hex7', HEX_RES)}),
+    h5 AS (SELECT hex7, hex5 FROM {hexgrid.sql_hex_cte(
+        'SELECT hex7, x, y FROM ctr', 'hex7', HEX_COARSE, out='hex5')})
+    SELECT h5.hex5, CAST(SUM(c7.n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_subcells
+    FROM h5 JOIN c7 USING (hex7) GROUP BY 1""")
+def hex_rollup_7_to_5(sf_dir: str):
+    """Hierarchical HEX rollup — the H3-style approximate hierarchy:
+    hexagons don't nest, so (exactly like H3's aperture parents) a fine
+    cell's parent is the coarse hex CONTAINING ITS CENTER. Pre-aggregate
+    at res 7 (tiny table), then unpack → center → coarse re-assign →
+    re-aggregate; the input points never touch the coarse pass. The twin
+    recomputes unpack/center/cube-round bit-for-bit, so the parent ids
+    themselves are certified."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.derive import derive_and_encode_hex
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"hex{HEX_RES}"
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode_hex("doc_id", HEX_RES),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=262144)
+    cnt7 = partial_group_counts(ds, [key]).map_batches(
+        lambda t: t.rename_columns(["hex7", "n"]), batch_format="pyarrow")
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        q, r = hexgrid.unpack(t["hex7"].to_numpy(zero_copy_only=False))
+        cx, cy = hexgrid.hex_center(q, r, HEX_RES)
+        return t.append_column(
+            "hex5", pa.array(hexgrid.hex_id(cx, cy, HEX_COARSE)))
+
+    agg = cnt7.map_batches(to_parent, batch_format="pyarrow") \
+        .groupby("hex5").aggregate(Sum("n", alias_name="n"),
+                                   Count(alias_name="n_subcells"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["hex5", "n", "n_subcells"]),
+        batch_format="pyarrow")
+
+
 # --------------------------------------------------- REAL S2 cell pipelines
 
 S2_LEVEL = 11        # ≈ the H3 res-7 band on the S2 hierarchy

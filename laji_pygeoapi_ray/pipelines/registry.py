@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "knn_interpolated_chars", "image_augment_stats",
     "event_value_histogram", "orders_left_join_building",
     "user_travel_stats", "keyset_page_docs", "epoch_shuffle_head",
+    "hex_rollup_7_to_5",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

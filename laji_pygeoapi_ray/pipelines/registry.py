@@ -56,7 +56,7 @@ _DRIVER_PRIORITY = [
     "knn_interpolated_chars", "image_augment_stats",
     "event_value_histogram", "orders_left_join_building",
     "user_travel_stats", "keyset_page_docs", "epoch_shuffle_head",
-    "hex_rollup_7_to_5",
+    "hex_rollup_7_to_5", "event_concurrency_curve", "max_concurrent_events",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",
@@ -116,5 +116,5 @@ def _load_all() -> None:
     for mod in ("shuffle_queries", "knn_queries", "text_queries",
                 "ann_queries", "image_queries", "compute_queries",
                 "stream_queries", "join_queries", "filter_queries",
-                "corpus"):
+                "corpus", "scan_queries"):
         __import__(f"{__package__}.{mod}")

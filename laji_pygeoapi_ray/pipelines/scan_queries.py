@@ -1,0 +1,89 @@
+"""Scan-primitive queries: global ordered running sums (sweep line).
+
+The concurrency curve is the classic interval sweep — each event opens an
+interval at its timestamp and closes it after a deterministic duration
+(a pure integer function of event_id, so the DuckDB oracle reproduces it
+exactly); the running sum of +1/-1 deltas over the global time order is the
+number of concurrently-open intervals. The running sum itself is computed
+by the two-pass distributed scan in ``stages/scan.py`` — no global sort,
+no single-worker ordered pass.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.parquet import read_table
+from ..stages.scan import global_cumsum, scan_summary
+from .registry import register
+
+# Deterministic interval duration: 60 s + (event_id % 240) s, in µs.
+DUR_BASE_US = 60_000_000
+DUR_MOD = 240
+DUR_STEP_US = 1_000_000
+# Range-partition width for the scan: 6 h of epoch-µs → ~120 partitions
+# over the 30-day synthetic log; at scale, width stays span/O(cores).
+SCAN_WIDTH_US = 21_600_000_000
+
+_PTS_SQL = f"""
+    pts AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT CAST(epoch_us(ts) AS BIGINT) + {DUR_BASE_US}
+               + (event_id % {DUR_MOD}) * {DUR_STEP_US}, -1 FROM events),
+    agg AS (SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM pts GROUP BY t),
+    c AS (SELECT t, net,
+                 CAST(SUM(net) OVER (ORDER BY t) AS BIGINT) AS conc
+          FROM agg)
+"""
+
+
+def _sweep_points(sf_dir: str):
+    """events → (t, d) sweep points: one +1 at the start, one -1 at the
+    deterministic end, built vectorized (2n rows per batch, 2 int64 cols)."""
+    ds = read_table(sf_dir, "events", ["event_id", "ts"])
+
+    def to_points(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        end = (ts + np.int64(DUR_BASE_US)
+               + (eid % np.int64(DUR_MOD)) * np.int64(DUR_STEP_US))
+        n = len(ts)
+        d = np.empty(2 * n, dtype=np.int64)
+        d[:n], d[n:] = 1, -1
+        return pa.table({"t": pa.array(np.concatenate([ts, end])),
+                         "d": pa.array(d)})
+
+    return ds.map_batches(to_points, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register("event_concurrency_curve", sql=f"""
+    WITH {_PTS_SQL}
+    SELECT t, net, conc FROM c""")
+def event_concurrency_curve(sf_dir: str):
+    """Full concurrency curve: one row per distinct sweep timestamp with the
+    net delta and the running count of open intervals — the distributed
+    scan's output verified end-to-end against the SQL window sum."""
+    return global_cumsum(_sweep_points(sf_dir), "t", "d",
+                         width=SCAN_WIDTH_US, out_col="conc")
+
+
+@register("max_concurrent_events", sql=f"""
+    WITH {_PTS_SQL}
+    SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+           CAST(MIN(t) FILTER (WHERE conc = (SELECT MAX(conc) FROM c))
+                AS BIGINT) AS first_peak_t,
+           CAST(COUNT(*) FILTER (WHERE conc = (SELECT MAX(conc) FROM c))
+                AS BIGINT) AS n_peak_ts
+    FROM c""")
+def max_concurrent_events(sf_dir: str):
+    """Peak concurrency summary — the curve reduced by per-block partials
+    (3 ints per block) and a tiny driver combine; the curve itself never
+    materializes on the driver."""
+    curve = event_concurrency_curve(sf_dir)
+    s = scan_summary(curve, "t", "conc")
+    return pa.table({"max_concurrency": pa.array([s["max_value"]]),
+                     "first_peak_t": pa.array([s["first_at"]]),
+                     "n_peak_ts": pa.array([s["n_at"]])})

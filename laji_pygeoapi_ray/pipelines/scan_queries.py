@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.parquet import read_table
+from ..stages.pack import pack_layout, token_counts, window_coverage
 from ..stages.scan import global_cumsum, scan_summary
 from .registry import register
 
@@ -87,3 +88,54 @@ def max_concurrent_events(sf_dir: str):
     return pa.table({"max_concurrency": pa.array([s["max_value"]]),
                      "first_peak_t": pa.array([s["first_at"]]),
                      "n_peak_ts": pa.array([s["n_at"]])})
+
+
+# --- Sequence packing (concat-and-chunk) --------------------------------
+# Tokens per training window; small enough that sf0.01's ~20k-token corpus
+# spans tens of windows so the oracle exercises many boundaries.
+PACK_WINDOW = 512
+# doc_id range-partition width for the layout scan (~4 partitions at
+# sf0.01, ~40 at sf0.1; at scale: id-span / O(cores)).
+PACK_SCAN_WIDTH = 128
+
+_LAYOUT_SQL = f"""
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents),
+    cum AS (SELECT doc_id, n,
+                   CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS c
+            FROM tok),
+    layout AS (SELECT doc_id, n AS n_tokens, c - n AS start_offset,
+                      (c - n) // {PACK_WINDOW} AS first_window,
+                      (c - 1) // {PACK_WINDOW} AS last_window,
+                      (c - 1) // {PACK_WINDOW} - (c - n) // {PACK_WINDOW} + 1
+                          AS n_windows
+               FROM cum)
+"""
+
+
+@register("pack_doc_layout", sql=f"WITH {_LAYOUT_SQL} SELECT * FROM layout")
+def pack_doc_layout(sf_dir: str):
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    and slice the token stream into fixed {PACK_WINDOW}-token windows; per
+    doc, its stream offset and the windows it touches. The offsets come
+    from the distributed scan — only (doc_id, n_tokens) pairs shuffle."""
+    tok = token_counts(read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return pack_layout(tok, PACK_WINDOW, width=PACK_SCAN_WIDTH)
+
+
+@register("pack_window_coverage", sql=f"""
+    WITH {_LAYOUT_SQL},
+    u AS (SELECT first_window, last_window,
+                 unnest(generate_series(first_window, last_window))
+                     AS window_id
+          FROM layout)
+    SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE first_window = last_window)
+                AS BIGINT) AS n_full_docs
+    FROM u GROUP BY window_id""")
+def pack_window_coverage(sf_dir: str):
+    """Per-window composition of the packed layout: docs overlapping each
+    window and docs fully contained — the doc→window expansion is a
+    vectorized repeat pre-aggregated per batch (only counts shuffle)."""
+    return window_coverage(pack_doc_layout(sf_dir))

@@ -330,3 +330,66 @@ def minhash_perm_constants() -> list[tuple[int, int, int]]:
     """The (j, a_j, b_j) minhash permutation constants — exported so the
     DuckDB twin recomputes signatures with the exact same parameters."""
     return [(j, int(_A[j]), int(_B[j])) for j in range(MINHASH_PERMS)]
+
+
+def repetition_stats(texts) -> dict[str, np.ndarray]:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of word-2-grams
+    occupied by the single most frequent 2-gram, and the fraction of
+    word-3-gram instances whose gram occurs more than once in the doc.
+    Counts are exact and reproducible in SQL (grams compare as strings in
+    the DuckDB twin; here as 64-bit combined token hashes — same
+    negligible-collision contract as ``token_stats``'s distinct count).
+    Fully vectorized: one Arrow split, consecutive-token hash combines,
+    one lexsort per gram size; no per-doc Python loop."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    toks = pc.split_pattern(pc.fill_null(pc.cast(col, pa.string()), ""), " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ndocs = len(n)
+    doc_of = np.repeat(np.arange(ndocs), n)
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)) \
+        .astype(np.uint64)
+    starts = np.cumsum(n) - n
+    pos = np.arange(len(th)) - np.repeat(starts, n)
+    doc_len = np.repeat(n, n)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def gram_counts(k: int):
+        """(per-doc instance count, per-distinct-gram run doc + count)."""
+        idx = np.nonzero(pos <= doc_len - k)[0]
+        if len(idx) == 0:
+            z = np.zeros(ndocs, np.int64)
+            return z, np.empty(0, np.int64), np.empty(0, np.int64)
+        h = th[idx].copy()
+        for j in range(1, k):
+            h = h * mix + th[idx + j]
+        d = doc_of[idx]
+        order = np.lexsort((h, d))
+        ds_, hs_ = d[order], h[order]
+        new = np.ones(len(hs_), bool)
+        new[1:] = (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])
+        run_id = np.cumsum(new) - 1
+        cnt = np.bincount(run_id).astype(np.int64)
+        total = np.bincount(d, minlength=ndocs).astype(np.int64)
+        return total, ds_[new], cnt
+
+    n2, rd2, c2 = gram_counts(2)
+    top2 = np.zeros(ndocs, np.int64)
+    np.maximum.at(top2, rd2, c2)
+    n3, rd3, c3 = gram_counts(3)
+    dup3 = np.bincount(rd3, weights=c3 * (c3 >= 2),
+                       minlength=ndocs).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f2 = np.where(n2 > 0, top2 / np.maximum(n2, 1), 0.0)
+        f3 = np.where(n3 > 0, dup3 / np.maximum(n3, 1), 0.0)
+    return {"n_2grams": n2, "top_2gram_n": top2, "top_2gram_frac": f2,
+            "n_3grams": n3, "dup_3gram_n": dup3, "dup_3gram_frac": f3}

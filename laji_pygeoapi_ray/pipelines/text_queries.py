@@ -900,3 +900,45 @@ def epoch_shuffle_head(sf_dir: str):
     out = topk_by(ds.map_batches(add_key, batch_format="pyarrow"),
                   "shuffle_key", 64, tie_col="doc_id", descending=False)
     return out.select(["doc_id", "shuffle_key", "rank"])
+
+
+@register("doc_repetition_stats", sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    gs AS (SELECT unnest(generate_series(
+               1, (SELECT MAX(len(t)) FROM toks))) AS g),
+    g2 AS (SELECT doc_id, t[g] || ' ' || t[g + 1] AS gram
+           FROM toks, gs WHERE g <= len(t) - 1),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    m2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+                  CAST(MAX(c) AS BIGINT) AS top2
+           FROM c2 GROUP BY doc_id),
+    g3 AS (SELECT doc_id, t[g] || ' ' || t[g + 1] || ' ' || t[g + 2] AS gram
+           FROM toks, gs WHERE g <= len(t) - 2),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    m3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+                      AS dup3
+           FROM c3 GROUP BY doc_id)
+    SELECT d.doc_id,
+      COALESCE(m2.n2, 0) AS n_2grams,
+      COALESCE(m2.top2, 0) AS top_2gram_n,
+      CASE WHEN COALESCE(m2.n2, 0) > 0
+           THEN CAST(m2.top2 AS DOUBLE) / m2.n2 ELSE 0.0 END
+          AS top_2gram_frac,
+      COALESCE(m3.n3, 0) AS n_3grams,
+      COALESCE(m3.dup3, 0) AS dup_3gram_n,
+      CASE WHEN COALESCE(m3.n3, 0) > 0
+           THEN CAST(m3.dup3 AS DOUBLE) / m3.n3 ELSE 0.0 END
+          AS dup_3gram_frac
+    FROM documents d LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+""")
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (top-2-gram occupancy,
+    duplicated-3-gram instance fraction) — the repetition-filter
+    primitives of a pretraining data pipeline; one vectorized pass per
+    batch, text never shuffles."""
+    from ..stages.text import repetition_stage
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stage(),
+                          batch_format="pyarrow").drop_columns(["text"])

@@ -199,3 +199,14 @@ def rolling_fingerprint_stage(text_col: str = "text",
             "n_windows": pa.array(counts),
         })
     return fn
+
+
+def repetition_stage(text_col: str = "text"):
+    """Gopher-style repetition-signal columns (see
+    ``textkernels.repetition_stats``)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = tk.repetition_stats(batch[text_col])
+        for name, arr in stats.items():
+            batch = batch.append_column(name, pa.array(arr))
+        return batch
+    return fn

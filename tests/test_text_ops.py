@@ -169,3 +169,18 @@ def test_minhash_dedup_clusters_oracle():
     """The flagship near-dup pipeline vs the from-scratch SQL twin
     (signatures, band fold, stop-bucket pruning, recursive closure)."""
     assert_query_matches_oracle("minhash_dedup_clusters", SF_UNIT)
+
+
+def test_repetition_stats_planted():
+    """Known repetition structure: 'x y x y x y' has 5 2-grams, top one
+    ('x y') occurring 3 times; all 4 3-grams occur twice-ish."""
+    from laji_pygeoapi_ray.functions.textkernels import repetition_stats
+    s = repetition_stats(["x y x y x y", "a b c", "solo", ""])
+    # doc 0: 2-grams [xy, yx, xy, yx, xy] → n=5, top=3
+    assert s["n_2grams"].tolist() == [5, 2, 0, 0]
+    assert s["top_2gram_n"].tolist() == [3, 1, 0, 0]
+    assert s["top_2gram_frac"][0] == 3 / 5
+    # doc 0: 3-grams [xyx, yxy, xyx, yxy] → all duplicated → dup=4/4
+    assert s["n_3grams"].tolist() == [4, 1, 0, 0]
+    assert s["dup_3gram_n"].tolist() == [4, 0, 0, 0]
+    assert s["dup_3gram_frac"].tolist() == [1.0, 0.0, 0.0, 0.0]

@@ -393,3 +393,38 @@ def repetition_stats(texts) -> dict[str, np.ndarray]:
         f3 = np.where(n3 > 0, dup3 / np.maximum(n3, 1), 0.0)
     return {"n_2grams": n2, "top_2gram_n": top2, "top_2gram_frac": f2,
             "n_3grams": n3, "dup_3gram_n": dup3, "dup_3gram_frac": f3}
+
+
+def gram_hash_arrays(texts, k: int):
+    """Per-document word-k-gram combined hashes (same tokenizer and
+    hash-combine contract as ``repetition_stats``). Returns
+    ``(n_grams per doc int64, doc index per gram, uint64 hash per gram)``
+    — one Arrow split, vectorized position mask, no per-doc loop."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    toks = pc.split_pattern(pc.fill_null(pc.cast(col, pa.string()), ""), " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ndocs = len(n)
+    doc_of = np.repeat(np.arange(ndocs), n)
+    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)) \
+        .astype(np.uint64)
+    starts = np.cumsum(n) - n
+    pos = np.arange(len(th)) - np.repeat(starts, n)
+    idx = np.nonzero(pos <= np.repeat(n, n) - k)[0]
+    if len(idx) == 0:
+        return (np.zeros(ndocs, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.uint64))
+    h = th[idx].copy()
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(1, k):
+        h = h * mix + th[idx + j]
+    d = doc_of[idx]
+    return np.bincount(d, minlength=ndocs).astype(np.int64), d, h

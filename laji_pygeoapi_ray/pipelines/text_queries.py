@@ -942,3 +942,53 @@ def doc_repetition_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(repetition_stage(),
                           batch_format="pyarrow").drop_columns(["text"])
+
+
+# Decontamination parameters: word-4-grams (13 in GPT-3; 4 here so the
+# small synthetic vocab yields a non-trivial contaminated/clean split),
+# benchmark set = docs with doc_id % 11 == 0 (~9% of the corpus).
+DECON_K = 4
+DECON_MOD = 11
+
+
+def _decon_gram_sql(alias: str) -> str:
+    joined = " || ' ' || ".join(f"t[g + {j}]" for j in range(DECON_K))
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    gs AS (SELECT unnest(generate_series(
+               1, (SELECT MAX(len(t)) FROM toks))) AS g),
+    {alias} AS (SELECT doc_id, {joined.replace('t[g + 0]', 't[g]')} AS gram
+                FROM toks, gs WHERE g <= len(t) - {DECON_K - 1})"""
+
+
+@register("decontaminate_docs", sql=f"""
+    WITH {_decon_gram_sql('g')},
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {DECON_MOD} <> 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+            GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr JOIN bg USING (gram) GROUP BY tr.doc_id)
+    SELECT d.doc_id, COALESCE(tot.n, 0) AS n_grams,
+           COALESCE(hit.c, 0) AS contaminated_n,
+           COALESCE(hit.c, 0) > 0 AS is_contaminated
+    FROM documents d
+    LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    WHERE d.doc_id % {DECON_MOD} <> 0""")
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any word-
+    {DECON_K}-gram with the held-out benchmark subset. The benchmark gram
+    set is built distributed (hash partials only), unioned on the driver
+    (small side by definition), broadcast once via ray.put, and probed
+    per batch in an actor pool — the corpus text never shuffles."""
+    from ..stages.text import ContaminationStage, bench_gram_stage
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pdf = ds.map_batches(bench_gram_stage(DECON_K, DECON_MOD),
+                         batch_format="pyarrow").to_pandas()
+    grams = np.unique(pdf["gram_h"].to_numpy(dtype=np.uint64)) \
+        if len(pdf) else np.empty(0, np.uint64)
+    ref = ray.put(grams)
+    return ds.map_batches(ContaminationStage,
+                          fn_constructor_args=(ref, DECON_K, DECON_MOD),
+                          batch_format="pyarrow",
+                          concurrency=default_pool(), num_cpus=1)

@@ -210,3 +210,49 @@ def repetition_stage(text_col: str = "text"):
             batch = batch.append_column(name, pa.array(arr))
         return batch
     return fn
+
+
+def bench_gram_stage(k: int, bench_mod: int, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Small-side build for decontamination: per batch, the distinct
+    k-gram hashes of the benchmark docs (``id % bench_mod == 0``). Only
+    hashes leave the batch; the driver unions the ≤|bench|·len partials."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = ids % bench_mod == 0
+        if not keep.any():
+            return pa.table({"gram_h": pa.array([], pa.uint64())})
+        texts = batch[text_col].filter(pa.array(keep))
+        _, _, h = tk.gram_hash_arrays(texts, k)
+        return pa.table({"gram_h": pa.array(np.unique(h))})
+    return fn
+
+
+class ContaminationStage:
+    """Flag training docs sharing any word-k-gram with the benchmark set —
+    the eval-decontamination primitive of a pretraining pipeline (13-gram
+    overlap in GPT-3/The Pile; k is a parameter here). The benchmark gram
+    set is broadcast ONCE (``ray.put`` ref resolved in ``__init__``, once
+    per actor); each batch is a vectorized sorted-membership probe."""
+
+    def __init__(self, bench_ref, k: int, bench_mod: int,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.grams = np.sort(ray.get(bench_ref))
+        self.k, self.mod = k, bench_mod
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        keep = ids % self.mod != 0
+        ids = ids[keep]
+        texts = batch[self.text_col].filter(pa.array(keep))
+        n, d, h = tk.gram_hash_arrays(texts, self.k)
+        pos = np.searchsorted(self.grams, h)
+        pos[pos >= len(self.grams)] = 0
+        hit = (self.grams[pos] == h) if len(self.grams) else \
+            np.zeros(len(h), bool)
+        cont = np.bincount(d[hit], minlength=len(n)).astype(np.int64)
+        return pa.table({self.id_col: pa.array(ids),
+                         "n_grams": pa.array(n),
+                         "contaminated_n": pa.array(cont),
+                         "is_contaminated": pa.array(cont > 0)})

@@ -184,3 +184,35 @@ def test_repetition_stats_planted():
     assert s["n_3grams"].tolist() == [4, 1, 0, 0]
     assert s["dup_3gram_n"].tolist() == [4, 0, 0, 0]
     assert s["dup_3gram_frac"].tolist() == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_contamination_stage_planted():
+    """A training doc sharing a 4-gram with the benchmark doc is flagged;
+    one with no shared 4-gram is not; benchmark docs are excluded."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from laji_pygeoapi_ray.functions.textkernels import gram_hash_arrays
+    from laji_pygeoapi_ray.stages.text import (ContaminationStage,
+                                               bench_gram_stage)
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),  # 0 is benchmark
+        "text": ["the quick brown fox jumps",
+                 "a lazy quick brown fox jumps high",   # shares 4-grams
+                 "entirely different words here now"]})
+    ds = ray.data.from_pandas(docs)
+    pdf = ds.map_batches(bench_gram_stage(4, 3),
+                         batch_format="pyarrow").to_pandas()
+    import numpy as np
+    ref = ray.put(np.unique(pdf["gram_h"].to_numpy(dtype=np.uint64)))
+    out = (ds.map_batches(ContaminationStage,
+                          fn_constructor_args=(ref, 4, 3),
+                          batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]
+    # doc 1 contains "quick brown fox jumps" = 1 shared 4-gram instance
+    assert out["contaminated_n"].tolist() == [1, 0]
+    assert out["is_contaminated"].tolist() == [True, False]
+    # kernel sanity: doc 1 has 7 tokens → 4 4-grams
+    n, _, _ = gram_hash_arrays(docs["text"].tolist(), 4)
+    assert n.tolist() == [2, 4, 2]

@@ -685,3 +685,63 @@ def province_cover_cells(sf_dir: str):
                  .filter(pc.is_valid(t["province"])))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ DBSCAN
+# eps = 0.05° in micro-degrees; minPts = 3 — on the synthetic point field
+# this yields a mix of multi-point clusters, border points and noise.
+DBSCAN_EPS_U = 50_000
+DBSCAN_MINPTS = 3
+
+
+@register("dbscan_doc_clusters", sql=f"""
+    WITH RECURSIVE
+    pts AS (SELECT doc_id AS id,
+                   CAST(floor(x * 1000000) AS BIGINT) AS qx,
+                   CAST(floor(y * 1000000) AS BIGINT) AS qy
+            FROM ({_points_cte()})),
+    nb AS (SELECT a.id, a.qx, a.qy, CAST(COUNT(*) AS BIGINT) AS n_in_eps
+           FROM pts a JOIN pts b
+             ON (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy)
+              <= {DBSCAN_EPS_U}::BIGINT * {DBSCAN_EPS_U}::BIGINT
+           GROUP BY a.id, a.qx, a.qy),
+    core AS (SELECT id FROM nb WHERE n_in_eps >= {DBSCAN_MINPTS}),
+    e AS (SELECT a.id AS ia, b.id AS ib
+          FROM pts a JOIN pts b
+            ON (a.qx - b.qx) * (a.qx - b.qx)
+             + (a.qy - b.qy) * (a.qy - b.qy)
+             <= {DBSCAN_EPS_U}::BIGINT * {DBSCAN_EPS_U}::BIGINT
+           AND a.id < b.id
+          WHERE a.id IN (SELECT id FROM core)
+            AND b.id IN (SELECT id FROM core)),
+    ed AS (SELECT ia, ib FROM e UNION ALL SELECT ib, ia FROM e),
+    reach(id, lbl) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT r.id, ed.ib FROM reach r JOIN ed ON ed.ia = r.lbl),
+    comp AS (SELECT id, CAST(MIN(lbl) AS BIGINT) AS cl FROM reach
+             GROUP BY id),
+    bord AS (SELECT p.id, CAST(MIN(c.cl) AS BIGINT) AS cl
+             FROM pts p JOIN pts q
+               ON (p.qx - q.qx) * (p.qx - q.qx)
+                + (p.qy - q.qy) * (p.qy - q.qy)
+                <= {DBSCAN_EPS_U}::BIGINT * {DBSCAN_EPS_U}::BIGINT
+             JOIN comp c ON c.id = q.id
+             WHERE p.id NOT IN (SELECT id FROM core)
+             GROUP BY p.id)
+    SELECT nb.id, nb.qx, nb.qy, nb.n_in_eps,
+           nb.id IN (SELECT id FROM core) AS is_core,
+           COALESCE(comp.cl, bord.cl, -1) AS cluster_id
+    FROM nb LEFT JOIN comp ON comp.id = nb.id
+            LEFT JOIN bord ON bord.id = nb.id""")
+def dbscan_doc_clusters(sf_dir: str):
+    """Grid DBSCAN over the derived document points (eps=0.05°, minPts=3):
+    cluster_id = min id of the core-connected component, border points
+    take the MIN core-neighbor label, noise = -1. Oracle computes the same
+    semantics via a recursive-CTE transitive closure."""
+    from ..stages.dbscan import dbscan, quantized_points
+    pts = quantized_points(read_table(sf_dir, "documents", ["doc_id"]),
+                           "doc_id")
+    return dbscan(pts, eps_u=DBSCAN_EPS_U, minpts=DBSCAN_MINPTS,
+                  num_buckets=16)

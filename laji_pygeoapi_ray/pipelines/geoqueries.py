@@ -745,3 +745,102 @@ def dbscan_doc_clusters(sf_dir: str):
                            "doc_id")
     return dbscan(pts, eps_u=DBSCAN_EPS_U, minpts=DBSCAN_MINPTS,
                   num_buckets=16)
+
+
+# ------------------------------------------------------- raster blob labeling
+# 4-connected components of OCCUPIED cells (count >= 1) at a coarse
+# resolution — the classic raster "region labeling" / flood-fill operator
+# (GDAL sieve / scipy.ndimage.label analogue), here as a pure shuffle
+# composition: per-cell partial counts (the wide input never moves) →
+# right/up neighbor hash join for the adjacency edges (each undirected
+# edge emitted exactly once, from its smaller endpoint) → the existing
+# distributed min-label propagation → one tiny per-blob aggregate.
+RES_BLOB = 5  # 32×32 grid: dense enough at test sf for multi-cell blobs
+
+
+@register("cell_blob_stats", sql=lambda: f"""
+    WITH RECURSIVE
+    pts AS (SELECT {cells.sql_cell('x', 'y', RES_BLOB)} AS cell
+            FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+                 cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {(1 << cells.IY_SHIFT) - 1} AS iy
+          FROM pts GROUP BY 1),
+    e AS (SELECT a.cell AS ia, b.cell AS ib FROM c a JOIN c b
+          ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+          OR (b.ix = a.ix AND b.iy = a.iy + 1)),
+    ed AS (SELECT ia, ib FROM e UNION ALL SELECT ib, ia FROM e),
+    reach(id, lbl) AS (
+        SELECT cell, cell FROM c
+        UNION
+        SELECT r.id, ed.ib FROM reach r JOIN ed ON ed.ia = r.lbl),
+    comp AS (SELECT id, CAST(MIN(lbl) AS BIGINT) AS blob_id FROM reach
+             GROUP BY id)
+    SELECT blob_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_docs,
+           CAST(MIN(c.ix) AS BIGINT) AS ix0, CAST(MIN(c.iy) AS BIGINT) AS iy0,
+           CAST(MAX(c.ix) AS BIGINT) AS ix1, CAST(MAX(c.iy) AS BIGINT) AS iy1
+    FROM comp JOIN c ON c.cell = comp.id GROUP BY 1""")
+def cell_blob_stats(sf_dir: str):
+    """Raster connected-component (blob) stats: label 4-connected occupied
+    res-5 cells by the MIN cell id of their component, then aggregate
+    size, contained-document count and pixel bbox per blob. Oracle:
+    recursive-CTE closure over the same adjacency."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+    from ..stages.simdedup import cluster_pairs_ds
+
+    key = f"cell{RES_BLOB}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    nmax = (1 << RES_BLOB) - 1
+    # multi-consumer (edge candidates + singleton ids + final join): pin
+    # the tiny per-cell count table once
+    cnt = partial_group_counts(
+        _docs_points(sf_dir, (RES_BLOB,)), [key]).materialize()
+
+    def nbr_candidates(t: pa.Table) -> pa.Table:
+        """Each occupied cell → candidate edge rows keyed by its RIGHT and
+        UP neighbor ids (clipped at the grid border); the inner join
+        against the occupied set keeps real edges — exactly once each."""
+        cell = t[key].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outa, outk = [], []
+        for dx, dy in ((1, 0), (0, 1)):
+            jx, jy = ix + dx, iy + dy
+            ok = (jx <= nmax) & (jy <= nmax)
+            outa.append(cell[ok])
+            outk.append((np.int64(RES_BLOB) << cells.RES_SHIFT)
+                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+        return pa.table({"id_a": np.concatenate(outa),
+                         key: np.concatenate(outk)})
+
+    cand = cnt.select_columns([key]).map_batches(
+        nbr_candidates, batch_format="pyarrow")
+    edges = hash_join(cand, cnt.select_columns([key]), on=[key],
+                      num_buckets=16).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b"]),
+        batch_format="pyarrow")
+
+    ids = cnt.select_columns([key]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
+    labels = cluster_pairs_ds(edges, ids, id_col="id", num_buckets=16)
+    lab = hash_join(
+        labels.map_batches(lambda t: t.rename_columns([key, "blob_id"]),
+                           batch_format="pyarrow"),
+        cnt, on=[key], num_buckets=16)
+
+    def add_xy(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        return pa.table({"blob_id": t["blob_id"], "n": t["n"],
+                         "ix": cell & mask,
+                         "iy": (cell >> cells.IY_SHIFT) & mask})
+
+    per_cell = lab.map_batches(add_xy, batch_format="pyarrow")
+    agg = per_cell.groupby("blob_id").aggregate(
+        Count(alias_name="n_cells"), Sum("n", alias_name="n_docs"),
+        Min("ix", alias_name="ix0"), Min("iy", alias_name="iy0"),
+        Max("ix", alias_name="ix1"), Max("iy", alias_name="iy1"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["blob_id", "n_cells", "n_docs", "ix0", "iy0", "ix1", "iy1"]),
+        batch_format="pyarrow")

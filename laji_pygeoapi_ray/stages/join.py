@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .shuffle import grouped_apply
@@ -37,13 +38,45 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
     for name, typ in zip(lschema.names, lschema.types):
         types[name] = typ
 
+    # Integer columns that are ABSENT on one side get null-filled there;
+    # the pandas conversion inside grouped_apply would upcast such a column
+    # to float64 for the whole bucket — LOSSY above 2^53 (e.g. packed cell
+    # ids carry the resolution in bits 58+). Carry exactly those columns as
+    # pandas nullable Int64 end-to-end instead; columns present on both
+    # sides (the join keys in particular) keep the fast numpy path.
+    int_nullable = [c for c in all_cols
+                    if (c not in lcols or c not in rcols)
+                    and pa.types.is_integer(types[c])]
+
     def tag(side: int, present: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            out = {"__side": pa.array(np.full(len(t), side, dtype=np.int8))}
+        def fn(t: pa.Table):
+            n = len(t)
+            side_col = np.full(n, side, dtype=np.int8)
+            if not int_nullable:
+                out = {"__side": pa.array(side_col)}
+                for c in all_cols:
+                    out[c] = (t[c] if c in present
+                              else pa.nulls(n, types[c]))
+                return pa.table(out)
+            data = {"__side": pd.Series(side_col)}
             for c in all_cols:
-                out[c] = (t[c] if c in present
-                          else pa.nulls(len(t), types[c]))
-            return pa.table(out)
+                if c in int_nullable:
+                    if c in present:
+                        vals = t[c].to_numpy(zero_copy_only=False)
+                        mask = pc.is_null(t[c]).to_numpy(
+                            zero_copy_only=False)
+                        if mask.any():
+                            vals = np.where(mask, 0, vals)
+                        data[c] = pd.arrays.IntegerArray(
+                            vals.astype(np.int64), mask=mask.copy())
+                    else:
+                        data[c] = pd.arrays.IntegerArray(
+                            np.zeros(n, np.int64), mask=np.ones(n, bool))
+                else:
+                    col = (t[c] if c in present
+                           else pa.nulls(n, types[c]))
+                    data[c] = col.to_pandas()
+            return pd.DataFrame(data)
         return fn
 
     tagged = (left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")

@@ -275,6 +275,12 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     are shallow (family diameter ≪ corpus), so iterations ≈ cluster
     diameter. Returns a Dataset of (id_col, cluster_id = min id of the
     connected component).
+
+    Ids MUST be non-negative int64: the side tags in the internal unions
+    use a -1 sentinel instead of typed nulls so every label column stays
+    numpy int64 through the pandas buckets — typed nulls would upcast the
+    column to float64, which is LOSSY above 2^53 (packed cell ids with
+    resolution bits at 58+ were corrupted by exactly this).
     """
     import ray.data as rd
 
@@ -306,18 +312,19 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     for _ in range(max_iters):
         # ---- shuffle 1: neighbor candidates (edges ⋈ labels on src)
         tagged = edges.map_batches(
-            lambda t: t.append_column("label", pa.nulls(len(t), pa.int64())),
+            lambda t: t.append_column(
+                "label", pa.array(np.full(len(t), -1, np.int64))),
             batch_format="pyarrow").union(
             lab.map_batches(
                 lambda t: pa.table({
                     "src": t["id"],
-                    "dst": pa.nulls(len(t), pa.int64()),
+                    "dst": pa.array(np.full(len(t), -1, np.int64)),
                     "label": t["label"]}),
                 batch_format="pyarrow"))
 
         def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            lpart = df[df["dst"].isna()][["src", "label"]]
-            epart = df[df["label"].isna()][["src", "dst"]]
+            lpart = df[df["dst"] == -1][["src", "label"]]
+            epart = df[df["label"] == -1][["src", "dst"]]
             if epart.empty or lpart.empty:
                 return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                                      "label": pd.Series([], dtype="int64")})
@@ -361,21 +368,27 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
             continue
         queries_side = lab.map_batches(
             lambda t: pa.table({"k": t["label"], "qid": t["id"],
-                                "lbl": pa.nulls(len(t), pa.int64())}),
+                                "lbl": pa.array(
+                                    np.full(len(t), -1, np.int64))}),
             batch_format="pyarrow")
         lookup_side = lab.map_batches(
             lambda t: pa.table({"k": t["id"],
-                                "qid": pa.nulls(len(t), pa.int64()),
+                                "qid": pa.array(
+                                    np.full(len(t), -1, np.int64)),
                                 "lbl": t["label"]}),
             batch_format="pyarrow")
 
         def jump_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            lk = df[df["lbl"].notna()][["k", "lbl"]]
-            q = df[df["qid"].notna()][["k", "qid"]]
+            lk = df[df["lbl"] != -1][["k", "lbl"]]
+            q = df[df["qid"] != -1][["k", "qid"]]
             if q.empty:
                 return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                                      "label": pd.Series([], dtype="int64")})
-            m = q.merge(lk, on="k", how="left")
+            # left-merge misses produce NA: carry lbl as nullable Int64
+            # through the merge (masked int64 — exact at full width), not
+            # float64
+            m = q.merge(lk.assign(lbl=lk["lbl"].astype("Int64")),
+                        on="k", how="left")
             lbl = m["lbl"].fillna(m["k"]).astype("int64")
             return pd.DataFrame({"id": m["qid"].astype("int64"),
                                  "label": lbl})
@@ -396,13 +409,15 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     # attach singletons (ids with no pair): one anti-join shuffle at the END
     tagged_ids = ids_ds.map_batches(
         lambda t: pa.table({"id": pc_cast_i64(t[id_col]),
-                            "label": pa.nulls(len(t), pa.int64())}),
+                            "label": pa.array(
+                                np.full(len(t), -1, np.int64))}),
         batch_format="pyarrow").union(lab)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        labelled = df[df["label"].notna()]
+        labelled = df[df["label"] != -1]
+        agg = labelled.groupby("id", as_index=False)["label"].min()
         out = df[["id"]].drop_duplicates().merge(
-            labelled.groupby("id", as_index=False)["label"].min(),
+            agg.assign(label=agg["label"].astype("Int64")),
             on="id", how="left")
         lbl = out["label"].fillna(out["id"]).astype("int64")
         return pd.DataFrame({"id": out["id"].astype("int64"),

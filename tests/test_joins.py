@@ -45,3 +45,45 @@ def test_sample_frac_block_order_invariant():
         out = sample_frac(ds, 10, id_col="doc_id").to_pandas()
         sel.append(sorted(out["doc_id"]))
     assert sel[0] == sel[1] and 300 < len(sel[0]) < 700
+
+
+def test_hash_join_preserves_ints_above_2_53():
+    """Regression: null-filled int columns used to ride through the bucket
+    shuffle as float64, silently rounding ids above 2^53 (packed cell ids
+    carry resolution bits at 58+)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from laji_pygeoapi_ray.stages.join import hash_join
+
+    base = np.int64(5) << np.int64(58)
+    keys = base + np.arange(8, dtype=np.int64)       # ulp(float64) here=256
+    left = rd.from_arrow(pa.table({"k": keys, "payload_a": keys + 1}))
+    right = rd.from_arrow(pa.table({"k": keys[::2], "payload_b": keys[::2]}))
+    out = hash_join(left, right, on=["k"], num_buckets=4).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].dtype.kind == "i" and out["payload_a"].dtype.kind == "i"
+    assert list(out["k"]) == list(keys[::2])
+    assert list(out["payload_a"]) == list(keys[::2] + 1)
+    assert list(out["payload_b"]) == list(keys[::2])
+
+
+def test_cluster_pairs_ds_preserves_ints_above_2_53():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from laji_pygeoapi_ray.stages.simdedup import cluster_pairs_ds
+
+    base = np.int64(5) << np.int64(58)
+    # path graph 0-1-2-3 (forces propagation rounds + pointer jumping)
+    # plus the far pair (100, 101) and singleton 200
+    ids = base + np.array([0, 1, 2, 3, 100, 101, 200], dtype=np.int64)
+    pairs = pd.DataFrame({"id_a": base + np.array([0, 1, 2, 100]),
+                          "id_b": base + np.array([1, 2, 3, 101])})
+    out = cluster_pairs_ds(pairs, rd.from_arrow(pa.table({"doc_id": ids})),
+                           id_col="doc_id", num_buckets=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {base + 0: base, base + 1: base, base + 2: base,
+                   base + 3: base, base + 100: base + 100,
+                   base + 101: base + 100, base + 200: base + 200}

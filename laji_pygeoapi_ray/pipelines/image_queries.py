@@ -564,3 +564,41 @@ def caption_integrity(sf_dir: str):
                      "n_caption_ok": pa.array([int(tot["n_caption_ok"])],
                                               pa.int64()),
                      "n_id_ok": pa.array([int(tot["n_id_ok"])], pa.int64())})
+
+
+@register("image_patch_stats", sql=lambda: f"""
+    SELECT fmt, COUNT(*) AS n,
+           CAST(SUM((h // 8) * (w // 8)) AS BIGINT) AS n_patches,
+           COUNT(*) AS n_conserve_ok
+    FROM {_img_path_sql(ORACLE_N)} GROUP BY fmt""")
+def image_patch_stats(sf_dir: str):
+    """ViT-style patch extraction: decode every image, cut it into 8×8
+    patches, reduce per patch (stages/patches.PatchStage). The oracle pins
+    per-format image count, TOTAL patch count (recomputed from the stored
+    (w, h) metadata — the engine derives it from the DECODED array shape,
+    so the row certifies pixels==metadata), and the int64 conservation
+    gate Σ patch sums == image sum (independent reduction order, measured
+    on the actual patch grid — decode-verify trust model)."""
+    import pyarrow.compute as pc
+
+    from ..stages.patches import PatchStage
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(PatchStage, batch_format="pyarrow",
+                        batch_size=512, concurrency=fixed_pool(),
+                        num_cpus=1)
+
+    def gates(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": t["fmt"],
+            "np_": pc.cast(t["n_patches"], pa.int64()),
+            "cons": pc.cast(t["conserve_ok"], pa.int64())})
+
+    agg = ds.map_batches(gates, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Count(alias_name="n"), Sum("np_", alias_name="n_patches"),
+            Sum("cons", alias_name="n_conserve_ok"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "n", "n_patches",
+                                    "n_conserve_ok"]),
+        batch_format="pyarrow")

@@ -844,3 +844,118 @@ def cell_blob_stats(sf_dir: str):
         lambda t: t.rename_columns(
             ["blob_id", "n_cells", "n_docs", "ix0", "iy0", "ix1", "iy1"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------- spatial statistics
+def _morans_consts():
+    n = 1 << RES
+    n_cells = n * n
+    w_pairs = 4 * n * n - 4 * n        # directed rook pairs on the lattice
+    return n, n_cells, w_pairs
+
+
+@register("morans_i_cells", sql=lambda: (lambda n, N, W: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x,
+                 cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {(1 << cells.IY_SHIFT) - 1} AS iy
+          FROM pts GROUP BY 1),
+    base AS (SELECT CAST(SUM(x) AS BIGINT) AS s,
+                    CAST(SUM(x * x) AS BIGINT) AS sx2,
+                    CAST(SUM(x * (4 - CASE WHEN ix = 0 THEN 1 ELSE 0 END
+                                     - CASE WHEN ix = {n - 1} THEN 1 ELSE 0 END
+                                     - CASE WHEN iy = 0 THEN 1 ELSE 0 END
+                                     - CASE WHEN iy = {n - 1} THEN 1 ELSE 0 END))
+                         AS BIGINT) AS degx
+             FROM c),
+    cr AS (SELECT CAST(COALESCE(SUM(a.x * b.x), 0) AS BIGINT) AS cross_x
+           FROM c a JOIN c b
+           ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1)
+    SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
+           base.s AS n_points, cr.cross_x,
+           {N * N} * cr.cross_x - {2 * N} * base.s * base.degx
+               + base.s * base.s * {W} AS num_scaled,
+           {N * N} * base.sx2 - {N} * base.s * base.s AS den_scaled,
+           (CAST({N * N} * cr.cross_x - {2 * N} * base.s * base.degx
+                 + base.s * base.s * {W} AS DOUBLE)
+            / CAST({N * N} * base.sx2 - {N} * base.s * base.s AS DOUBLE))
+           * (CAST({N} AS DOUBLE) / CAST({W} AS DOUBLE)) AS morans_i
+    FROM base, cr""")(*_morans_consts()))
+def morans_i_cells(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of per-cell document counts
+    on the full res-7 lattice (rook adjacency, binary weights, empty cells
+    = 0). Integer-exact: with y_i = N·x_i − S the numerator and denominator
+    become pure int64 sums over the SPARSE occupied-cell table —
+    num = N²·Σ_adj x_i x_j − 2NS·Σ x_i deg_i + S²·W and
+    den = N²·Σx² − N·S² — so no float crosses a block boundary; the single
+    final division is pinned to one IEEE expression on both sides. The
+    Σ_adj cross term uses the scatter-to-neighbors pattern (occupied cells
+    only; the lattice never materializes)."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    n, n_cells, w_pairs = _morans_consts()
+    key = f"cell{RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    cnt = partial_group_counts(_docs_points(sf_dir), [key]).materialize()
+
+    def base_partials(t: pa.Table) -> pa.Table:
+        x = t["n"].to_numpy(zero_copy_only=False)
+        cell = t[key].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        deg = (4 - (ix == 0) - (ix == n - 1)
+               - (iy == 0) - (iy == n - 1)).astype(np.int64)
+        return pa.table({"s": pa.array([int(x.sum())], pa.int64()),
+                         "sx2": pa.array([int((x * x).sum())], pa.int64()),
+                         "degx": pa.array([int((x * deg).sum())],
+                                          pa.int64())})
+
+    b = cnt.map_batches(base_partials, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("sx2", alias_name="sx2"),
+        Sum("degx", alias_name="degx"))
+    s, sx2, degx = int(b["s"]), int(b["sx2"]), int(b["degx"])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        x = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outc, outn = [], []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            jx, jy = ix + dx, iy + dy
+            ok = (jx >= 0) & (jx <= n - 1) & (jy >= 0) & (jy <= n - 1)
+            outc.append((np.int64(RES) << cells.RES_SHIFT)
+                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+            outn.append(x[ok])
+        return pa.table({key: np.concatenate(outc),
+                         "sx": np.concatenate(outn)})
+
+    nbr = (cnt.map_batches(scatter, batch_format="pyarrow")
+           .groupby(key).aggregate(Sum("sx", alias_name="sx")))
+    joined = hash_join(nbr.map_batches(
+        lambda t: t.rename_columns([key, "sx"]), batch_format="pyarrow"),
+        cnt, on=[key], num_buckets=16)
+
+    def cross_partial(t: pa.Table) -> pa.Table:
+        v = (t["sx"].to_numpy(zero_copy_only=False)
+             * t["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"cx": pa.array([int(v.sum())], pa.int64())})
+
+    cx = joined.map_batches(cross_partial, batch_format="pyarrow") \
+        .aggregate(Sum("cx", alias_name="cx"))
+    cross_x = int(cx["cx"])
+
+    num = n_cells * n_cells * cross_x - 2 * n_cells * s * degx \
+        + s * s * w_pairs
+    den = n_cells * n_cells * sx2 - n_cells * s * s
+    mi = (np.float64(num) / np.float64(den)) \
+        * (np.float64(n_cells) / np.float64(w_pairs))
+    import pandas as pd
+    return pd.DataFrame({
+        "n_cells": np.array([n_cells], np.int64),
+        "w_pairs": np.array([w_pairs], np.int64),
+        "n_points": np.array([s], np.int64),
+        "cross_x": np.array([cross_x], np.int64),
+        "num_scaled": np.array([num], np.int64),
+        "den_scaled": np.array([den], np.int64),
+        "morans_i": np.array([mi], np.float64)})

@@ -165,3 +165,68 @@ def knn_interpolated_chars(sf_dir: str):
         return t.append_column("mean_chars", pa.array(s / k))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- Ripley's K
+RIPLEY_RADII = (0.05, 0.10, 0.15, 0.20, 0.25)   # ladder ≤ DW_RADIUS
+
+
+def _ripley_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    rmax = RIPLEY_RADII[-1]
+    area = np.float64(points._W) * np.float64(points._H)
+    rlist = ", ".join(f"CAST('{r}' AS DOUBLE)" for r in RIPLEY_RADII)
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    p AS (SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{rmax}' AS DOUBLE) * CAST('{rmax}' AS DOUBLE)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pts),
+    radii AS (SELECT unnest([{rlist}]) AS r)
+    SELECT radii.r,
+           CAST(COALESCE(SUM(CASE WHEN p.d2 <= radii.r * radii.r
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_pairs,
+           CAST('{area!r}' AS DOUBLE)
+             * CAST(2 * COALESCE(SUM(CASE WHEN p.d2 <= radii.r * radii.r
+                                          THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / CAST((SELECT np * (np - 1) FROM n) AS DOUBLE) AS k_hat
+    FROM radii LEFT JOIN p ON true
+    GROUP BY radii.r"""
+
+
+@register("ripley_k_pairs", sql=_ripley_sql)
+def ripley_k_pairs(sf_dir: str):
+    """Ripley's K point-pattern statistic at a radius ladder: K̂(r) =
+    A·2·|{pairs d ≤ r}| / (n(n−1)) (no edge correction — both sides agree
+    on the naive estimator). ONE grid ghost-cell pair sweep at the MAX
+    radius (dwithin_pairs — exactly-once per pair), then per-batch
+    cumulative bin counts; pair distances never leave the cells, only
+    5-row partials shuffle. The final division is one pinned IEEE
+    expression on both sides."""
+    from ..stages.knn import dwithin_pairs
+
+    rmax = RIPLEY_RADII[-1]
+    r2s = np.array([np.float64(r) * np.float64(r) for r in RIPLEY_RADII])
+    area = np.float64(points._W) * np.float64(points._H)
+    n_pts = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), rmax, res=5, num_buckets=32)
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        d2 = t["d2"].to_numpy(zero_copy_only=False)
+        cnts = (d2[None, :] <= r2s[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"r_idx": np.arange(len(r2s), dtype=np.int64),
+                         "c": cnts})
+
+    from ray.data.aggregate import Sum
+    agg = (pairs.map_batches(bin_partial, batch_format="pyarrow")
+           .groupby("r_idx").aggregate(Sum("c", alias_name="c"))
+           .to_pandas().set_index("r_idx")["c"])
+    n_pairs = np.array([int(agg.get(i, 0)) for i in range(len(r2s))],
+                       dtype=np.int64)
+    k_hat = (area * (2 * n_pairs).astype(np.float64)) \
+        / np.float64(n_pts * (n_pts - 1))
+    return pd.DataFrame({"r": np.array(RIPLEY_RADII, np.float64),
+                         "n_pairs": n_pairs, "k_hat": k_hat})

@@ -59,7 +59,7 @@ _DRIVER_PRIORITY = [
     "hex_rollup_7_to_5", "event_concurrency_curve", "max_concurrent_events",
     "pack_doc_layout", "pack_window_coverage", "doc_repetition_stats",
     "decontaminate_docs", "dbscan_doc_clusters", "cell_blob_stats",
-    "image_patch_stats", "morans_i_cells",
+    "image_patch_stats", "morans_i_cells", "ripley_k_pairs",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions import cells, hexgrid, points, s2
+from ..functions import cells, hexgrid, hilbert, points, s2
 from ..sources.parquet import default_pool, read_table
 from ..functions.pip import sql_pip_assign
 from ..stages import assign
@@ -959,3 +959,43 @@ def morans_i_cells(sf_dir: str):
         "num_scaled": np.array([num], np.int64),
         "den_scaled": np.array([den], np.int64),
         "morans_i": np.array([mi], np.float64)})
+
+
+# ------------------------------------------------------ Hilbert layout key
+HILBERT_ORDER = 8   # 256×256 grid — the write-layout sort key resolution
+
+
+@register("hilbert_order_docs", sql=lambda: f"""
+    WITH src AS (SELECT doc_id AS id,
+                        {cells.sql_cell('x', 'y', HILBERT_ORDER)}
+                        & {(1 << cells.IY_SHIFT) - 1} AS hx,
+                        ({cells.sql_cell('x', 'y', HILBERT_ORDER)}
+                         >> {cells.IY_SHIFT})
+                        & {(1 << cells.IY_SHIFT) - 1} AS hy
+                 FROM ({_points_cte()})),
+    {hilbert.sql_hilbert_ctes('src', HILBERT_ORDER)}
+    SELECT src.id AS doc_id, src.hx, src.hy, hd.hd AS hilbert_d
+    FROM src JOIN hd ON hd.id = src.id""")
+def hilbert_order_docs(sf_dir: str):
+    """Hilbert space-filling-curve layout key per document (order-8 grid
+    over the study bbox): the locality-preserving sort key for the
+    partitioned sink — consecutive keys are always 4-neighbors, so a bbox
+    reader touches few contiguous key ranges (vs row-major tile ids whose
+    scanlines shatter every bbox). Pure streaming column transform, no
+    shuffle; the oracle re-runs the identical per-level bit transform as
+    staged CTEs (bit-exact, tests/test_hilbert.py proves the twin
+    exhaustively)."""
+    import pyarrow.compute as pc
+
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    def add_key(t: pa.Table) -> pa.Table:
+        cell = t[f"cell{HILBERT_ORDER}"].to_numpy(zero_copy_only=False)
+        hx, hy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "hx": pa.array(hx), "hy": pa.array(hy),
+            "hilbert_d": pa.array(hilbert.xy_to_d(hx, hy, HILBERT_ORDER))})
+
+    return _docs_points(sf_dir, (HILBERT_ORDER,)).map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True)

@@ -999,3 +999,110 @@ def hilbert_order_docs(sf_dir: str):
 
     return _docs_points(sf_dir, (HILBERT_ORDER,)).map_batches(
         add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- adaptive quadtree leaves
+QT_CAP = 4     # max points per leaf (split threshold)
+QT_RMAX = 7    # finest split resolution
+
+
+def _qt_sql() -> str:
+    mask = (1 << cells.IY_SHIFT) - 1
+    ctes, selects = [], []
+    for r in range(QT_RMAX + 1):
+        ctes.append(
+            f"c{r} AS (SELECT {cells.sql_cell('x', 'y', r)} AS cell, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1)")
+        if r == 0:
+            cond = f"c0.n <= {QT_CAP}" if QT_RMAX > 0 else "TRUE"
+            selects.append(
+                f"SELECT cell, CAST(0 AS BIGINT) AS res, n FROM c0 "
+                f"WHERE {cond}")
+        else:
+            leaf = f"c{r}.n <= {QT_CAP}" if r < QT_RMAX else "TRUE"
+            selects.append(
+                f"SELECT c{r}.cell, CAST({r} AS BIGINT) AS res, c{r}.n "
+                f"FROM c{r} JOIN c{r - 1} p ON p.cell = "
+                f"((CAST({r - 1} AS BIGINT) << {cells.RES_SHIFT}) "
+                f"| ((((c{r}.cell >> {cells.IY_SHIFT}) & {mask}) >> 1) "
+                f"<< {cells.IY_SHIFT}) | ((c{r}.cell & {mask}) >> 1)) "
+                f"WHERE p.n > {QT_CAP} AND {leaf}")
+    return (f"WITH pts AS (SELECT x, y FROM ({_points_cte()})),\n    "
+            + ",\n    ".join(ctes) + "\n    "
+            + "\nUNION ALL\n".join(selects))
+
+
+@register("adaptive_quadtree_leaves", sql=_qt_sql)
+def adaptive_quadtree_leaves(sf_dir: str):
+    """Adaptive quadtree partitioning: split every cell with more than
+    QT_CAP points until the cap holds or QT_RMAX is reached; emit the leaf
+    cells with their counts — the balanced-shard layout for skewed point
+    data (dense regions get fine cells, sparse regions coarse ones; each
+    leaf becomes one output partition). Counts are monotone along
+    ancestors, so "all ancestors over cap" reduces to ONE parent check;
+    the whole ladder runs on aggregated per-cell count tables (the wide
+    input shuffles zero times — one partial-count pass, then log-depth
+    parent rollups + one bucketed join)."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{QT_RMAX}"
+    fine = partial_group_counts(
+        _docs_points(sf_dir, (QT_RMAX,)), [key]).map_batches(
+        lambda t: t.rename_columns(["cell", "n"]), batch_format="pyarrow")
+
+    levels = {QT_RMAX: fine.materialize()}
+    for r in range(QT_RMAX - 1, -1, -1):
+        child = levels[r + 1]
+
+        def up(t: pa.Table, res=r) -> pa.Table:
+            return pa.table({
+                "cell": cells.parent(
+                    t["cell"].to_numpy(zero_copy_only=False), res),
+                "n": t["n"]})
+
+        levels[r] = (child.map_batches(up, batch_format="pyarrow")
+                     .groupby("cell").aggregate(Sum("n", alias_name="n"))
+                     .map_batches(lambda t: t.rename_columns(["cell", "n"]),
+                                  batch_format="pyarrow").materialize())
+
+    def tag(r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cell = t["cell"].to_numpy(zero_copy_only=False)
+            pc_ = (cells.parent(cell, r - 1) if r > 0
+                   else np.full(len(t), -1, np.int64))
+            return pa.table({"cell": t["cell"], "n": t["n"],
+                             "res": pa.array(np.full(len(t), r, np.int64)),
+                             "pcell": pa.array(pc_)})
+        return fn
+
+    allcells = None
+    for r in range(QT_RMAX + 1):
+        part = levels[r].map_batches(tag(r), batch_format="pyarrow")
+        allcells = part if allcells is None else allcells.union(part)
+
+    parents = None
+    for r in range(QT_RMAX):
+        p = levels[r].map_batches(
+            lambda t: t.rename_columns(["pcell", "pn"]),
+            batch_format="pyarrow")
+        parents = p if parents is None else parents.union(p)
+
+    joined = hash_join(allcells, parents, on=["pcell"], how="left",
+                       num_buckets=16)
+
+    def leaves(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t["n"].to_numpy(zero_copy_only=False)
+        res = t["res"].to_numpy(zero_copy_only=False)
+        pn = t["pn"].to_numpy(zero_copy_only=False)
+        pn = np.where(pc.is_null(t["pn"]).to_numpy(zero_copy_only=False),
+                      np.int64(QT_CAP + 1), pn.astype(np.int64))
+        keep = (pn > QT_CAP) & ((n <= QT_CAP) | (res == QT_RMAX))
+        out = t.filter(pa.array(keep))
+        return pa.table({"cell": out["cell"],
+                         "res": out["res"],
+                         "n": pc.cast(out["n"], pa.int64())})
+
+    return joined.map_batches(leaves, batch_format="pyarrow")

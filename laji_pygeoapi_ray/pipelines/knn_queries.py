@@ -230,3 +230,69 @@ def ripley_k_pairs(sf_dir: str):
         / np.float64(n_pts * (n_pts - 1))
     return pd.DataFrame({"r": np.array(RIPLEY_RADII, np.float64),
                          "n_pairs": n_pairs, "k_hat": k_hat})
+
+
+# ------------------------------------------------------ integer PageRank
+PR_BASE = 10 ** 9
+PR_ITERS = 3
+PR_NUM, PR_DEN = 85, 100
+
+
+def _pagerank_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    bt = (PR_DEN - PR_NUM) * PR_BASE // PR_DEN
+    r = DW_RADIUS
+    parts = [f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    e AS (SELECT a.id AS src, b.id AS dst FROM pts a JOIN pts b
+          ON a.id <> b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{r}' AS DOUBLE) * CAST('{r}' AS DOUBLE)),
+    r0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d,
+                  CAST({PR_BASE} AS BIGINT) AS r
+           FROM e GROUP BY 1)"""]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(f""",
+    i{k} AS (SELECT e.dst AS id, CAST(SUM(r{k - 1}.r // r{k - 1}.d)
+                                      AS BIGINT) AS f
+             FROM e JOIN r{k - 1} ON r{k - 1}.id = e.src GROUP BY 1),
+    r{k} AS (SELECT r{k - 1}.id, r{k - 1}.d,
+                    {bt} + ({PR_NUM} * COALESCE(i{k}.f, 0)) // {PR_DEN} AS r
+             FROM r{k - 1} LEFT JOIN i{k} ON i{k}.id = r{k - 1}.id)""")
+    parts.append(f"""
+    SELECT d.doc_id, COALESCE(rk.r, {bt}) AS pr
+    FROM documents d LEFT JOIN r{PR_ITERS} rk ON rk.id = d.doc_id""")
+    return "".join(parts)
+
+
+@register("pagerank_docs", sql=_pagerank_sql)
+def pagerank_docs(sf_dir: str):
+    """Integer-exact PageRank over the spatial proximity graph (edges =
+    doc pairs within DW_RADIUS, undirected): fixed-point ranks with floor
+    division so every per-node sum is pure int64 — the iterative
+    value-propagation operator (stages/pagerank.py), bit-exact vs the
+    unrolled SQL twin. Edge enumeration reuses the exactly-once grid
+    cogroup (dwithin_pairs); isolated docs get the damping base."""
+    import pyarrow.compute as pc
+
+    from ..stages.knn import dwithin_pairs
+    from ..stages.pagerank import integer_pagerank
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
+                          num_buckets=32)
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(both, batch_format="pyarrow")
+    ids = read_table(sf_dir, "documents", ["doc_id"])
+    pr = integer_pagerank(edges, ids, id_col="doc_id", iters=PR_ITERS,
+                          base=PR_BASE, damp_num=PR_NUM, damp_den=PR_DEN,
+                          num_buckets=16)
+    return pr.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "pr": pc.cast(t["rank"], pa.int64())}),
+        batch_format="pyarrow")

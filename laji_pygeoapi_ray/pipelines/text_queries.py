@@ -992,3 +992,104 @@ def decontaminate_docs(sf_dir: str):
                           fn_constructor_args=(ref, DECON_K, DECON_MOD),
                           batch_format="pyarrow",
                           concurrency=default_pool(), num_cpus=1)
+
+
+# ------------------------------------------------ edit-distance-<=2 pairs
+MAX_EDIT = 2
+
+
+@register("typo_token_pairs", sql=f"""
+    WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    t AS (SELECT token FROM toks WHERE token <> '')
+    SELECT a.token AS tok_a, b.token AS tok_b,
+           CAST(levenshtein(a.token, b.token) AS BIGINT) AS d
+    FROM t a JOIN t b ON a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= {MAX_EDIT}""")
+def typo_token_pairs(sf_dir: str):
+    """Fuzzy string self-join — the SymSpell configuration: all distinct
+    token pairs within edit distance 2 (typo/OCR dedup, spell-candidate
+    generation). Symmetric-delete blocking: each token emits its
+    depth-≤2 deletion neighborhood as candidate keys (two strings at
+    distance ≤ 2 always share such a key), then ONE shuffle on the key,
+    an in-bucket exact banded-DP verify, and a distinct-pair dedup (a
+    pair can share several keys). Only the DISTINCT VOCAB enters the
+    blocking (the corpus itself never shuffles); per-key candidate work
+    is bounded by the key's bucket population, the operator's intrinsic
+    bound. Oracle: DuckDB levenshtein over the O(V²) cross join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        tok = pa.table({"token": flat}).filter(pc.not_equal(flat, ""))
+        return tok.group_by(["token"]).aggregate([]).select(["token"])
+
+    vocab = (ds.map_batches(vocab_partial, batch_format="pyarrow",
+                            batch_size=65536, zero_copy_batch=True)
+             .groupby("token").count()
+             .map_batches(lambda t: t.select(["token"]),
+                          batch_format="pyarrow"))
+
+    def del_keys(t: pa.Table) -> pa.Table:
+        keys, toks = [], []
+        for tok in t["token"].to_pylist():
+            nbh = {tok}
+            frontier = {tok}
+            for _ in range(MAX_EDIT):
+                frontier = {v[:i] + v[i + 1:]
+                            for v in frontier for i in range(len(v))}
+                nbh |= frontier
+            keys.extend(nbh)
+            toks.extend([tok] * len(nbh))
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    cand = vocab.map_batches(del_keys, batch_format="pyarrow")
+
+    def _lev(a: str, b: str) -> int:
+        # full DP (tokens are short); same metric as DuckDB levenshtein
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    def pairs_bucket(df):
+        import pandas as pd
+        out_a, out_b, out_d = [], [], []
+        for _, g in df.groupby("key", sort=False):
+            ts = sorted(set(g["token"]))
+            if len(ts) < 2:
+                continue
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    d = _lev(ts[i], ts[j])
+                    if d <= MAX_EDIT:
+                        out_a.append(ts[i])
+                        out_b.append(ts[j])
+                        out_d.append(d)
+        return pd.DataFrame({"tok_a": pd.Series(out_a, dtype="string"),
+                             "tok_b": pd.Series(out_b, dtype="string"),
+                             "d": pd.Series(out_d, dtype="int64")})
+
+    pairs = grouped_apply(cand, ["key"], pairs_bucket, num_buckets=16)
+    dedup = pairs.groupby(["tok_a", "tok_b"]).min("d")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({"tok_a": pc.cast(t["tok_a"], pa.string()),
+                         "tok_b": pc.cast(t["tok_b"], pa.string()),
+                         "d": pc.cast(t["min(d)"], pa.int64())})
+
+    return dedup.map_batches(strip, batch_format="pyarrow")

@@ -7,7 +7,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import cells, points
 from ..sources.parquet import read_table
@@ -433,3 +433,80 @@ def event_sliding_window_join(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["event_id", "event_type", "win_start_hour"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ funnel
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_W_US = 6 * US_PER_HOUR      # max gap between consecutive steps
+
+
+@register("funnel_conversion", sql=f"""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+    s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+           WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+             AND e.t > s1.t1 AND e.t <= s1.t1 + {FUNNEL_W_US}
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+             AND e.t > s2.t2 AND e.t <= s2.t2 + {FUNNEL_W_US}
+           GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_step1,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_step2,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_step3""")
+def funnel_conversion(sf_dir: str):
+    """Funnel analysis (view → click → purchase): per user the GREEDY
+    earliest chain — t1 = first view, t2 = first later click within the
+    gap window, t3 = first later purchase within the window of t2 —
+    counted per completed step. ONE shuffle keyed by user (grouped
+    scan; events of one user sort locally, epoch-µs integers end to
+    end), then a 3-int global sum. The greedy-first semantics make the
+    result order-deterministic on both sides."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "t": pc.cast(t["ts"], pa.int64())})
+
+    ds = ev.map_batches(to_us, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("user_id", sort=False):
+            et = g["event_type"].to_numpy()
+            t = g["t"].to_numpy(np.int64)
+            steps = [0, 0, 0]
+            tv = t[et == FUNNEL_STEPS[0]]
+            if len(tv):
+                steps[0] = 1
+                t1 = tv.min()
+                tc = t[(et == FUNNEL_STEPS[1]) & (t > t1)
+                       & (t <= t1 + FUNNEL_W_US)]
+                if len(tc):
+                    steps[1] = 1
+                    t2 = tc.min()
+                    tp = t[(et == FUNNEL_STEPS[2]) & (t > t2)
+                           & (t <= t2 + FUNNEL_W_US)]
+                    if len(tp):
+                        steps[2] = 1
+            rows.append(steps)
+        a = (np.asarray(rows, dtype=np.int64).sum(axis=0)
+             if rows else np.zeros(3, np.int64))
+        return pd.DataFrame({"s1": [a[0]], "s2": [a[1]], "s3": [a[2]]})
+
+    partials = grouped_apply(ds, ["user_id"], per_user, num_buckets=16)
+    agg = partials.aggregate(Sum("s1", alias_name="n_step1"),
+                             Sum("s2", alias_name="n_step2"),
+                             Sum("s3", alias_name="n_step3"))
+    return pd.DataFrame({
+        "n_step1": np.array([agg["n_step1"]], np.int64),
+        "n_step2": np.array([agg["n_step2"]], np.int64),
+        "n_step3": np.array([agg["n_step3"]], np.int64)})

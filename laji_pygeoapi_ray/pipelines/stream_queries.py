@@ -510,3 +510,69 @@ def funnel_conversion(sf_dir: str):
         "n_step1": np.array([agg["n_step1"]], np.int64),
         "n_step2": np.array([agg["n_step2"]], np.int64),
         "n_step3": np.array([agg["n_step3"]], np.int64)})
+
+
+# ------------------------------------------------------- snapshot diff (CDC)
+@register("snapshot_diff_events", sql="""
+    WITH o AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
+    n AS (SELECT event_id,
+                 CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END
+                     AS value
+          FROM events WHERE event_id % 11 <> 0)
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'insert'
+                WHEN n.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.value AS value_old, n.value AS value_new
+    FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.value <> n.value""")
+def snapshot_diff_events(sf_dir: str):
+    """Change-data-capture: diff two table snapshots into insert / delete /
+    update rows — the incremental-sync primitive (and the engine's FULL
+    OUTER join certification: hash_join(how="outer") with null sides in
+    BOTH directions). Snapshots are deterministic views of the events
+    table (old drops id%7==0, new drops id%11==0 and bumps value on
+    id%5==0); unchanged rows are suppressed inside the bucketed join, so
+    only the changed slice leaves the shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+
+    ev = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        m = (eid % 7) != 0
+        return pa.table({"event_id": pa.array(eid[m]),
+                         "value_old": pa.array(
+                             t["value"].to_numpy(
+                                 zero_copy_only=False)[m])})
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = (eid % 11) != 0
+        v = np.where((eid % 5) == 0, v + np.float64(1.0), v)
+        return pa.table({"event_id": pa.array(eid[m]),
+                         "value_new": pa.array(v[m])})
+
+    old = ev.map_batches(mk_old, batch_format="pyarrow")
+    new = ev.map_batches(mk_new, batch_format="pyarrow")
+    joined = hash_join(old, new, on=["event_id"], how="outer",
+                       num_buckets=16)
+
+    def classify(t: pa.Table) -> pa.Table:
+        vo, vn = t["value_old"], t["value_new"]
+        miss_o = pc.is_null(vo).to_numpy(zero_copy_only=False)
+        miss_n = pc.is_null(vn).to_numpy(zero_copy_only=False)
+        vov = vo.to_numpy(zero_copy_only=False)
+        vnv = vn.to_numpy(zero_copy_only=False)
+        changed = miss_o | miss_n | (vov != vnv)
+        op = np.where(miss_o, "insert",
+                      np.where(miss_n, "delete", "update"))
+        out = pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                        "op": pa.array(op.astype(object), pa.string()),
+                        "value_old": vo, "value_new": vn})
+        return out.filter(pa.array(changed))
+
+    return joined.map_batches(classify, batch_format="pyarrow")

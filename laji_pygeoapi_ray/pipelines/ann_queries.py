@@ -169,3 +169,73 @@ def kmeans_embedding_clusters(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     _, assign = kmeans_distributed(ds, 8, n_iters=10)
     return assign
+
+
+# --------------------------------------------- embedding covariance matrix
+EMB_DIM = 64
+
+
+@register("embedding_covariance", sql=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+    q AS (SELECT vec_id, dims.j,
+                 CAST(floor(CAST(list_extract(embedding, dims.j) AS DOUBLE)
+                            * CAST({1_000_000.0!r} AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+          FROM embeddings, dims),
+    m AS (SELECT a.j AS j, b.j AS k, CAST(SUM(a.q * b.q) AS BIGINT) AS m
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.j <= b.j
+          GROUP BY 1, 2),
+    s AS (SELECT j, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT m.j, m.k, m.m,
+           (SELECT n FROM n) * m.m - sj.s * sk.s AS cov_num
+    FROM m JOIN s sj ON sj.j = m.j JOIN s sk ON sk.j = m.k""")
+def embedding_covariance(sf_dir: str):
+    """Embedding-matrix analytics: the d×d covariance structure of the
+    corpus, integer-exact — elements are quantized floor(x·10⁶ + 0.5), so
+    the per-batch Gram partial Mᵀ=QᵀQ (one int64 matmul per batch, the
+    whole reduction is d²=4096 ints) and the dim sums are block-order
+    independent; cov_num = n·M_jk − S_j·S_k is the exact covariance
+    numerator (consumer divides by n² at whatever precision it wants).
+    Upper triangle only (j ≤ k, 1-based dims to match SQL
+    list_extract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import _emb_matrix, quantize
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    iu = np.triu_indices(EMB_DIM)
+    jj = (iu[0] + 1).astype(np.int64)
+    kk = (iu[1] + 1).astype(np.int64)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        q = quantize(_emb_matrix(t, "embedding")).astype(np.int64)
+        g = q.T @ q                                  # (d, d) int64
+        s = q.sum(axis=0)
+        rows = len(t)
+        return pa.table({
+            "j": pa.array(jj), "k": pa.array(kk),
+            "m": pa.array(g[iu]),
+            "sj": pa.array(s[iu[0]]), "sk": pa.array(s[iu[1]]),
+            "nr": pa.array(np.full(len(jj), rows, np.int64))})
+
+    agg = (ds.map_batches(gram_partial, batch_format="pyarrow",
+                          batch_size=4096, zero_copy_batch=True)
+           .groupby(["j", "k"]).aggregate(
+               Sum("m", alias_name="m"), Sum("sj", alias_name="sj"),
+               Sum("sk", alias_name="sk"), Sum("nr", alias_name="nr")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["nr"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        sj = t["sj"].to_numpy(zero_copy_only=False)
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "j": pc.cast(t["j"], pa.int64()),
+            "k": pc.cast(t["k"], pa.int64()),
+            "m": pa.array(m),
+            "cov_num": pa.array(n * m - sj * sk)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

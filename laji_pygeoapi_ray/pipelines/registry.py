@@ -61,7 +61,7 @@ _DRIVER_PRIORITY = [
     "decontaminate_docs", "dbscan_doc_clusters", "cell_blob_stats",
     "image_patch_stats", "morans_i_cells", "ripley_k_pairs",
     "hilbert_order_docs", "adaptive_quadtree_leaves", "pagerank_docs", "typo_token_pairs",
-    "funnel_conversion", "snapshot_diff_events",
+    "funnel_conversion", "snapshot_diff_events", "embedding_covariance",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -296,3 +296,80 @@ def pagerank_docs(sf_dir: str):
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "pr": pc.cast(t["rank"], pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- IDW
+IDW_W0 = 10 ** 12          # weight numerator: w = W0 // (d2q + 1)
+IDW_QSCALE = 1e10          # d² quantization
+
+
+def _idw_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    q AS (SELECT * FROM pts WHERE id % {QUERY_MOD} = 0),
+    d AS (SELECT q.id AS query_id, p.id AS neighbor_id,
+                 (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2
+          FROM q, pts p WHERE p.id <> q.id),
+    r AS (SELECT query_id, neighbor_id, d2 FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+            FROM d) WHERE rank <= {K}),
+    w AS (SELECT query_id, neighbor_id,
+                 CAST({IDW_W0} AS BIGINT)
+                 // (CAST(floor(d2 * CAST('{IDW_QSCALE!r}' AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) + 1) AS w
+          FROM r)
+    SELECT w.query_id,
+           CAST(SUM(w.w) AS BIGINT) AS sum_w,
+           CAST(SUM(w.w * dd.n_chars) AS BIGINT) AS sum_wy,
+           CAST(SUM(w.w * dd.n_chars) AS BIGINT)
+               // CAST(SUM(w.w) AS BIGINT) AS idw_chars_q
+    FROM w JOIN documents dd ON dd.doc_id = w.neighbor_id
+    GROUP BY w.query_id"""
+
+
+@register("idw_interpolated_chars", sql=_idw_sql)
+def idw_interpolated_chars(sf_dir: str):
+    """Inverse-distance-weighted spatial interpolation — the weighted
+    sibling of `knn_interpolated_chars` in the same kNN → payload-join →
+    grouped-aggregate shape. Weights are INTEGER rationals
+    w = W0 // (quantized d² + 1), so the weighted sums and the final
+    floor-divided estimate are bit-exact against the oracle (no float
+    weight ever crosses a block boundary)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+
+    knn = knn_broadcast(_points_ds(sf_dir), _query_points(sf_dir), K)
+
+    def weights(t: pa.Table) -> pa.Table:
+        d2 = t["d2"].to_numpy(zero_copy_only=False)
+        d2q = np.floor(d2 * np.float64(IDW_QSCALE)
+                       + np.float64(0.5)).astype(np.int64)
+        return pa.table({
+            "query_id": t["query_id"],
+            "doc_id": t["neighbor_id"],
+            "w": pa.array(np.int64(IDW_W0) // (d2q + 1))})
+
+    pairs = knn.map_batches(weights, batch_format="pyarrow")
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    j = hash_join(pairs, docs, on=["doc_id"], num_buckets=8)
+
+    def wy(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        y = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"query_id": t["query_id"], "w": pa.array(w),
+                         "wy": pa.array(w * y)})
+
+    agg = j.map_batches(wy, batch_format="pyarrow") \
+        .groupby("query_id").aggregate(Sum("w", alias_name="sum_w"),
+                                       Sum("wy", alias_name="sum_wy"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["query_id", "sum_w", "sum_wy"])
+        sw = t["sum_w"].to_numpy(zero_copy_only=False)
+        swy = t["sum_wy"].to_numpy(zero_copy_only=False)
+        return t.append_column("idw_chars_q", pa.array(swy // sw))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1093,3 +1093,47 @@ def typo_token_pairs(sf_dir: str):
                          "d": pc.cast(t["min(d)"], pa.int64())})
 
     return dedup.map_batches(strip, batch_format="pyarrow")
+
+
+# --------------------------------------------- per-stratum sampling cap
+CAP_K = 20
+
+
+@register("capped_sample_per_lang", sql=lambda: f"""
+    WITH h AS (SELECT lang, doc_id, {sampling.sql_id_hash('doc_id')} AS h
+               FROM documents)
+    SELECT lang, doc_id, h, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY h, doc_id) AS rk FROM h)
+    WHERE rk <= {CAP_K}""")
+def capped_sample_per_lang(sf_dir: str):
+    """Per-stratum sampling cap — the 'at most K docs per source/language'
+    training-mix rule, deterministic: each stratum keeps the K docs with
+    the smallest Knuth-hash priority (a fixed-size uniform sample, stable
+    across runs and cluster sizes). Scale shape: per-batch per-stratum
+    top-K partials (≤ K·|strata| rows leave each batch — the corpus
+    never shuffles), then one tiny grouped merge."""
+    import pyarrow.compute as pc
+
+    from ..stages.sampling import id_hash
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["h"] = id_hash(df["doc_id"].to_numpy(np.int64))
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(CAP_K)[
+            ["lang", "doc_id", "h"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        out = df.groupby("lang", sort=False).head(CAP_K).copy()
+        out["rk"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out[["lang", "doc_id", "h", "rk"]]
+
+    return grouped_apply(partials, ["lang"], merge, num_buckets=8)

@@ -1106,3 +1106,87 @@ def adaptive_quadtree_leaves(sf_dir: str):
                          "n": pc.cast(out["n"], pa.int64())})
 
     return joined.map_batches(leaves, batch_format="pyarrow")
+
+
+# ----------------------------------------------- spatiotemporal cell trend
+TREND_RES = 5
+TREND_T0_US = 1_704_067_200_000_000      # 2024-01-01T00:00Z in epoch-µs
+US_PER_HOUR = 3_600_000_000
+
+
+def _trend_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', TREND_RES)} AS cell,
+                      (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
+                          // {US_PER_HOUR} AS t
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell, t, CAST(COUNT(*) AS BIGINT) AS y
+          FROM e GROUP BY 1, 2)
+    SELECT cell AS cell5, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) AS BIGINT) * CAST(SUM(t * y) AS BIGINT)
+               - CAST(SUM(t) AS BIGINT) * CAST(SUM(y) AS BIGINT)
+               AS trend_num,
+           CAST(COUNT(*) AS BIGINT) * CAST(SUM(t * t) AS BIGINT)
+               - CAST(SUM(t) AS BIGINT) * CAST(SUM(t) AS BIGINT)
+               AS trend_den
+    FROM c GROUP BY 1 HAVING COUNT(*) >= 2"""
+
+
+@register("cell_trend_hourly", sql=_trend_sql)
+def cell_trend_hourly(sf_dir: str):
+    """Spatiotemporal trend surface: per res-5 cell, the integer ordinary
+    least-squares slope components of hourly event counts over OBSERVED
+    hours — trend_num/trend_den = (n·Σty − Σt·Σy)/(n·Σt² − (Σt)²), all
+    int64 so block order never matters (the consumer divides). Shape:
+    derive + hour-bucket inside the scan, per-batch (cell, hour) partial
+    counts, one small groupby for the per-cell moment sums."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(eid)
+        tt = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+              - TREND_T0_US) // US_PER_HOUR
+        return pa.table({"cell": pa.array(cells.encode(x, y, TREND_RES)),
+                         "t": pa.array(tt)})
+
+    ct = partial_group_counts(
+        ev.map_batches(derive, batch_format="pyarrow"), ["cell", "t"],
+        count_col="y")
+
+    def moments(t: pa.Table) -> pa.Table:
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        yy = t["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": t["cell"],
+                         "one": pa.array(np.ones(len(tt), np.int64)),
+                         "st": pa.array(tt), "sy": pa.array(yy),
+                         "sty": pa.array(tt * yy),
+                         "st2": pa.array(tt * tt)})
+
+    agg = (ct.map_batches(moments, batch_format="pyarrow")
+           .groupby("cell").aggregate(
+               Sum("one", alias_name="n_hours"),
+               Sum("st", alias_name="st"), Sum("sy", alias_name="sy"),
+               Sum("sty", alias_name="sty"),
+               Sum("st2", alias_name="st2")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell", "n_hours", "st", "sy", "sty", "st2"])
+        n = t["n_hours"].to_numpy(zero_copy_only=False)
+        st = t["st"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sty = t["sty"].to_numpy(zero_copy_only=False)
+        st2 = t["st2"].to_numpy(zero_copy_only=False)
+        out = pa.table({"cell5": t["cell"],
+                        "n_hours": pa.array(n),
+                        "trend_num": pa.array(n * sty - st * sy),
+                        "trend_den": pa.array(n * st2 - st * st)})
+        return out.filter(pa.array(n >= 2))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

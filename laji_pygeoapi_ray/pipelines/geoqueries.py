@@ -1190,3 +1190,58 @@ def cell_trend_hourly(sf_dir: str):
         return out.filter(pa.array(n >= 2))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------- marching-squares case census
+MS_RES = 6   # 64×64 occupancy raster
+
+
+@register("contour_case_counts", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', MS_RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT DISTINCT cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {(1 << cells.IY_SHIFT) - 1}
+                     AS iy
+          FROM pts),
+    off AS (SELECT * FROM (VALUES (0, 0, 1), (1, 0, 2),
+                                  (0, 1, 4), (1, 1, 8)) o(dx, dy, bit)),
+    sc AS (SELECT c.ix - off.dx AS bx, c.iy - off.dy AS by_, off.bit
+           FROM c, off),
+    b AS (SELECT bx, by_, CAST(SUM(bit) AS BIGINT) AS cs
+          FROM sc GROUP BY 1, 2)
+    SELECT cs AS case_id, CAST(COUNT(*) AS BIGINT) AS n_blocks
+    FROM b GROUP BY 1""")
+def contour_case_counts(sf_dir: str):
+    """Marching-squares case census over the res-6 occupancy raster — the
+    raster→vector contouring primitive: every 2×2 corner block touching
+    an occupied cell gets its 4-bit case index (bit = dx + 2·dy corner
+    order); the census counts blocks per case (case 0, the infinite empty
+    background, is excluded by construction — only blocks reachable from
+    occupied corners exist). Scatter-to-blocks (each occupied cell emits
+    its 4 incident blocks) + two tiny integer groupbys; the wide input
+    never shuffles."""
+    from ..stages.shuffle import partial_group_counts
+
+    mask = (1 << cells.IY_SHIFT) - 1
+    occ = partial_group_counts(_docs_points(sf_dir, (MS_RES,)),
+                               [f"cell{MS_RES}"])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[f"cell{MS_RES}"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outk, outb = [], []
+        for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            bx, by = ix - dx, iy - dy
+            outk.append((bx + 1) + ((by + 1) << 16))
+            outb.append(np.full(len(ix), 1 << (dx + 2 * dy), np.int64))
+        return pa.table({"bk": np.concatenate(outk),
+                         "bit": np.concatenate(outb)})
+
+    blocks = (occ.map_batches(scatter, batch_format="pyarrow")
+              .groupby("bk").aggregate(Sum("bit", alias_name="cs")))
+    cases = (blocks.map_batches(
+        lambda t: t.select(["cs"]), batch_format="pyarrow")
+        .groupby("cs").count())
+    return cases.map_batches(
+        lambda t: t.rename_columns(["case_id", "n_blocks"]),
+        batch_format="pyarrow")

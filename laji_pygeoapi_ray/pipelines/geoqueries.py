@@ -1245,3 +1245,118 @@ def contour_case_counts(sf_dir: str):
     return cases.map_batches(
         lambda t: t.rename_columns(["case_id", "n_blocks"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------- BFS hop-distance field
+BFS_RES = 5
+BFS_DMAX = 128   # > any possible diameter of the 32×32 occupancy graph
+
+
+def _bfs_sql() -> str:
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH RECURSIVE
+    pts AS (SELECT {cells.sql_cell('x', 'y', BFS_RES)} AS cell
+            FROM ({_points_cte()})),
+    c AS (SELECT cell, cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+          FROM pts GROUP BY 1, 2, 3),
+    e AS (SELECT a.cell AS ia, b.cell AS ib FROM c a JOIN c b
+          ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1),
+    walk(cell, d) AS (
+        SELECT (SELECT MIN(cell) FROM c), 0
+        UNION
+        SELECT e.ib, w.d + 1 FROM walk w JOIN e ON e.ia = w.cell
+        WHERE w.d < {BFS_DMAX})
+    SELECT cell, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1"""
+
+
+@register("cell_hop_distance", sql=_bfs_sql)
+def cell_hop_distance(sf_dir: str):
+    """Distance field / graph traversal: BFS hop distance over the res-5
+    occupancy raster (4-adjacency) from the minimum occupied cell — the
+    Pregel-style frontier pattern: per round, the frontier joins the
+    static edge set (sentinel-tagged union shuffle), candidate distances
+    merge by per-cell MIN, and the loop stops when the reached set stops
+    growing (a monotone count, so the convergence check is one cheap
+    aggregate). Rounds = graph eccentricity — the inherent depth of any
+    SSSP frontier algorithm. Unreached components are absent from the
+    output (matching the closure oracle)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    key = f"cell{BFS_RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    nmax = (1 << BFS_RES) - 1
+    occ = partial_group_counts(
+        _docs_points(sf_dir, (BFS_RES,)), [key]).select_columns(
+        [key]).materialize()
+
+    def nbr_candidates(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outa, outk = [], []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            jx, jy = ix + dx, iy + dy
+            ok = (jx >= 0) & (jx <= nmax) & (jy >= 0) & (jy <= nmax)
+            outa.append(cell[ok])
+            outk.append((np.int64(BFS_RES) << cells.RES_SHIFT)
+                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+        return pa.table({"src": np.concatenate(outa),
+                         key: np.concatenate(outk)})
+
+    cand = occ.map_batches(nbr_candidates, batch_format="pyarrow")
+    edges = hash_join(cand, occ, on=[key], num_buckets=16).map_batches(
+        lambda t: t.rename_columns(["src", "dst"]),
+        batch_format="pyarrow").materialize()
+
+    seed = occ.min(key)
+    dist = ray.data.from_arrow(pa.table({
+        "cell": pa.array([seed], pa.int64()),
+        "d": pa.array([0], pa.int64())})).materialize()
+    n_reached = 1
+
+    for _ in range(BFS_DMAX):
+        # frontier relax: edges ⋈ dist on src (sentinel-tagged union)
+        e_side = edges.map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["dst"],
+                                "d": pa.array(np.full(len(t), -1,
+                                                      np.int64))}),
+            batch_format="pyarrow")
+        d_side = dist.map_batches(
+            lambda t: pa.table({"src": t["cell"],
+                                "dst": pa.array(np.full(len(t), -1,
+                                                        np.int64)),
+                                "d": t["d"]}),
+            batch_format="pyarrow")
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            dpart = df[df["dst"] == -1][["src", "d"]]
+            epart = df[df["d"] == -1][["src", "dst"]]
+            if dpart.empty or epart.empty:
+                return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                     "d": pd.Series([], dtype="int64")})
+            m = epart.merge(dpart, on="src")
+            return pd.DataFrame({"cell": m["dst"].astype("int64"),
+                                 "d": (m["d"] + 1).astype("int64")})
+
+        cands = grouped_apply(e_side.union(d_side), ["src"], relax,
+                              num_buckets=8)
+
+        def take_min(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("cell", as_index=False)["d"].min()
+
+        dist = grouped_apply(dist.union(cands).repartition(8), ["cell"],
+                             take_min, num_buckets=8).materialize()
+        n = dist.count()
+        if n == n_reached:
+            break
+        n_reached = n
+
+    return dist.map_batches(
+        lambda t: pa.table({"cell": pc.cast(t["cell"], pa.int64()),
+                            "hops": pc.cast(t["d"], pa.int64())}),
+        batch_format="pyarrow")

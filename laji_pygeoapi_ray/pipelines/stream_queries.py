@@ -576,3 +576,55 @@ def snapshot_diff_events(sf_dir: str):
         return out.filter(pa.array(changed))
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- cohort retention
+US_PER_DAY = 24 * US_PER_HOUR
+COHORT_T0_US = 1_704_067_200_000_000     # 2024-01-01T00:00Z
+
+
+@register("cohort_retention", sql=f"""
+    WITH e AS (SELECT user_id,
+                      (CAST(epoch_us(ts) AS BIGINT) - {COHORT_T0_US})
+                          // {US_PER_DAY} AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS age
+          FROM e JOIN f USING (user_id))
+    SELECT cohort AS cohort_day, age AS age_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2""")
+def cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day (age = day − cohort). Per-batch distinct
+    (user, day) partials shrink the log before ONE user-keyed shuffle in
+    which each user's bucket yields its cohort (min day) AND its ages in
+    the same pass — no separate first-seen join; a tiny (cohort, age)
+    groupby finishes."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             - COHORT_T0_US) // US_PER_DAY
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": pa.array(d)})
+
+    dedup = partial_group_counts(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        ["user_id", "day"]).select_columns(["user_id", "day"])
+
+    def ages(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["day"]
+        cohort = g.transform("min")
+        return pd.DataFrame({
+            "cohort_day": cohort.astype("int64"),
+            "age_days": (df["day"] - cohort).astype("int64")})
+
+    rows = grouped_apply(dedup, ["user_id"], ages, num_buckets=16)
+    agg = rows.groupby(["cohort_day", "age_days"]).count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["cohort_day", "age_days", "n_users"]),
+        batch_format="pyarrow")

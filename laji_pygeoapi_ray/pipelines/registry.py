@@ -63,7 +63,7 @@ _DRIVER_PRIORITY = [
     "hilbert_order_docs", "adaptive_quadtree_leaves", "pagerank_docs", "typo_token_pairs",
     "funnel_conversion", "snapshot_diff_events", "embedding_covariance",
     "idw_interpolated_chars", "capped_sample_per_lang",
-    "cell_trend_hourly", "contour_case_counts", "cell_hop_distance", "cohort_retention",
+    "cell_trend_hourly", "contour_case_counts", "cell_hop_distance", "cohort_retention", "supplier_ship_islands",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -599,3 +599,89 @@ def user_travel_stats(sf_dir: str):
         return g
 
     return grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)
+
+
+# --------------------------------------------------- gaps-and-islands
+US_PER_DAY_GI = 86_400_000_000
+
+
+@register("supplier_ship_islands", sql=f"""
+    WITH iv AS (SELECT l_suppkey,
+                       CAST(epoch_us(l_shipdate) AS BIGINT)
+                           // {US_PER_DAY_GI} AS d0,
+                       CAST(epoch_us(l_shipdate) AS BIGINT)
+                           // {US_PER_DAY_GI}
+                           + CAST(l_quantity AS BIGINT) AS d1
+                FROM lineitem),
+    o AS (SELECT l_suppkey, d0, d1,
+                 CASE WHEN d0 > COALESCE(MAX(d1) OVER (
+                          PARTITION BY l_suppkey ORDER BY d0, d1
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), d0 - 1)
+                      THEN 1 ELSE 0 END AS brk
+          FROM iv),
+    g AS (SELECT l_suppkey, d0, d1,
+                 SUM(brk) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+                                ROWS UNBOUNDED PRECEDING) AS isl
+          FROM o),
+    i AS (SELECT l_suppkey, isl, MIN(d0) AS a, MAX(d1) AS b
+          FROM g GROUP BY 1, 2)
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(b - a) AS BIGINT) AS covered_days
+    FROM i GROUP BY 1""")
+def supplier_ship_islands(sf_dir: str):
+    """Gaps-and-islands: per supplier, merge the overlapping-or-touching
+    activity intervals [ship day, ship day + quantity days) into islands
+    and report island count + covered days. ONE supplier-keyed shuffle;
+    inside each bucket the classic running-max break detector (vectorized
+    cummax + cumsum) — deterministic because ties order by (d0, d1) and
+    the running max is tie-order invariant."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        d0 = (pc.cast(t["l_shipdate"], pa.int64())
+              .to_numpy(zero_copy_only=False)) // US_PER_DAY_GI
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "d0": pa.array(d0), "d1": pa.array(d0 + q)})
+
+    ds = li.map_batches(iv, batch_format="pyarrow")
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_suppkey", "d0", "d1"],
+                            kind="mergesort").reset_index(drop=True)
+        k = df["l_suppkey"].to_numpy(np.int64)
+        d0 = df["d0"].to_numpy(np.int64)
+        d1 = df["d1"].to_numpy(np.int64)
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new_key) - 1
+        # segmented running max of d1 via the offset trick: day values span
+        # far less than 2^40, so adding seg·2^40 makes cross-segment values
+        # strictly dominated and a single maximum.accumulate suffices
+        off = seg << 40
+        seg_cummax = np.maximum.accumulate(d1 + off) - off
+        prev_max = np.empty(len(df), np.int64)
+        prev_max[1:] = seg_cummax[:-1]
+        prev_max[new_key] = d0[new_key] - 1     # first row of a key breaks
+        brk = (d0 > prev_max).astype(np.int64)
+        isl = np.cumsum(brk)                    # unique across keys too
+        out = pd.DataFrame({"k": k, "isl": isl, "a": d0, "b": d1})
+        gi = out.groupby(["k", "isl"], as_index=False).agg(
+            a=("a", "min"), b=("b", "max"))
+        cov = (gi["b"] - gi["a"]).to_numpy(np.int64)
+        gi2 = pd.DataFrame({"k": gi["k"], "cov": cov})
+        gg = gi2.groupby("k", as_index=False).agg(
+            n_islands=("cov", "count"), covered_days=("cov", "sum"))
+        return pd.DataFrame({"l_suppkey": gg["k"].astype("int64"),
+                             "n_islands": gg["n_islands"].astype("int64"),
+                             "covered_days": gg["covered_days"]
+                             .astype("int64")})
+
+    return grouped_apply(ds, ["l_suppkey"], islands, num_buckets=16)

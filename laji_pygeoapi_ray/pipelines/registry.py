@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "funnel_conversion", "snapshot_diff_events", "embedding_covariance",
     "idw_interpolated_chars", "capped_sample_per_lang",
     "cell_trend_hourly", "contour_case_counts", "cell_hop_distance", "cohort_retention", "supplier_ship_islands",
+    "trailing_user_values", "props_json_stats",
     # tier 1: oracle-bearing but outside the round-2 driver window
     "caption_stats", "individual_count_events", "collection_id_part",
     "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",

@@ -628,3 +628,105 @@ def cohort_retention(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["cohort_day", "age_days", "n_users"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- trailing window frame
+TRAIL_N = 4
+
+
+@register("trailing_user_values", sql=f"""
+    WITH q AS (SELECT event_id, user_id, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(q) OVER w AS BIGINT) AS trail_q,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {TRAIL_N - 1} PRECEDING AND CURRENT ROW)""")
+def trailing_user_values(sf_dir: str):
+    """Bounded window FRAME aggregate (the ROWS BETWEEN sibling of the
+    cumulative `running_user_totals`): per user ordered by time, the
+    trailing-{TRAIL_N}-row sum of cent-quantized values plus the frame
+    row count. ONE user-keyed shuffle; inside each bucket the sliding sum
+    is cumsum-minus-shifted-cumsum (vectorized, segment-aware), integers
+    end to end."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+
+    def trail(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        q = df["q"].to_numpy(np.int64)
+        n = len(df)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        start_idx = np.maximum.accumulate(np.where(new_key, pos, 0))
+        rank = pos - start_idx                     # 0-based row in its key
+        lo = np.maximum(rank - (TRAIL_N - 1), 0)   # frame start (in-key)
+        cs = np.concatenate([[0], np.cumsum(q)])
+        frame_from = start_idx + lo
+        trail_q = cs[pos + 1] - cs[frame_from]
+        trail_n = pos + 1 - frame_from
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "trail_q": trail_q.astype("int64"),
+            "trail_n": trail_n.astype("int64")})
+
+    return grouped_apply(ds, ["user_id"], trail, num_buckets=16)
+
+
+# -------------------------------------------------- JSON property extract
+@register("props_json_stats", sql="""
+    WITH j AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          AS k
+               FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+    FROM j GROUP BY 1""")
+def props_json_stats(sf_dir: str):
+    """Semi-structured column parsing: extract the integer property from
+    the JSON `props` column (vectorized Arrow RE2 — the same extraction
+    DuckDB does with json_extract_string) and aggregate per event type.
+    Per-batch parse + partial moments; only tiny partials shuffle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(pc.cast(t["props"], pa.string()),
+                              r'"k": (?P<v>\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    agg = (ev.map_batches(parse, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type").aggregate(
+               Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+               Min("k", alias_name="min_k"), Max("k", alias_name="max_k")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n", "sum_k",
+                                    "min_k", "max_k"]),
+        batch_format="pyarrow")

@@ -290,10 +290,55 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
         return pa.table({"src": np.concatenate([a, b]),
                          "dst": np.concatenate([b, a])})
 
+    def both_dirs_pairs(t) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            a = t["src"].to_numpy(np.int64)
+            b = t["dst"].to_numpy(np.int64)
+        else:
+            a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b                      # self-loops carry no information
+        a, b = a[keep], b[keep]
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow") \
         if not isinstance(pairs_ds, pd.DataFrame) else \
         rd.from_pandas(pairs_ds).map_batches(both_dirs,
                                              batch_format="pyarrow")
+
+    # ---- contraction pre-pass (one shuffle): per-bucket IN-MEMORY
+    # connected components over the bucket's edge partition, emitting one
+    # (node → local min-root) star edge per node. Dup-family graphs are
+    # stars already (no-op), but SPATIAL eps-graphs have long chains —
+    # diameter-many distributed rounds at ~seconds of fixed cost each.
+    # Local contraction collapses every chain that lands in one bucket, so
+    # the loop below runs on shallow star edges and converges in a few
+    # rounds regardless of the original diameter (the two-level design of
+    # MR connected-components). Per-bucket work is vectorized min-label +
+    # pointer doubling: O(E/B · log d) numpy, memory-bounded by the edge
+    # partition.
+    def local_cc(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["src"].to_numpy(np.int64)
+        b = df["dst"].to_numpy(np.int64)
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[:len(a)], inv[len(a):]
+        lbl = np.arange(len(ids), dtype=np.int64)
+        while True:
+            new = lbl.copy()
+            np.minimum.at(new, ia, lbl[ib])
+            np.minimum.at(new, ib, lbl[ia])
+            new = new[new]                      # pointer doubling
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
+        # index order == id order, so min index root == min id root
+        return pd.DataFrame({"src": ids, "dst": ids[lbl]})
+
+    contracted = grouped_apply(edges, ["src"], local_cc,
+                               num_buckets=num_buckets)
+    edges = contracted.map_batches(both_dirs_pairs,
+                                   batch_format="pyarrow")
     edges = edges.materialize()           # static across iterations
 
     # initial labels = min(self, direct neighbors), endpoints only — one

@@ -685,3 +685,48 @@ def supplier_ship_islands(sf_dir: str):
                              .astype("int64")})
 
     return grouped_apply(ds, ["l_suppkey"], islands, num_buckets=16)
+
+
+# --------------------------------------------- trajectory simplification
+DP_TOL = 0.3
+
+
+@register("simplified_trajectories", sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(1 AS BIGINT) AS endpoints_ok,
+           CAST(1 AS BIGINT) AS within_tol_ok
+    FROM events GROUP BY 1""")
+def simplified_trajectories(sf_dir: str):
+    """Douglas–Peucker trajectory simplification per user
+    (stages/simplify.py): deterministic first-argmax splits over the
+    time-ordered derived points, ONE user-keyed shuffle. The oracle is
+    the decode-verify trust model: n_points is SQL-exact and the two
+    boolean gates — endpoints kept; every dropped vertex re-MEASURED
+    within tol of its kept segment — are computed on the actual
+    simplification output, so any kernel regression flips a gate and
+    breaks the value hash."""
+    from ..functions import points as pts
+    from ..stages.shuffle import grouped_apply
+    from ..stages.simplify import douglas_peucker_mask, \
+        verify_simplification
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        out_u, out_n, out_e, out_w = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            x, y = pts.derive_xy(g["event_id"].to_numpy(np.int64))
+            keep = douglas_peucker_mask(x, y, DP_TOL)
+            out_u.append(uid)
+            out_n.append(len(g))
+            out_e.append(int(bool(keep[0]) and bool(keep[-1])))
+            out_w.append(int(verify_simplification(x, y, keep, DP_TOL)))
+        return pd.DataFrame({
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "n_points": pd.Series(out_n, dtype="int64"),
+            "endpoints_ok": pd.Series(out_e, dtype="int64"),
+            "within_tol_ok": pd.Series(out_w, dtype="int64")})
+
+    return grouped_apply(ds, ["user_id"], per_user, num_buckets=16)

@@ -1273,90 +1273,54 @@ def _bfs_sql() -> str:
 
 @register("cell_hop_distance", sql=_bfs_sql)
 def cell_hop_distance(sf_dir: str):
-    """Distance field / graph traversal: BFS hop distance over the res-5
-    occupancy raster (4-adjacency) from the minimum occupied cell — the
-    Pregel-style frontier pattern: per round, the frontier joins the
-    static edge set (sentinel-tagged union shuffle), candidate distances
-    merge by per-cell MIN, and the loop stops when the reached set stops
-    growing (a monotone count, so the convergence check is one cheap
-    aggregate). Rounds = graph eccentricity — the inherent depth of any
-    SSSP frontier algorithm. Unreached components are absent from the
-    output (matching the closure oracle)."""
-    import pandas as pd
+    """Distance field: BFS hop distance over the res-5 occupancy raster
+    (4-adjacency through OCCUPIED cells) from the minimum occupied cell.
+    The occupancy graph is BOUNDED BY CONSTRUCTION (≤ 4^res cells, ≤1024
+    at res 5, ≤262k at res 9), so after the distributed partial-count
+    pass the wavefront runs VECTORIZED on one worker (single-batch
+    map_batches — one numpy grid, one shifted-min relax per ring,
+    microseconds per round) instead of paying one multi-second
+    distributed round per graph-eccentricity step. For UNBOUNDED graphs
+    the engine's frontier pattern is the sentinel-tagged loop used by
+    `cluster_pairs_ds` / `integer_pagerank`; for a bounded raster that
+    shape measured >60 rounds at sf0.1 and overflowed Ray's stats
+    lineage — the bounded-side collapse is the same judgment call as
+    `hot_cells`' ≤16k-cell materialization. Unreached occupied cells are
+    absent from the output (matching the closure oracle)."""
     import pyarrow.compute as pc
 
-    from ..stages.join import hash_join
-    from ..stages.shuffle import grouped_apply, partial_group_counts
+    from ..stages.shuffle import partial_group_counts
 
     key = f"cell{BFS_RES}"
     mask = (1 << cells.IY_SHIFT) - 1
-    nmax = (1 << BFS_RES) - 1
+    n = 1 << BFS_RES
     occ = partial_group_counts(
-        _docs_points(sf_dir, (BFS_RES,)), [key]).select_columns(
-        [key]).materialize()
+        _docs_points(sf_dir, (BFS_RES,)), [key]).select_columns([key])
 
-    def nbr_candidates(t: pa.Table) -> pa.Table:
+    def wavefront(t: pa.Table) -> pa.Table:
         cell = t[key].to_numpy(zero_copy_only=False)
         ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
-        outa, outk = [], []
-        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            jx, jy = ix + dx, iy + dy
-            ok = (jx >= 0) & (jx <= nmax) & (jy >= 0) & (jy <= nmax)
-            outa.append(cell[ok])
-            outk.append((np.int64(BFS_RES) << cells.RES_SHIFT)
-                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
-        return pa.table({"src": np.concatenate(outa),
-                         key: np.concatenate(outk)})
+        grid = np.zeros((n, n), dtype=bool)
+        grid[iy, ix] = True
+        big = np.int64(1) << 62          # +1 must not overflow int64
+        dist = np.full((n, n), big, np.int64)
+        seed = np.argmin(cell)
+        dist[iy[seed], ix[seed]] = 0
+        while True:
+            d = dist.copy()
+            d[1:, :] = np.minimum(d[1:, :], dist[:-1, :] + 1)
+            d[:-1, :] = np.minimum(d[:-1, :], dist[1:, :] + 1)
+            d[:, 1:] = np.minimum(d[:, 1:], dist[:, :-1] + 1)
+            d[:, :-1] = np.minimum(d[:, :-1], dist[:, 1:] + 1)
+            d[~grid] = big                      # only occupied cells carry
+            if np.array_equal(d, dist):
+                break
+            dist = d
+        hops = dist[iy, ix]
+        reach = hops < big
+        return pa.table({"cell": pa.array(cell[reach]),
+                         "hops": pa.array(hops[reach])})
 
-    cand = occ.map_batches(nbr_candidates, batch_format="pyarrow")
-    edges = hash_join(cand, occ, on=[key], num_buckets=16).map_batches(
-        lambda t: t.rename_columns(["src", "dst"]),
-        batch_format="pyarrow").materialize()
-
-    seed = occ.min(key)
-    dist = ray.data.from_arrow(pa.table({
-        "cell": pa.array([seed], pa.int64()),
-        "d": pa.array([0], pa.int64())})).materialize()
-    n_reached = 1
-
-    for _ in range(BFS_DMAX):
-        # frontier relax: edges ⋈ dist on src (sentinel-tagged union)
-        e_side = edges.map_batches(
-            lambda t: pa.table({"src": t["src"], "dst": t["dst"],
-                                "d": pa.array(np.full(len(t), -1,
-                                                      np.int64))}),
-            batch_format="pyarrow")
-        d_side = dist.map_batches(
-            lambda t: pa.table({"src": t["cell"],
-                                "dst": pa.array(np.full(len(t), -1,
-                                                        np.int64)),
-                                "d": t["d"]}),
-            batch_format="pyarrow")
-
-        def relax(df: pd.DataFrame) -> pd.DataFrame:
-            dpart = df[df["dst"] == -1][["src", "d"]]
-            epart = df[df["d"] == -1][["src", "dst"]]
-            if dpart.empty or epart.empty:
-                return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
-                                     "d": pd.Series([], dtype="int64")})
-            m = epart.merge(dpart, on="src")
-            return pd.DataFrame({"cell": m["dst"].astype("int64"),
-                                 "d": (m["d"] + 1).astype("int64")})
-
-        cands = grouped_apply(e_side.union(d_side), ["src"], relax,
-                              num_buckets=8)
-
-        def take_min(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("cell", as_index=False)["d"].min()
-
-        dist = grouped_apply(dist.union(cands).repartition(8), ["cell"],
-                             take_min, num_buckets=8).materialize()
-        n = dist.count()
-        if n == n_reached:
-            break
-        n_reached = n
-
-    return dist.map_batches(
-        lambda t: pa.table({"cell": pc.cast(t["cell"], pa.int64()),
-                            "hops": pc.cast(t["d"], pa.int64())}),
-        batch_format="pyarrow")
+    return occ.repartition(1).map_batches(wavefront,
+                                          batch_format="pyarrow",
+                                          batch_size=None)

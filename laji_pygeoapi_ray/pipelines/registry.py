@@ -49,7 +49,7 @@ _DRIVER_PRIORITY = [
     "idw_interpolated_chars", "capped_sample_per_lang", "cell_trend_hourly",
     "contour_case_counts", "cell_hop_distance", "cohort_retention",
     "supplier_ship_islands", "trailing_user_values", "props_json_stats",
-    "simplified_trajectories",
+    "simplified_trajectories", "triangle_count_docs",
     # strongest never-driver-checked round-3 operators (earlier sessions)
     "minhash_dedup_clusters", "simhash_near_pairs", "hex_cell_counts",
     "dwithin_doc_pairs", "cosine_neardup_pairs_lsh", "heavy_hitter_tokens",

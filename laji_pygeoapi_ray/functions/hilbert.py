@@ -68,3 +68,35 @@ def sql_hilbert_ctes(src: str, order: int, *, id_col: str = "id",
         lvl += 1
     parts.append(f"{out} AS (SELECT {id_col}, d AS {out} FROM h{lvl})")
     return ",\n    ".join(parts)
+
+
+_M1, _M2, _M4, _M8 = (0x5555555555555555, 0x3333333333333333,
+                      0x0F0F0F0F0F0F0F0F, 0x00FF00FF00FF00FF)
+
+
+def spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread a 16-bit int to the even bit positions (Morton helper)."""
+    v = np.asarray(v, dtype=np.int64)
+    v = (v | (v << 8)) & _M8
+    v = (v | (v << 4)) & _M4
+    v = (v | (v << 2)) & _M2
+    v = (v | (v << 1)) & _M1
+    return v
+
+
+def xy_to_morton(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) index by bit interleave — the Hilbert baseline."""
+    return spread_bits(ix) | (spread_bits(iy) << 1)
+
+
+def sql_spread(expr: str) -> str:
+    e = expr
+    e = f"((({e}) | (({e}) << 8)) & {_M8})"
+    e = f"((({e}) | (({e}) << 4)) & {_M4})"
+    e = f"((({e}) | (({e}) << 2)) & {_M2})"
+    e = f"((({e}) | (({e}) << 1)) & {_M1})"
+    return e
+
+
+def sql_morton(x_col: str, y_col: str) -> str:
+    return f"({sql_spread(x_col)} | ({sql_spread(y_col)} << 1))"

@@ -1324,3 +1324,131 @@ def cell_hop_distance(sf_dir: str):
     return occ.repartition(1).map_batches(wavefront,
                                           batch_format="pyarrow",
                                           batch_size=None)
+
+
+# --------------------------------------------- distance-to-nearest enrich
+NEAR_RES = 6
+
+
+@register("dist_to_nearest_supplier", sql=lambda: f"""
+    WITH d AS (SELECT {cells.sql_cell('x', 'y', NEAR_RES)} AS cell
+               FROM ({_points_cte()})),
+    dc AS (SELECT cell, cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                  (cell >> {cells.IY_SHIFT})
+                      & {(1 << cells.IY_SHIFT) - 1} AS iy,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM d GROUP BY 1, 2, 3),
+    s AS (SELECT DISTINCT
+                 {cells.sql_cell('x', 'y', NEAR_RES)}
+                     & {(1 << cells.IY_SHIFT) - 1} AS sx,
+                 ({cells.sql_cell('x', 'y', NEAR_RES)}
+                     >> {cells.IY_SHIFT})
+                     & {(1 << cells.IY_SHIFT) - 1} AS sy
+          FROM (SELECT s_suppkey AS doc_id, p.x, p.y
+                FROM (SELECT s_suppkey,
+                             {points.sql_xy('s_suppkey')[0]} AS x,
+                             {points.sql_xy('s_suppkey')[1]} AS y
+                      FROM supplier) p))
+    SELECT dc.cell, dc.n_docs,
+           CAST(MIN(abs(dc.ix - s.sx) + abs(dc.iy - s.sy)) AS BIGINT)
+               AS d_cells
+    FROM dc, s GROUP BY 1, 2""")
+def dist_to_nearest_supplier(sf_dir: str):
+    """Proximity enrichment (grid distance transform by broadcast): every
+    occupied document cell gets the manhattan cell distance to its
+    nearest supplier cell. The seed set (supplier cells, deduped) is tiny
+    — broadcast once via ray.put; each count-table batch takes a
+    vectorized min over the seed matrix. No shuffle beyond the partial
+    counts; the wide input never moves."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import partial_group_counts
+
+    mask = (1 << cells.IY_SHIFT) - 1
+    key = f"cell{NEAR_RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir, (NEAR_RES,)), [key],
+                               count_col="n_docs")
+
+    sup = read_table(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    sx, sy = points.derive_xy(sup["s_suppkey"].to_numpy(np.int64))
+    six, siy = cells.cell_xy(sx, sy, NEAR_RES)
+    seeds = np.unique(six * (np.int64(1) << 32) + siy)
+    seed_ref = ray.put((seeds >> 32, seeds & ((np.int64(1) << 32) - 1)))
+
+    def nearest(t: pa.Table) -> pa.Table:
+        ssx, ssy = ray.get(seed_ref)
+        cell = t[key].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        d = (np.abs(ix[:, None] - ssx[None, :])
+             + np.abs(iy[:, None] - ssy[None, :])).min(axis=1)
+        return pa.table({"cell": pa.array(cell),
+                         "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                         "d_cells": pa.array(d.astype(np.int64))})
+
+    return cnt.map_batches(nearest, batch_format="pyarrow")
+
+
+# ------------------------------------------------ layout locality compare
+@register("curve_locality_compare", sql=lambda: f"""
+    WITH d AS (SELECT {cells.sql_cell('x', 'y', HILBERT_ORDER)} AS cell
+               FROM ({_points_cte()})),
+    c AS (SELECT cell, cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                 (cell >> {cells.IY_SHIFT})
+                     & {(1 << cells.IY_SHIFT) - 1} AS iy
+          FROM d GROUP BY 1, 2, 3),
+    src AS (SELECT cell AS id, ix AS hx, iy AS hy FROM c),
+    {hilbert.sql_hilbert_ctes('src', HILBERT_ORDER)},
+    k AS (SELECT c.cell, c.ix, c.iy, hd.hd,
+                 {hilbert.sql_morton('c.ix', 'c.iy')} AS mz
+          FROM c JOIN hd ON hd.id = c.cell),
+    sh AS (SELECT CAST(SUM(st) AS BIGINT) AS s FROM (
+             SELECT abs(ix - lag(ix) OVER w) + abs(iy - lag(iy) OVER w)
+                 AS st FROM k WINDOW w AS (ORDER BY hd, cell))),
+    sm AS (SELECT CAST(SUM(st) AS BIGINT) AS s FROM (
+             SELECT abs(ix - lag(ix) OVER w) + abs(iy - lag(iy) OVER w)
+                 AS st FROM k WINDOW w AS (ORDER BY mz, cell))),
+    sr AS (SELECT CAST(SUM(st) AS BIGINT) AS s FROM (
+             SELECT abs(ix - lag(ix) OVER w) + abs(iy - lag(iy) OVER w)
+                 AS st FROM k WINDOW w AS (ORDER BY cell)))
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_cells,
+           (SELECT s FROM sh) AS step_hilbert,
+           (SELECT s FROM sm) AS step_morton,
+           (SELECT s FROM sr) AS step_rowmajor""")
+def curve_locality_compare(sf_dir: str):
+    """Measured justification of the Hilbert layout key: total manhattan
+    step length when walking the OCCUPIED res-8 cells in Hilbert order
+    vs Z-order (Morton) vs row-major cell-id order — lower total step =
+    consecutive keys stay physically adjacent = a bbox reader touches
+    fewer, longer key ranges. The occupied-cell table is bounded
+    (≤ 4^res), so the three orderings run vectorized on one worker after
+    the distributed count pass. Integer-exact twin (bit-identical Hilbert
+    CTE chain + Morton bit-interleave)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import partial_group_counts
+
+    mask = (1 << cells.IY_SHIFT) - 1
+    key = f"cell{HILBERT_ORDER}"
+    occ = partial_group_counts(
+        _docs_points(sf_dir, (HILBERT_ORDER,)), [key]).select_columns(
+        [key])
+
+    def walk(t: pa.Table) -> pa.Table:
+        cell = np.sort(t[key].to_numpy(zero_copy_only=False))
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        hd = hilbert.xy_to_d(ix, iy, HILBERT_ORDER)
+        mz = hilbert.xy_to_morton(ix, iy)
+
+        def steps(order_key):
+            o = np.lexsort((cell, order_key))
+            return int(np.abs(np.diff(ix[o])).sum()
+                       + np.abs(np.diff(iy[o])).sum())
+
+        return pa.table({
+            "n_cells": pa.array([len(cell)], pa.int64()),
+            "step_hilbert": pa.array([steps(hd)], pa.int64()),
+            "step_morton": pa.array([steps(mz)], pa.int64()),
+            "step_rowmajor": pa.array([steps(cell)], pa.int64())})
+
+    return occ.repartition(1).map_batches(walk, batch_format="pyarrow",
+                                          batch_size=None)

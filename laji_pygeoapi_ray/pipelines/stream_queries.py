@@ -612,21 +612,22 @@ def cohort_retention(sf_dir: str):
         return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
                          "day": pa.array(d)})
 
-    dedup = partial_group_counts(
-        ev.map_batches(to_day, batch_format="pyarrow"),
-        ["user_id", "day"]).select_columns(["user_id", "day"])
-
     def ages(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a user co-locate here, so the (user, day) dedup can
+        # happen in-bucket — no separate distinct shuffle
+        df = df.drop_duplicates(["user_id", "day"])
         g = df.groupby("user_id")["day"]
         cohort = g.transform("min")
         return pd.DataFrame({
             "cohort_day": cohort.astype("int64"),
             "age_days": (df["day"] - cohort).astype("int64")})
 
-    rows = grouped_apply(dedup, ["user_id"], ages, num_buckets=16)
-    agg = rows.groupby(["cohort_day", "age_days"]).count()
+    rows = grouped_apply(ev.map_batches(to_day, batch_format="pyarrow"),
+                         ["user_id"], ages, num_buckets=16)
+    agg = partial_group_counts(rows, ["cohort_day", "age_days"],
+                               count_col="n_users")
     return agg.map_batches(
-        lambda t: t.rename_columns(["cohort_day", "age_days", "n_users"]),
+        lambda t: t.select(["cohort_day", "age_days", "n_users"]),
         batch_format="pyarrow")
 
 

@@ -1452,3 +1452,85 @@ def curve_locality_compare(sf_dir: str):
 
     return occ.repartition(1).map_batches(walk, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ------------------------------------------------- hilbert range cover
+# demo query bbox (mid-south Finland, ~1°×1° → a few hundred res-8 cells)
+RC_BBOX = (24.5, 60.0, 25.5, 61.0)
+
+
+def _range_cover_sql() -> str:
+    from ..functions.points import _d
+    n = 1 << HILBERT_ORDER
+    x0, y0, x1, y1 = RC_BBOX
+    w, h = points._W, points._H
+
+    def ix_expr(x):
+        return (f"CAST(LEAST(GREATEST(floor((CAST('{x}' AS DOUBLE) - "
+                f"{_d(points.FIN_X0)}) / {_d(w)} * {float(n)}), 0), "
+                f"{n - 1}) AS BIGINT)")
+
+    def iy_expr(y):
+        return (f"CAST(LEAST(GREATEST(floor((CAST('{y}' AS DOUBLE) - "
+                f"{_d(points.FIN_Y0)}) / {_d(h)} * {float(n)}), 0), "
+                f"{n - 1}) AS BIGINT)")
+
+    return f"""
+    WITH b AS (SELECT {ix_expr(x0)} AS lox, {ix_expr(x1)} AS hix,
+                      {iy_expr(y0)} AS loy, {iy_expr(y1)} AS hiy),
+    src AS (SELECT (gy.y << 32) | gx.x AS id,
+                   gx.x AS hx, gy.y AS hy
+            FROM b,
+                 (SELECT unnest(generate_series(0, {n - 1})) AS x) gx,
+                 (SELECT unnest(generate_series(0, {n - 1})) AS y) gy
+            WHERE gx.x BETWEEN b.lox AND b.hix
+              AND gy.y BETWEEN b.loy AND b.hiy),
+    {hilbert.sql_hilbert_ctes('src', HILBERT_ORDER)},
+    o AS (SELECT hd.hd AS k FROM hd),
+    g AS (SELECT k, CASE WHEN k - lag(k) OVER (ORDER BY k) = 1
+                         THEN 0 ELSE 1 END AS brk
+          FROM o),
+    r AS (SELECT k, SUM(brk) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                        AS rid
+          FROM g)
+    SELECT CAST(MIN(k) AS BIGINT) AS range_start,
+           CAST(MAX(k) AS BIGINT) AS range_end,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM r GROUP BY rid"""
+
+
+@register("bbox_cover_ranges", sql=_range_cover_sql)
+def bbox_cover_ranges(sf_dir: str):
+    """The read-pruning primitive the Hilbert sink key exists for: turn a
+    query bbox into the MINIMAL set of contiguous Hilbert-key ranges
+    covering it (a reader of hilbert-sorted parquet seeks exactly these
+    key ranges — few long ranges, thanks to the curve's locality, vs the
+    per-scanline fragments a row-major layout needs). Cover cells →
+    Hilbert keys → gaps-and-islands merge of consecutive keys; the cover
+    set is bounded by the bbox area so the merge runs on one worker."""
+    import pyarrow.compute as pc
+
+    x0, y0, x1, y1 = RC_BBOX
+    cover = np.array(cells.cover_bbox(x0, y0, x1, y1, HILBERT_ORDER),
+                     dtype=np.int64)
+    mask = (1 << cells.IY_SHIFT) - 1
+    ix, iy = cover & mask, (cover >> cells.IY_SHIFT) & mask
+    keys = np.sort(hilbert.xy_to_d(ix, iy, HILBERT_ORDER))
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+
+    def merge_runs(t: pa.Table) -> pa.Table:
+        k = np.sort(t["k"].to_numpy(zero_copy_only=False))
+        brk = np.empty(len(k), dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(k) != 1
+        rid = np.cumsum(brk) - 1
+        starts = k[brk]
+        ends = np.append(k[np.flatnonzero(brk)[1:] - 1], k[-1])
+        counts = np.bincount(rid).astype(np.int64)
+        return pa.table({"range_start": pa.array(starts),
+                         "range_end": pa.array(ends),
+                         "n_cells": pa.array(counts)})
+
+    return ds.repartition(1).map_batches(merge_runs,
+                                         batch_format="pyarrow",
+                                         batch_size=None)

@@ -731,3 +731,93 @@ def props_json_stats(sf_dir: str):
         lambda t: t.rename_columns(["event_type", "n", "sum_k",
                                     "min_k", "max_k"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------ integer z-score outliers
+OUTLIER_Z = 3
+
+
+@register("event_value_outliers", sql=f"""
+    WITH q AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+               FROM events),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s,
+                 CAST(SUM(q * q) AS BIGINT) AS s2
+          FROM q GROUP BY 1)
+    SELECT m.event_type, m.n,
+           CAST(SUM(CASE WHEN (m.n * q.q - m.s) * (m.n * q.q - m.s)
+                              > {OUTLIER_Z * OUTLIER_Z}
+                                * (m.n * m.s2 - m.s * m.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN m USING (event_type) GROUP BY 1, 2""")
+def event_value_outliers(sf_dir: str):
+    """Anomaly detection: per event type, count values more than Z=3
+    standard deviations from the type mean — with the SAME integer
+    centering trick as Moran's I ((n·q − S)² > Z²·(n·Σq² − S²), cent-
+    quantized), so the z-test is exact int64 and never divides. Two
+    passes: per-batch partial moments → a broadcast dict of per-type
+    (n, S, Σq²) → a vectorized per-batch outlier count. Int64-safe while
+    n·q_max < 3e9 (document-scale guard; the moments themselves are
+    per-type scalars and could widen to Python ints if ever needed)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))})
+
+    qd = ev.map_batches(quant, batch_format="pyarrow").materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        tt = pa.table({"event_type": et, "one": np.ones(len(q), np.int64),
+                       "s": q, "s2": q * q})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("s", "sum"), ("s2", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "s2"])
+
+    agg = (qd.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type").aggregate(
+               Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+               Sum("s2", alias_name="s2"))).to_pandas()
+    mom = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["s2"]))
+           for _, r in agg.iterrows()}
+    mom_ref = ray.put(mom)
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        mm = ray.get(mom_ref)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        ns = np.array([mm[e][0] for e in uniq], np.int64)[inv]
+        ss = np.array([mm[e][1] for e in uniq], np.int64)[inv]
+        s2 = np.array([mm[e][2] for e in uniq], np.int64)[inv]
+        lhs = (ns * q - ss)
+        out = (lhs * lhs > OUTLIER_Z * OUTLIER_Z
+               * (ns * s2 - ss * ss)).astype(np.int64)
+        tt = pa.table({"event_type": t["event_type"], "o": out})
+        g = tt.group_by(["event_type"]).aggregate([("o", "sum")])
+        return g.rename_columns(["event_type", "n_outliers"])
+
+    res = (qd.map_batches(count_outliers, batch_format="pyarrow")
+           .groupby("event_type").aggregate(
+               Sum("n_outliers", alias_name="n_outliers")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mm = ray.get(mom_ref)
+        et = t["event_type"].to_pylist()
+        n = np.array([mm[e][0] for e in et], np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "n": pa.array(n),
+                         "n_outliers": pc.cast(t["n_outliers"],
+                                               pa.int64())})
+
+    return res.map_batches(finish, batch_format="pyarrow")

@@ -821,3 +821,55 @@ def event_value_outliers(sf_dir: str):
                                                pa.int64())})
 
     return res.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- grouping-sets cube
+@register("event_rollup_cube", sql=f"""
+    WITH q AS (SELECT event_type,
+                      (CAST(epoch_us(ts) AS BIGINT) - {COHORT_T0_US})
+                          // {US_PER_DAY} AS day,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+               FROM events)
+    SELECT COALESCE(event_type, '*') AS event_type,
+           COALESCE(day, -1) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
+    FROM q GROUP BY GROUPING SETS ((event_type), (day),
+                                   (event_type, day))""")
+def event_rollup_cube(sf_dir: str):
+    """Multi-granularity aggregation (GROUP BY GROUPING SETS) in ONE scan:
+    per type, per day, and per (type, day) counts + cent-quantized sums,
+    with '*' / -1 as the rolled-up coordinate. Each batch emits partial
+    rows for all three granularities (≤ 3·|groups| rows — the wide input
+    never shuffles), one composite-key groupby finishes."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        day = ((pc.cast(t["ts"], pa.int64())
+                .to_numpy(zero_copy_only=False) - COHORT_T0_US)
+               // US_PER_DAY)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        star = np.full(len(et), "*", dtype=object)
+        neg = np.full(len(et), -1, np.int64)
+        one = np.ones(len(et), np.int64)
+        tt = pa.table({
+            "event_type": pa.array(np.concatenate([et, star, et]),
+                                   pa.string()),
+            "day": pa.array(np.concatenate([neg, day, day])),
+            "one": pa.array(np.concatenate([one, one, one])),
+            "q": pa.array(np.concatenate([q, q, q]))})
+        g = tt.group_by(["event_type", "day"]).aggregate(
+            [("one", "sum"), ("q", "sum")])
+        return g.rename_columns(["event_type", "day", "n", "sum_q"])
+
+    agg = (ev.map_batches(partials, batch_format="pyarrow")
+           .groupby(["event_type", "day"]).aggregate(
+               Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q")))
+    return agg.map_batches(
+        lambda t: t.select(["event_type", "day", "n", "sum_q"]),
+        batch_format="pyarrow")

@@ -239,3 +239,72 @@ def embedding_covariance(sf_dir: str):
             "cov_num": pa.array(n * m - sj * sk)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------- per-label scatter statistics
+@register("label_scatter_stats", sql=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+    q AS (SELECT label, vec_id, dims.j,
+                 CAST(floor(CAST(list_extract(embedding, dims.j) AS DOUBLE)
+                            * CAST({1_000_000.0!r} AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+          FROM embeddings, dims),
+    d AS (SELECT label, j, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s,
+                 CAST(SUM(q * q) AS BIGINT) AS s2
+          FROM q GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label, MIN(n) AS n,
+           CAST(SUM(n * s2 - s * s) AS BIGINT) AS wss_scaled
+    FROM d GROUP BY 1""")
+def label_scatter_stats(sf_dir: str):
+    """Supervised-embedding quality: per label, the within-class scatter
+    (trace of the scatter matrix) in exact integers — per dim
+    n·Σq² − (Σq)² summed over dims, on quantized elements, so the
+    cross-block reduction is pure int64 (n² × the float WSS). One
+    per-batch partial (n, Σq, Σq² per dim as 3 d-vectors) per label; a
+    tiny (label) groupby finishes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.ann import _emb_matrix, quantize
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quantize(_emb_matrix(t, "embedding")).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k, d = len(uniq), q.shape[1]
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        s = np.zeros((k, d), np.int64)
+        s2 = np.zeros((k, d), np.int64)
+        np.add.at(s, inv, q)
+        np.add.at(s2, inv, q * q)
+        out = {"label": pa.array(np.repeat(uniq, d)),
+               "j": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+               "n": pa.array(np.repeat(n, d)),
+               "s": pa.array(s.ravel()), "s2": pa.array(s2.ravel())}
+        return pa.table(out)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=4096, zero_copy_batch=True)
+           .groupby(["label", "j"]).aggregate(
+               Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+               Sum("s2", alias_name="s2")))
+
+    def finish_dim(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        return pa.table({"label": pc.cast(t["label"], pa.int64()),
+                         "n": pa.array(n),
+                         "w": pa.array(n * s2 - s * s)})
+
+    per_label = (agg.map_batches(finish_dim, batch_format="pyarrow")
+                 .groupby("label").aggregate(
+                     Min("n", alias_name="n"),
+                     Sum("w", alias_name="wss_scaled")))
+    return per_label.map_batches(
+        lambda t: t.select(["label", "n", "wss_scaled"]),
+        batch_format="pyarrow")

@@ -1534,3 +1534,175 @@ def bbox_cover_ranges(sf_dir: str):
     return ds.repartition(1).map_batches(merge_runs,
                                          batch_format="pyarrow",
                                          batch_size=None)
+
+
+# ---------------------------------------------- segment-intersection join
+SEG_RES = 5
+SEG_CAP_U = 500_000       # segment length cap (µdeg, per axis)
+
+
+def _crossings_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(floor({x} * 1000000) AS BIGINT) AS qx,
+                      CAST(floor({y} * 1000000) AS BIGINT) AS qy
+               FROM events),
+    seg AS (SELECT event_id AS seg_id, qx AS ax, qy AS ay,
+                   lead(qx) OVER w AS bx, lead(qy) OVER w AS by_
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+    s AS (SELECT * FROM seg
+          WHERE bx IS NOT NULL
+            AND GREATEST(abs(bx - ax), abs(by_ - ay)) <= {SEG_CAP_U}),
+    pr AS (SELECT s1.seg_id AS sa, s2.seg_id AS sb,
+                  (s1.bx - s1.ax) * (s2.ay - s1.ay)
+                      - (s1.by_ - s1.ay) * (s2.ax - s1.ax) AS d1,
+                  (s1.bx - s1.ax) * (s2.by_ - s1.ay)
+                      - (s1.by_ - s1.ay) * (s2.bx - s1.ax) AS d2,
+                  (s2.bx - s2.ax) * (s1.ay - s2.ay)
+                      - (s2.by_ - s2.ay) * (s1.ax - s2.ax) AS d3,
+                  (s2.bx - s2.ax) * (s1.by_ - s2.ay)
+                      - (s2.by_ - s2.ay) * (s1.bx - s2.ax) AS d4
+           FROM s s1 JOIN s s2 ON s1.seg_id < s2.seg_id)
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                          AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+    FROM pr"""
+
+
+@register("trajectory_crossings", sql=_crossings_sql)
+def trajectory_crossings(sf_dir: str):
+    """Segment-intersection join (ST_Intersects on linestrings): count
+    PROPER crossings between user-trajectory segments (length-capped;
+    strict straddle test — shared endpoints and collinear touches don't
+    count). Exact integer orientation tests on µdeg coordinates; one
+    user-keyed shuffle builds the segments, a grid cover (bbox cells + a
+    1-cell guard ring) cogroups candidates, and each crossing pair is
+    emitted ONLY in the cell containing its intersection point —
+    exactly-once with no dedup shuffle (the guard ring absorbs float
+    jitter of the boundary case). The oracle is the O(n²) join with the
+    same sign tests."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    n_grid = 1 << SEG_RES
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(eid)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "qx": pa.array(np.floor(x * 1e6).astype(np.int64)),
+            "qy": pa.array(np.floor(y * 1e6).astype(np.int64))})
+
+    rows = ev.map_batches(to_rows, batch_format="pyarrow")
+
+    def make_segments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        qx = df["qx"].to_numpy(np.int64)
+        qy = df["qy"].to_numpy(np.int64)
+        same = np.empty(len(df), dtype=bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        ax, ay = qx[same], qy[same]
+        nxt = np.flatnonzero(same) + 1
+        bx, by = qx[nxt], qy[nxt]
+        keep = np.maximum(np.abs(bx - ax), np.abs(by - ay)) <= SEG_CAP_U
+        return pd.DataFrame({
+            "seg_id": df["event_id"].to_numpy(np.int64)[same][keep],
+            "ax": ax[keep], "ay": ay[keep],
+            "bx": bx[keep], "by": by[keep]})
+
+    segs = grouped_apply(rows, ["user_id"], make_segments,
+                         num_buckets=16).materialize()
+    n_segments = segs.count()
+
+    def cover(t: pa.Table) -> pa.Table:
+        ax = t["ax"].to_numpy(zero_copy_only=False)
+        ay = t["ay"].to_numpy(zero_copy_only=False)
+        bx = t["bx"].to_numpy(zero_copy_only=False)
+        by = t["by"].to_numpy(zero_copy_only=False)
+        sid = t["seg_id"].to_numpy(zero_copy_only=False)
+        x0 = np.minimum(ax, bx) / 1e6
+        x1 = np.maximum(ax, bx) / 1e6
+        y0 = np.minimum(ay, by) / 1e6
+        y1 = np.maximum(ay, by) / 1e6
+        lox, loy = cells.cell_xy(x0, y0, SEG_RES)
+        hix, hiy = cells.cell_xy(x1, y1, SEG_RES)
+        # +1 guard ring absorbs float jitter of boundary intersections
+        lox = np.maximum(lox - 1, 0)
+        loy = np.maximum(loy - 1, 0)
+        hix = np.minimum(hix + 1, n_grid - 1)
+        hiy = np.minimum(hiy + 1, n_grid - 1)
+        nx, ny = hix - lox + 1, hiy - loy + 1
+        cnt = nx * ny
+        idx = np.repeat(np.arange(len(sid), dtype=np.int64), cnt)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        k = np.arange(int(cnt.sum()), dtype=np.int64) - starts[idx]
+        kx = k % nx[idx]
+        ky = k // nx[idx]
+        cellv = ((np.int64(SEG_RES) << cells.RES_SHIFT)
+                 | ((loy[idx] + ky) << cells.IY_SHIFT) | (lox[idx] + kx))
+        return pa.table({"cell": pa.array(cellv),
+                         "seg_id": pa.array(sid[idx]),
+                         "ax": pa.array(ax[idx]), "ay": pa.array(ay[idx]),
+                         "bx": pa.array(bx[idx]), "by": pa.array(by[idx])})
+
+    exploded = segs.map_batches(cover, batch_format="pyarrow")
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        total = 0
+        for cellv, g in df.groupby("cell", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            sid = g["seg_id"].to_numpy(np.int64)
+            ax = g["ax"].to_numpy(np.int64)
+            ay = g["ay"].to_numpy(np.int64)
+            bx = g["bx"].to_numpy(np.int64)
+            by = g["by"].to_numpy(np.int64)
+            rx, ry = bx - ax, by - ay
+            # orientation of (c, d) endpoints of j wrt segment i
+            d1 = rx[:, None] * (ay[None, :] - ay[:, None]) \
+                - ry[:, None] * (ax[None, :] - ax[:, None])
+            d2 = rx[:, None] * (by[None, :] - ay[:, None]) \
+                - ry[:, None] * (bx[None, :] - ax[:, None])
+            straddle_ij = ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+            cand = straddle_ij & straddle_ij.T \
+                & (sid[:, None] < sid[None, :])
+            ii, jj = np.nonzero(cand)
+            if len(ii) == 0:
+                continue
+            # intersection point P = a_i + t·r_i with
+            # t = cross(a_j − a_i, s_j) / cross(r_i, s_j)
+            sxj, syj = rx[jj], ry[jj]
+            den = rx[ii] * syj - ry[ii] * sxj
+            num = (ax[jj] - ax[ii]) * syj - (ay[jj] - ay[ii]) * sxj
+            tpar = num.astype(np.float64) / den.astype(np.float64)
+            px = (ax[ii].astype(np.float64)
+                  + tpar * rx[ii].astype(np.float64)) / 1e6
+            py = (ay[ii].astype(np.float64)
+                  + tpar * ry[ii].astype(np.float64)) / 1e6
+            pix, piy = cells.cell_xy(px, py, SEG_RES)
+            pcell = ((np.int64(SEG_RES) << cells.RES_SHIFT)
+                     | (piy << cells.IY_SHIFT) | pix)
+            total += int((pcell == cellv).sum())
+        return pd.DataFrame({"c": pd.Series([total], dtype="int64")})
+
+    from ray.data.aggregate import Sum
+    agg = grouped_apply(exploded, ["cell"], per_cell,
+                        num_buckets=16).aggregate(
+        Sum("c", alias_name="n_crossings"))
+    return pd.DataFrame({
+        "n_segments": np.array([n_segments], np.int64),
+        "n_crossings": np.array([int(agg["n_crossings"])], np.int64)})

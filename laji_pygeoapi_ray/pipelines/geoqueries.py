@@ -1578,12 +1578,13 @@ def trajectory_crossings(sf_dir: str):
     PROPER crossings between user-trajectory segments (length-capped;
     strict straddle test — shared endpoints and collinear touches don't
     count). Exact integer orientation tests on µdeg coordinates; one
-    user-keyed shuffle builds the segments, a grid cover (bbox cells + a
-    1-cell guard ring) cogroups candidates, and each crossing pair is
-    emitted ONLY in the cell containing its intersection point —
-    exactly-once with no dedup shuffle (the guard ring absorbs float
-    jitter of the boundary case). The oracle is the O(n²) join with the
-    same sign tests."""
+    user-keyed shuffle builds the segments, a grid bbox cover cogroups
+    candidates, and each pair is TESTED only in the minimum cell of the
+    two covers' shared rectangle (computable from both bboxes inside the
+    bucket) — exactly-once per pair with no dedup shuffle and no repeated
+    work in the cells the pair also shares. Pair tests run in fixed-size
+    row chunks so temporaries stay bounded in dense cells. The oracle is
+    the O(n²) join with the same sign tests."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -1639,11 +1640,6 @@ def trajectory_crossings(sf_dir: str):
         y1 = np.maximum(ay, by) / 1e6
         lox, loy = cells.cell_xy(x0, y0, SEG_RES)
         hix, hiy = cells.cell_xy(x1, y1, SEG_RES)
-        # +1 guard ring absorbs float jitter of boundary intersections
-        lox = np.maximum(lox - 1, 0)
-        loy = np.maximum(loy - 1, 0)
-        hix = np.minimum(hix + 1, n_grid - 1)
-        hiy = np.minimum(hiy + 1, n_grid - 1)
         nx, ny = hix - lox + 1, hiy - loy + 1
         cnt = nx * ny
         idx = np.repeat(np.arange(len(sid), dtype=np.int64), cnt)
@@ -1672,31 +1668,37 @@ def trajectory_crossings(sf_dir: str):
             bx = g["bx"].to_numpy(np.int64)
             by = g["by"].to_numpy(np.int64)
             rx, ry = bx - ax, by - ay
-            # orientation of (c, d) endpoints of j wrt segment i
-            d1 = rx[:, None] * (ay[None, :] - ay[:, None]) \
-                - ry[:, None] * (ax[None, :] - ax[:, None])
-            d2 = rx[:, None] * (by[None, :] - ay[:, None]) \
-                - ry[:, None] * (bx[None, :] - ax[:, None])
-            straddle_ij = ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
-            cand = straddle_ij & straddle_ij.T \
-                & (sid[:, None] < sid[None, :])
-            ii, jj = np.nonzero(cand)
-            if len(ii) == 0:
-                continue
-            # intersection point P = a_i + t·r_i with
-            # t = cross(a_j − a_i, s_j) / cross(r_i, s_j)
-            sxj, syj = rx[jj], ry[jj]
-            den = rx[ii] * syj - ry[ii] * sxj
-            num = (ax[jj] - ax[ii]) * syj - (ay[jj] - ay[ii]) * sxj
-            tpar = num.astype(np.float64) / den.astype(np.float64)
-            px = (ax[ii].astype(np.float64)
-                  + tpar * rx[ii].astype(np.float64)) / 1e6
-            py = (ay[ii].astype(np.float64)
-                  + tpar * ry[ii].astype(np.float64)) / 1e6
-            pix, piy = cells.cell_xy(px, py, SEG_RES)
-            pcell = ((np.int64(SEG_RES) << cells.RES_SHIFT)
-                     | (piy << cells.IY_SHIFT) | pix)
-            total += int((pcell == cellv).sum())
+            # each pair is tested ONLY where the bucket equals the MIN
+            # cell of the two covers' shared rectangle — exactly-once
+            # across all shared cells, recomputed from the bboxes
+            x0 = np.minimum(ax, bx) / 1e6
+            x1 = np.maximum(ax, bx) / 1e6
+            y0 = np.minimum(ay, by) / 1e6
+            y1 = np.maximum(ay, by) / 1e6
+            lox, loy = cells.cell_xy(x0, y0, SEG_RES)
+            cix = int(cellv) & ((1 << cells.IY_SHIFT) - 1)
+            ciy = (int(cellv) >> cells.IY_SHIFT) \
+                & ((1 << cells.IY_SHIFT) - 1)
+            chunk = 512
+            for lo in range(0, m, chunk):
+                hi = min(lo + chunk, m)
+                sl = slice(lo, hi)
+                home = (np.maximum(lox[sl, None], lox[None, :]) == cix) \
+                    & (np.maximum(loy[sl, None], loy[None, :]) == ciy) \
+                    & (sid[sl, None] < sid[None, :])
+                if not home.any():
+                    continue
+                d1 = rx[sl, None] * (ay[None, :] - ay[sl, None]) \
+                    - ry[sl, None] * (ax[None, :] - ax[sl, None])
+                d2 = rx[sl, None] * (by[None, :] - ay[sl, None]) \
+                    - ry[sl, None] * (bx[None, :] - ax[sl, None])
+                s12 = ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+                d3 = rx[None, :] * (ay[sl, None] - ay[None, :]) \
+                    - ry[None, :] * (ax[sl, None] - ax[None, :])
+                d4 = rx[None, :] * (by[sl, None] - ay[None, :]) \
+                    - ry[None, :] * (bx[sl, None] - ax[None, :])
+                s34 = ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+                total += int((home & s12 & s34).sum())
         return pd.DataFrame({"c": pd.Series([total], dtype="int64")})
 
     from ray.data.aggregate import Sum

@@ -1708,3 +1708,67 @@ def trajectory_crossings(sf_dir: str):
     return pd.DataFrame({
         "n_segments": np.array([n_segments], np.int64),
         "n_crossings": np.array([int(agg["n_crossings"])], np.int64)})
+
+
+# ------------------------------------------------------- Gini concentration
+@register("province_gini_cells", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    pc_ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+            GROUP BY 1),
+    pr AS (SELECT cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                  (cell >> {cells.IY_SHIFT})
+                      & {(1 << cells.IY_SHIFT) - 1} AS iy, n
+           FROM pc_),
+    g AS (SELECT iy // {1 << (RES - 3)} AS band, n,
+                 row_number() OVER (PARTITION BY iy // {1 << (RES - 3)}
+                                    ORDER BY n, ix, iy) AS rk,
+                 COUNT(*) OVER (PARTITION BY iy // {1 << (RES - 3)}) AS m,
+                 CAST(SUM(n) OVER (PARTITION BY iy // {1 << (RES - 3)})
+                      AS BIGINT) AS s
+           FROM pr)
+    SELECT band, CAST(MIN(m) AS BIGINT) AS n_cells, MIN(s) AS n_docs,
+           CAST(SUM((2 * rk - m - 1) * n) AS BIGINT) AS gini_num,
+           CAST(MIN(m) * MIN(s) AS BIGINT) AS gini_den
+    FROM g GROUP BY 1""")
+def province_gini_cells(sf_dir: str):
+    """Spatial concentration (inequality) index: per latitude band, the
+    Gini coefficient of per-cell document counts via the sorted-rank
+    identity G = Σ(2·rank − n − 1)·x / (n·Σx) — pure integers once each
+    band's occupied cells sort locally (ONE band-keyed shuffle of the
+    tiny count table; deterministic ties by (n, ix, iy)). High Gini =
+    observations concentrated in few cells (the Helsinki skew shows up
+    directly); the consumer divides num/den."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    mask = (1 << cells.IY_SHIFT) - 1
+    key = f"cell{RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir), [key])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        return pa.table({"band": pa.array(iy >> (RES - 3)),
+                         "ix": pa.array(ix), "iy": pa.array(iy),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    rows = cnt.map_batches(band_rows, batch_format="pyarrow")
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for band, g in df.groupby("band", sort=False):
+            g = g.sort_values(["n", "ix", "iy"], kind="mergesort")
+            n = g["n"].to_numpy(np.int64)
+            m = len(n)
+            s = int(n.sum())
+            rk = np.arange(1, m + 1, dtype=np.int64)
+            num = int(((2 * rk - m - 1) * n).sum())
+            out.append((band, m, s, num, m * s))
+        return pd.DataFrame(out, columns=["band", "n_cells", "n_docs",
+                                          "gini_num", "gini_den"]) \
+            .astype("int64")
+
+    return grouped_apply(rows, ["band"], gini, num_buckets=8)

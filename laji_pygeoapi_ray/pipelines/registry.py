@@ -51,7 +51,7 @@ _DRIVER_PRIORITY = [
     "supplier_ship_islands", "trailing_user_values", "props_json_stats",
     "simplified_trajectories", "triangle_count_docs",
     "dist_to_nearest_supplier", "curve_locality_compare",
-    "bbox_cover_ranges", "event_value_outliers", "event_rollup_cube", "label_scatter_stats", "trajectory_crossings", "province_gini_cells",
+    "bbox_cover_ranges", "event_value_outliers", "event_rollup_cube", "label_scatter_stats", "trajectory_crossings", "province_gini_cells", "step_bearing_rose",
     # strongest never-driver-checked round-3 operators (earlier sessions)
     "minhash_dedup_clusters", "simhash_near_pairs", "hex_cell_counts",
     "dwithin_doc_pairs", "cosine_neardup_pairs_lsh", "heavy_hitter_tokens",

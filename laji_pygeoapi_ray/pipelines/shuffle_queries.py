@@ -12,6 +12,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
+from ..functions import points as _pts
 from ..sources.parquet import read_table
 from ..stages.dedup import dedup_keep_latest
 from ..stages.merge import MergeSpec, merge_similar
@@ -730,3 +731,85 @@ def simplified_trajectories(sf_dir: str):
             "within_tol_ok": pd.Series(out_w, dtype="int64")})
 
     return grouped_apply(ds, ["user_id"], per_user, num_buckets=16)
+
+
+# ---------------------------------------------------- bearing rose (octants)
+def _octant_case(dx: str, dy: str) -> str:
+    """Octant 0..7 counter-clockwise from east, by sign/|.|-comparisons
+    only (no trig): identical integer semantics on both sides. Boundary
+    rays (|dx|==|dy|, axes) are assigned deterministically by the chain
+    order below."""
+    return f"""CASE
+        WHEN {dy} >= 0 AND {dx} > 0 AND {dx} > {dy} THEN 0
+        WHEN {dy} > 0 AND {dx} > 0 THEN 1
+        WHEN {dy} > 0 AND -{dx} < {dy} THEN 2
+        WHEN {dy} > 0 THEN 3
+        WHEN {dy} <= 0 AND {dx} < 0 AND -{dx} > -{dy} THEN 4
+        WHEN {dy} < 0 AND {dx} < 0 THEN 5
+        WHEN {dy} < 0 AND {dx} < -{dy} THEN 6
+        ELSE 7 END"""
+
+
+@register("step_bearing_rose", sql=lambda: (lambda x, y: f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(floor({x} * 1000000) AS BIGINT) AS qx,
+                      CAST(floor({y} * 1000000) AS BIGINT) AS qy
+               FROM events),
+    st AS (SELECT lead(qx) OVER w - qx AS dx,
+                  lead(qy) OVER w - qy AS dy
+           FROM e WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    s AS (SELECT dx, dy FROM st
+          WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0))
+    SELECT CAST({_octant_case('dx', 'dy')} AS BIGINT) AS octant,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY 1""")(*_pts.sql_xy("event_id")))
+def step_bearing_rose(sf_dir: str):
+    """Movement-direction histogram (wind-rose): octant of every
+    trajectory step, computed with pure integer sign/magnitude
+    comparisons (no trig, boundary rays deterministic) — per-user lag
+    inside one key shuffle, per-batch octant bincounts, 8-row result."""
+    from ..functions import points as pts
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def steps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        x, y = pts.derive_xy(df["event_id"].to_numpy(np.int64))
+        qx = np.floor(x * 1e6).astype(np.int64)
+        qy = np.floor(y * 1e6).astype(np.int64)
+        same = np.empty(len(df), dtype=bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        nxt = np.flatnonzero(same) + 1
+        dx = qx[nxt] - qx[same]
+        dy = qy[nxt] - qy[same]
+        keep = ~((dx == 0) & (dy == 0))
+        dx, dy = dx[keep], dy[keep]
+        oct_ = np.full(len(dx), 7, np.int64)
+        done = (dy >= 0) & (dx > 0) & (dx > dy)
+        oct_[done] = 0
+        for code, cond in (
+                (1, (dy > 0) & (dx > 0)),
+                (2, (dy > 0) & (-dx < dy)),
+                (3, dy > 0),
+                (4, (dy <= 0) & (dx < 0) & (-dx > -dy)),
+                (5, (dy < 0) & (dx < 0)),
+                (6, (dy < 0) & (dx < -dy))):
+            sel = cond & ~done
+            oct_[sel] = code
+            done |= cond
+        cnt = np.bincount(oct_, minlength=8).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"octant": nz.astype("int64"),
+                             "n": cnt[nz]})
+
+    partials = grouped_apply(ds, ["user_id"], steps, num_buckets=16)
+
+    from ray.data.aggregate import Sum
+    out = partials.groupby("octant").aggregate(Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda t: t.select(["octant", "n"]), batch_format="pyarrow")

@@ -12,6 +12,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
 
+from ..functions import cells
 from ..functions import points as _pts
 from ..sources.parquet import read_table
 from ..stages.dedup import dedup_keep_latest
@@ -813,3 +814,113 @@ def step_bearing_rose(sf_dir: str):
     out = partials.groupby("octant").aggregate(Sum("n", alias_name="n"))
     return out.map_batches(
         lambda t: t.select(["octant", "n"]), batch_format="pyarrow")
+
+
+# ------------------------------------------------------ stay-point anchors
+STAY_K = 3            # next K steps must stay within the radius
+STAY_R_U = 300_000    # stay radius (µdeg)
+
+
+@register("stay_point_anchors", sql=lambda: (lambda x, y: f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(floor({x} * 1000000) AS BIGINT) AS qx,
+                      CAST(floor({y} * 1000000) AS BIGINT) AS qy
+               FROM events),
+    w AS (SELECT user_id, event_id, qx, qy,
+                 lead(qx, 1) OVER win AS x1, lead(qy, 1) OVER win AS y1,
+                 lead(qx, 2) OVER win AS x2, lead(qy, 2) OVER win AS y2,
+                 lead(qx, 3) OVER win AS x3, lead(qy, 3) OVER win AS y3
+          FROM e WINDOW win AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM w
+    WHERE x3 IS NOT NULL
+      AND (x1-qx)*(x1-qx)+(y1-qy)*(y1-qy)
+          <= {STAY_R_U}::BIGINT*{STAY_R_U}::BIGINT
+      AND (x2-qx)*(x2-qx)+(y2-qy)*(y2-qy)
+          <= {STAY_R_U}::BIGINT*{STAY_R_U}::BIGINT
+      AND (x3-qx)*(x3-qx)+(y3-qy)*(y3-qy)
+          <= {STAY_R_U}::BIGINT*{STAY_R_U}::BIGINT
+    GROUP BY 1""")(*_pts.sql_xy("event_id")))
+def stay_point_anchors(sf_dir: str):
+    """Stay-point detection (trajectory mining, Li et al. 2008 shape): a
+    point is a stay anchor when its next K=3 points all remain within the
+    stay radius — the window-expressible (non-greedy) variant, exact in
+    µdeg integers. One user-keyed shuffle, vectorized shifted-distance
+    tests, per-user anchor counts."""
+    from ..functions import points as pts
+    from ..stages.shuffle import grouped_apply
+
+    r2 = np.int64(STAY_R_U) * np.int64(STAY_R_U)
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def anchors(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        x, y = pts.derive_xy(df["event_id"].to_numpy(np.int64))
+        qx = np.floor(x * 1e6).astype(np.int64)
+        qy = np.floor(y * 1e6).astype(np.int64)
+        n = len(df)
+        ok = np.ones(n, dtype=bool)
+        for k in range(1, STAY_K + 1):
+            same = np.zeros(n, dtype=bool)
+            same[:n - k] = u[k:] == u[:n - k]
+            d2 = np.full(n, np.int64(1) << 62, np.int64)
+            dx = qx[k:] - qx[:n - k]
+            dy = qy[k:] - qy[:n - k]
+            d2[:n - k] = dx * dx + dy * dy
+            ok &= same & (d2 <= r2)
+        out = pd.DataFrame({"user_id": u[ok]})
+        g = out.groupby("user_id", as_index=False).size()
+        return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "n_anchors": g["size"].astype("int64")})
+
+    return grouped_apply(ds, ["user_id"], anchors, num_buckets=16)
+
+
+# ------------------------------------------------------------- OD matrix
+OD_RES = 4
+
+
+@register("od_matrix_cells", sql=lambda: (lambda x, y: f"""
+    WITH e AS (SELECT user_id, ts, event_id, {x} AS x, {y} AS y
+               FROM events),
+    c AS (SELECT user_id, ts, event_id,
+                 {cells.sql_cell('x', 'y', OD_RES)} AS cell FROM e),
+    s AS (SELECT cell AS o_cell, lead(cell) OVER w AS d_cell
+          FROM c WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id))
+    SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE d_cell IS NOT NULL AND d_cell <> o_cell
+    GROUP BY 1, 2""")(*_pts.sql_xy("event_id")))
+def od_matrix_cells(sf_dir: str):
+    """Origin-destination matrix (movement analytics): per ordered pair of
+    DIFFERENT res-4 cells, the number of consecutive-event transitions —
+    one user-keyed shuffle builds the steps, per-batch (o, d) partial
+    counts finish (the OD table is ≤ 16^2 × occupied², tiny)."""
+    from ..functions import cells as _c
+    from ..functions import points as pts
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def steps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        x, y = pts.derive_xy(df["event_id"].to_numpy(np.int64))
+        cell = _c.encode(x, y, OD_RES)
+        n = len(df)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = u[1:] == u[:-1]
+        o = cell[:-1][same[:-1]]
+        d = cell[1:][same[:-1]]
+        keep = o != d
+        return pd.DataFrame({"o_cell": o[keep], "d_cell": d[keep]})
+
+    trans = grouped_apply(ds, ["user_id"], steps, num_buckets=16)
+    agg = partial_group_counts(trans, ["o_cell", "d_cell"])
+    return agg.map_batches(
+        lambda t: t.select(["o_cell", "d_cell", "n"]),
+        batch_format="pyarrow")

@@ -1772,3 +1772,53 @@ def province_gini_cells(sf_dir: str):
             .astype("int64")
 
     return grouped_apply(rows, ["band"], gini, num_buckets=8)
+
+
+# ------------------------------------------- spatially balanced sampling
+SYS_EVERY = 10
+
+
+@register("hilbert_systematic_sample", sql=lambda: f"""
+    WITH d AS (SELECT {cells.sql_cell('x', 'y', HILBERT_ORDER)} AS cell
+               FROM ({_points_cte()})),
+    c AS (SELECT cell, cell & {(1 << cells.IY_SHIFT) - 1} AS hx,
+                 (cell >> {cells.IY_SHIFT})
+                     & {(1 << cells.IY_SHIFT) - 1} AS hy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2, 3),
+    src AS (SELECT cell AS id, hx, hy FROM c),
+    {hilbert.sql_hilbert_ctes('src', HILBERT_ORDER)},
+    r AS (SELECT c.cell, c.n, hd.hd,
+                 row_number() OVER (ORDER BY hd.hd, c.cell) AS rk
+          FROM c JOIN hd ON hd.id = c.cell)
+    SELECT cell, n, CAST(hd AS BIGINT) AS hd
+    FROM r WHERE (rk - 1) % {SYS_EVERY} = 0""")
+def hilbert_systematic_sample(sf_dir: str):
+    """Spatially balanced sampling (survey design): every {SYS_EVERY}-th
+    OCCUPIED cell along the Hilbert walk — systematic sampling on a
+    space-filling curve spreads the sample evenly over the occupied
+    territory (the GRTS idea in its deterministic form), unlike uniform
+    row sampling which re-concentrates in the dense cluster. Bounded
+    occupied-cell table → one vectorized rank pass."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import partial_group_counts
+
+    mask = (1 << cells.IY_SHIFT) - 1
+    key = f"cell{HILBERT_ORDER}"
+    occ = partial_group_counts(_docs_points(sf_dir, (HILBERT_ORDER,)),
+                               [key])
+
+    def pick(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        hx, hy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        hd = hilbert.xy_to_d(hx, hy, HILBERT_ORDER)
+        o = np.lexsort((cell, hd))
+        keep = o[::SYS_EVERY]
+        return pa.table({"cell": pa.array(cell[keep]),
+                         "n": pa.array(n[keep].astype(np.int64)),
+                         "hd": pa.array(hd[keep])})
+
+    return occ.repartition(1).map_batches(pick, batch_format="pyarrow",
+                                          batch_size=None)

@@ -602,3 +602,80 @@ def image_patch_stats(sf_dir: str):
         lambda t: t.rename_columns(["fmt", "n", "n_patches",
                                     "n_conserve_ok"]),
         batch_format="pyarrow")
+
+
+@register("phash_family_representatives", sql=lambda: f"""
+    WITH RECURSIVE base AS (SELECT {_img_no_sql()} AS img_no, phash,
+                                   LENGTH(caption) AS cap_len
+                            FROM {_img_path_sql(ORACLE_N)}),
+    sub AS (SELECT * FROM base WHERE img_no < {PHASH_SUB}),
+    p AS (SELECT a.img_no AS ia, b.img_no AS ib
+          FROM sub a JOIN sub b ON a.img_no <> b.img_no
+          WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAXHAM}),
+    reach AS (SELECT img_no AS id, img_no AS r FROM sub
+              UNION
+              SELECT p.ia AS id, reach.r
+              FROM p JOIN reach ON reach.id = p.ib),
+    comp AS (SELECT id AS img_no, CAST(MIN(r) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY id),
+    ranked AS (SELECT comp.cluster_id, comp.img_no, sub.cap_len,
+                      row_number() OVER (PARTITION BY comp.cluster_id
+                          ORDER BY sub.cap_len DESC, comp.img_no) AS rk,
+                      COUNT(*) OVER (PARTITION BY comp.cluster_id)
+                          AS family_size
+               FROM comp JOIN sub ON sub.img_no = comp.img_no)
+    SELECT cluster_id, img_no AS rep_img_no,
+           CAST(cap_len AS BIGINT) AS cap_len,
+           CAST(family_size AS BIGINT) AS family_size
+    FROM ranked WHERE rk = 1""")
+def phash_family_representatives(sf_dir: str):
+    """The KEEP decision of near-dup image dedup: per phash family
+    (components re-using the certified propagation path), the canonical
+    member = longest caption, ties by min image number — the
+    quality-based representative selection that decides which duplicate
+    survives. Composition: distributed components ⋈ metadata join ⋈
+    per-family argmax in one bucketed pass."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import grouped_apply
+    from ..stages.simdedup import cluster_pairs_ds, hamming_pairs
+
+    ds = images_ds(sf_dir, columns=["image_id", "phash", "caption"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.less(t["img_no"], PHASH_SUB)),
+        batch_format="pyarrow").materialize()
+    pairs = hamming_pairs(
+        sub.select_columns(["img_no", "phash"]), id_col="img_no",
+        hash_col="phash", max_hamming=PHASH_MAXHAM, band_bits=8)
+    labels = cluster_pairs_ds(pairs, sub.select_columns(["img_no"]),
+                              id_col="img_no")
+    meta = sub.map_batches(
+        lambda t: pa.table({
+            "img_no": pc.cast(t["img_no"], pa.int64()),
+            "cap_len": pc.cast(pc.utf8_length(
+                pc.cast(t["caption"], pa.string())), pa.int64())}),
+        batch_format="pyarrow")
+    lab = labels.map_batches(
+        lambda t: pa.table({"img_no": pc.cast(t["img_no"], pa.int64()),
+                            "cluster_id": pc.cast(t["cluster_id"],
+                                                  pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(lab, meta, on=["img_no"], num_buckets=8)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "cap_len", "img_no"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        g = df.groupby("cluster_id", sort=False)
+        head = g.head(1).copy()
+        sizes = g.size().reset_index(name="family_size")
+        out = head.merge(sizes, on="cluster_id")
+        return pd.DataFrame({
+            "cluster_id": out["cluster_id"].astype("int64"),
+            "rep_img_no": out["img_no"].astype("int64"),
+            "cap_len": out["cap_len"].astype("int64"),
+            "family_size": out["family_size"].astype("int64")})
+
+    return grouped_apply(joined, ["cluster_id"], pick, num_buckets=8)

@@ -1822,3 +1822,95 @@ def hilbert_systematic_sample(sf_dir: str):
 
     return occ.repartition(1).map_batches(pick, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ------------------------------------------------- pruned-read efficiency
+def _pruned_read_sql() -> str:
+    n = 1 << HILBERT_ORDER
+    x0, y0, x1, y1 = RC_BBOX
+    # the cover rectangle bounds (same float ops as cells.cover_bbox)
+    from ..functions.points import _d
+    w, h = points._W, points._H
+
+    def gex(v, lo_const, span):
+        return (f"CAST(LEAST(GREATEST(floor((CAST('{v}' AS DOUBLE) - "
+                f"{_d(lo_const)}) / {_d(span)} * {float(n)}), 0), "
+                f"{n - 1}) AS BIGINT)")
+
+    ranges = _range_cover_sql()
+    return f"""
+    WITH pts AS (SELECT doc_id, x, y,
+                        {cells.sql_cell('x', 'y', HILBERT_ORDER)} AS cell
+                 FROM ({_points_cte()})),
+    b AS (SELECT {gex(x0, points.FIN_X0, w)} AS lox,
+                 {gex(x1, points.FIN_X0, w)} AS hix,
+                 {gex(y0, points.FIN_Y0, h)} AS loy,
+                 {gex(y1, points.FIN_Y0, h)} AS hiy),
+    rc AS ({ranges})
+    SELECT CAST((SELECT COUNT(*) FROM rc) AS BIGINT) AS n_ranges,
+           CAST((SELECT COUNT(*) FROM pts, b
+                 WHERE (pts.cell & {(1 << cells.IY_SHIFT) - 1})
+                           BETWEEN b.lox AND b.hix
+                   AND ((pts.cell >> {cells.IY_SHIFT})
+                        & {(1 << cells.IY_SHIFT) - 1})
+                           BETWEEN b.loy AND b.hiy) AS BIGINT)
+               AS n_scanned,
+           CAST((SELECT COUNT(*) FROM pts
+                 WHERE x >= CAST('{x0}' AS DOUBLE)
+                   AND x <= CAST('{x1}' AS DOUBLE)
+                   AND y >= CAST('{y0}' AS DOUBLE)
+                   AND y <= CAST('{y1}' AS DOUBLE)) AS BIGINT) AS n_hits"""
+
+
+@register("hilbert_pruned_read", sql=_pruned_read_sql)
+def hilbert_pruned_read(sf_dir: str):
+    """End-to-end proof of the layout story: a bbox reader over
+    hilbert-sorted output seeks only the covering key ranges
+    (`bbox_cover_ranges`), post-filters the exact bbox, and must find
+    every hit. Reported: n_ranges (seeks), n_scanned (rows inside the
+    key ranges = the I/O actually read) and n_hits (exact bbox rows) —
+    n_scanned/n_hits is the measured read amplification of the pruning.
+    The range membership test is a vectorized searchsorted against the
+    broadcast range starts/ends."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    x0, y0, x1, y1 = RC_BBOX
+    cover = np.array(cells.cover_bbox(x0, y0, x1, y1, HILBERT_ORDER),
+                     dtype=np.int64)
+    mask = (1 << cells.IY_SHIFT) - 1
+    cix, ciy = cover & mask, (cover >> cells.IY_SHIFT) & mask
+    keys = np.sort(hilbert.xy_to_d(cix, ciy, HILBERT_ORDER))
+    brk = np.empty(len(keys), dtype=bool)
+    brk[0] = True
+    brk[1:] = np.diff(keys) != 1
+    starts = keys[brk]
+    ends = np.append(keys[np.flatnonzero(brk)[1:] - 1], keys[-1])
+    n_ranges = len(starts)
+    rng_ref = ray.put((starts, ends))
+
+    ds = _docs_points(sf_dir, (HILBERT_ORDER,))
+
+    def scan(t: pa.Table) -> pa.Table:
+        s, e = ray.get(rng_ref)
+        cell = t[f"cell{HILBERT_ORDER}"].to_numpy(zero_copy_only=False)
+        hx, hy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        hd = hilbert.xy_to_d(hx, hy, HILBERT_ORDER)
+        pos = np.searchsorted(s, hd, side="right") - 1
+        in_rng = (pos >= 0) & (hd <= e[np.clip(pos, 0, len(e) - 1)])
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        hit = in_rng & (x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)
+        return pa.table({
+            "scanned": pa.array([int(in_rng.sum())], pa.int64()),
+            "hits": pa.array([int(hit.sum())], pa.int64())})
+
+    agg = ds.map_batches(scan, batch_format="pyarrow").aggregate(
+        Sum("scanned", alias_name="n_scanned"),
+        Sum("hits", alias_name="n_hits"))
+    import pandas as pd
+    return pd.DataFrame({
+        "n_ranges": np.array([n_ranges], np.int64),
+        "n_scanned": np.array([int(agg["n_scanned"])], np.int64),
+        "n_hits": np.array([int(agg["n_hits"])], np.int64)})

@@ -448,3 +448,90 @@ def triangle_count_docs(sf_dir: str):
     return pd.DataFrame({"n_edges": np.array([n_edges], np.int64),
                          "n_wedges": np.array([n_wedges], np.int64),
                          "n_triangles": np.array([n_tri], np.int64)})
+
+
+# ---------------------------------------------------------- semivariogram
+def _variogram_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    rmax = RIPLEY_RADII[-1]
+    rlist = ", ".join(f"CAST('{r}' AS DOUBLE)" for r in RIPLEY_RADII)
+    return f"""
+    WITH pts AS (SELECT d.doc_id AS id, {x} AS x, {y} AS y, d.n_chars
+                 FROM documents d),
+    p AS (SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                     AS d2,
+                 (a.n_chars - b.n_chars) * (a.n_chars - b.n_chars) AS sq
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{rmax}' AS DOUBLE) * CAST('{rmax}' AS DOUBLE)),
+    radii AS (SELECT row_number() OVER () AS idx, r
+              FROM (SELECT unnest([{rlist}]) AS r)),
+    binned AS (SELECT (SELECT MIN(idx) FROM radii
+                       WHERE p.d2 <= radii.r * radii.r) AS bin, sq
+               FROM p)
+    SELECT radii.r, CAST(COUNT(sq) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(sq), 0) AS BIGINT) AS sum_sqdiff
+    FROM radii LEFT JOIN binned ON binned.bin = radii.idx
+    GROUP BY radii.r"""
+
+
+@register("semivariogram_chars", sql=_variogram_sql)
+def semivariogram_chars(sf_dir: str):
+    """Empirical semivariogram (geostatistics / kriging step 1): per
+    distance bin of the radius ladder, the pair count and the exact
+    integer Σ(z_i − z_j)² of the payload over all point pairs in the bin
+    (γ̂ = sum/(2n), consumer divides). ONE exactly-once dwithin pair
+    sweep at the max radius, two bucketed joins attach the endpoint
+    payloads (narrow (id, z) rows only), then 5-row partials."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+    from ..stages.knn import dwithin_pairs
+
+    rmax = RIPLEY_RADII[-1]
+    r2s = np.array([np.float64(r) * np.float64(r) for r in RIPLEY_RADII])
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), rmax, res=5, num_buckets=32)
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    a = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64()),
+                            "d2": t["d2"]}), batch_format="pyarrow")
+    ja = hash_join(a, docs.map_batches(
+        lambda t: t.rename_columns(["doc_id", "za"]),
+        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+    jb = ja.map_batches(
+        lambda t: pa.table({"doc_id": t["id_b"], "za": t["za"],
+                            "d2": t["d2"]}), batch_format="pyarrow")
+    jab = hash_join(jb, docs.map_batches(
+        lambda t: t.rename_columns(["doc_id", "zb"]),
+        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        d2 = t["d2"].to_numpy(zero_copy_only=False)
+        za = t["za"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zb = t["zb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = (za - zb) * (za - zb)
+        b = np.searchsorted(r2s, d2, side="left")
+        # d2 == r² boundary: side='left' puts it IN the bin (<= semantics)
+        b = np.minimum(b, len(r2s) - 1)
+        np_ = np.bincount(b, minlength=len(r2s)).astype(np.int64)
+        sm = np.zeros(len(r2s), np.int64)
+        np.add.at(sm, b, sq)
+        return pa.table({"idx": np.arange(len(r2s), dtype=np.int64),
+                         "n_pairs": pa.array(np_),
+                         "sum_sqdiff": pa.array(sm)})
+
+    agg = (jab.map_batches(bin_partial, batch_format="pyarrow")
+           .groupby("idx").aggregate(
+               Sum("n_pairs", alias_name="n_pairs"),
+               Sum("sum_sqdiff", alias_name="sum_sqdiff"))
+           .to_pandas().set_index("idx"))
+    import pandas as pd
+    n = [int(agg["n_pairs"].get(i, 0)) for i in range(len(r2s))]
+    sm = [int(agg["sum_sqdiff"].get(i, 0)) for i in range(len(r2s))]
+    return pd.DataFrame({"r": np.array(RIPLEY_RADII, np.float64),
+                         "n_pairs": np.array(n, np.int64),
+                         "sum_sqdiff": np.array(sm, np.int64)})

@@ -1914,3 +1914,123 @@ def hilbert_pruned_read(sf_dir: str):
         "n_ranges": np.array([n_ranges], np.int64),
         "n_scanned": np.array([int(agg["n_scanned"])], np.int64),
         "n_hits": np.array([int(agg["n_hits"])], np.int64)})
+
+
+# -------------------------------------------------- Getis-Ord G* hotspots
+GI_Z = 2   # hotspot threshold (z > 2 ≈ 95%)
+
+
+@register("hotspot_gi_cells", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, (cell >> {cells.IY_SHIFT})
+                           & {(1 << cells.IY_SHIFT) - 1} AS iy,
+                 cell & {(1 << cells.IY_SHIFT) - 1} AS ix,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM pts GROUP BY 1),
+    gmo AS (SELECT CAST(SUM(x) AS BIGINT) AS s,
+                    CAST(SUM(x * x) AS BIGINT) AS s2 FROM c),
+    off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                  (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    sc AS (SELECT ((CAST({RES} AS BIGINT) << {cells.RES_SHIFT})
+                   | ((iy + dy) << {cells.IY_SHIFT}) | (ix + dx)) AS cell,
+                  ix + dx AS jx, iy + dy AS jy, x
+           FROM c, off
+           WHERE ix + dx BETWEEN 0 AND {(1 << RES) - 1}
+             AND iy + dy BETWEEN 0 AND {(1 << RES) - 1}),
+    f AS (SELECT cell, MIN(jx) AS jx, MIN(jy) AS jy,
+                 CAST(SUM(x) AS BIGINT) AS t FROM sc GROUP BY 1),
+    k AS (SELECT cell, t,
+                 CAST((CASE WHEN jx = 0 OR jx = {(1 << RES) - 1}
+                            THEN 2 ELSE 3 END)
+                      * (CASE WHEN jy = 0 OR jy = {(1 << RES) - 1}
+                              THEN 2 ELSE 3 END) AS BIGINT) AS k
+          FROM f)
+    SELECT k.cell AS cell7, k.t, k.k FROM k, gmo
+    WHERE CAST({1 << (2 * RES)} AS HUGEINT) * k.t > CAST(k.k AS HUGEINT)
+              * gmo.s
+      AND CAST(CAST({1 << (2 * RES)} AS HUGEINT) * k.t
+               - CAST(k.k AS HUGEINT) * gmo.s AS HUGEINT)
+          * CAST(CAST({1 << (2 * RES)} AS HUGEINT) * k.t
+                 - CAST(k.k AS HUGEINT) * gmo.s AS HUGEINT)
+          * CAST({(1 << (2 * RES)) - 1} AS HUGEINT)
+          > CAST({GI_Z * GI_Z} AS HUGEINT)
+            * (CAST({1 << (2 * RES)} AS HUGEINT) * gmo.s2
+               - CAST(gmo.s AS HUGEINT) * gmo.s)
+            * (CAST({1 << (2 * RES)} AS HUGEINT) * k.k
+               - CAST(k.k AS HUGEINT) * k.k)""")
+def hotspot_gi_cells(sf_dir: str):
+    """Getis-Ord G* hotspot detection over the res-7 lattice (3×3 binary
+    weights, empty cells = 0): a cell is a hotspot when its neighborhood
+    sum exceeds expectation by more than Z=2 standard deviations. The
+    z-test is squared into a pure INTEGER inequality
+    (N·T − k·S)²·(N−1) > Z²·(N·S2 − S²)·(N·k − k²) with N·T > k·S for the
+    sign — evaluated in arbitrary-precision Python ints on the bounded
+    focal table (SQL side mirrors in HUGEINT), so no sqrt and no float
+    ever decides a boundary case. Focal sums via scatter-to-neighbors on
+    the sparse count table; negative-side cells can't be hotspots, so
+    only scatter-reached cells are candidates (exact: a positive z needs
+    T > 0)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import partial_group_counts
+
+    n_lat = 1 << RES
+    n_cells = n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+    key = f"cell{RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir), [key]).materialize()
+
+    g = cnt.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([int(t["n"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "s2": pa.array([int((t["n"].to_numpy(zero_copy_only=False)
+                                 ** 2).sum())], pa.int64())}),
+        batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("s2", alias_name="s2"))
+    S, S2 = int(g["s"]), int(g["s2"])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        x = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outc, outn = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n_lat) & (jy >= 0) & (jy < n_lat)
+                outc.append((np.int64(RES) << cells.RES_SHIFT)
+                            | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+                outn.append(x[ok])
+        return pa.table({"cell": np.concatenate(outc),
+                         "t": np.concatenate(outn)})
+
+    focal = (cnt.map_batches(scatter, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("t", alias_name="t")))
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell", "t"])
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        tv = t["t"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        kx = np.where((ix == 0) | (ix == n_lat - 1), 2, 3)
+        ky = np.where((iy == 0) | (iy == n_lat - 1), 2, 3)
+        kv = (kx * ky).astype(np.int64)
+        keep = np.zeros(len(cell), dtype=bool)
+        for i in range(len(cell)):
+            N, T, K = n_cells, int(tv[i]), int(kv[i])
+            lhs_sign = N * T - K * S
+            if lhs_sign <= 0:
+                continue
+            lhs = lhs_sign * lhs_sign * (N - 1)
+            rhs = (GI_Z * GI_Z) * (N * S2 - S * S) * (N * K - K * K)
+            keep[i] = lhs > rhs
+        out = t.filter(pa.array(keep))
+        return pa.table({"cell7": out["cell"],
+                         "t": pc.cast(out["t"], pa.int64()),
+                         "k": pa.array(kv[keep])})
+
+    return focal.map_batches(flag, batch_format="pyarrow")

@@ -535,3 +535,71 @@ def semivariogram_chars(sf_dir: str):
     return pd.DataFrame({"r": np.array(RIPLEY_RADII, np.float64),
                          "n_pairs": np.array(n, np.int64),
                          "sum_sqdiff": np.array(sm, np.int64)})
+
+
+# ----------------------------------------------------- co-location mining
+CL_RADIUS = 0.1
+
+
+def _coloc_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT d.doc_id AS id, {x} AS x, {y} AS y, d.lang
+                 FROM documents d),
+    p AS (SELECT LEAST(a.lang, b.lang) AS lang_a,
+                 GREATEST(a.lang, b.lang) AS lang_b
+          FROM pts a JOIN pts b ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{CL_RADIUS}' AS DOUBLE)
+                   * CAST('{CL_RADIUS}' AS DOUBLE))
+    SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2"""
+
+
+@register("colocation_lang_pairs", sql=_coloc_sql)
+def colocation_lang_pairs(sf_dir: str):
+    """Spatial co-location pattern mining: which attribute classes occur
+    NEAR each other — per unordered language pair, the number of document
+    pairs within the co-location radius. One exactly-once dwithin sweep,
+    two narrow label joins, canonical (min, max) pair key, tiny groupby.
+    (The lift/participation-ratio step divides these counts by the class
+    totals — left to the consumer, the counts are the exact part.)"""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+    from ..stages.knn import dwithin_pairs
+    from ..stages.shuffle import partial_group_counts
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), CL_RADIUS, res=5,
+                          num_buckets=32)
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    a = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow")
+    ja = hash_join(a, docs.map_batches(
+        lambda t: t.rename_columns(["doc_id", "la"]),
+        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+    jb = ja.map_batches(
+        lambda t: pa.table({"doc_id": t["id_b"], "la": t["la"]}),
+        batch_format="pyarrow")
+    jab = hash_join(jb, docs.map_batches(
+        lambda t: t.rename_columns(["doc_id", "lb"]),
+        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+
+    def canon(t: pa.Table) -> pa.Table:
+        la = t["la"].to_numpy(zero_copy_only=False)
+        lb = t["lb"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(la, lb)
+        hi = np.maximum(la, lb)
+        return pa.table({"lang_a": pa.array(lo.astype(object),
+                                            pa.string()),
+                         "lang_b": pa.array(hi.astype(object),
+                                            pa.string())})
+
+    rows = jab.map_batches(canon, batch_format="pyarrow")
+    agg = partial_group_counts(rows, ["lang_a", "lang_b"],
+                               count_col="n_pairs")
+    return agg.map_batches(
+        lambda t: t.select(["lang_a", "lang_b", "n_pairs"]),
+        batch_format="pyarrow")

@@ -2034,3 +2034,72 @@ def hotspot_gi_cells(sf_dir: str):
                          "k": pa.array(kv[keep])})
 
     return focal.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- change detection
+CHG_RES = 5
+CHG_SPLIT_DAY = 15      # first half: day < 15 (events span Jan 1-30)
+CHG_T0_US = 1_704_067_200_000_000
+CHG_US_PER_DAY = 86_400_000_000
+
+
+@register("cell_change_detection", sql=lambda: (lambda x, y: f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', CHG_RES)} AS cell,
+                      CASE WHEN (CAST(epoch_us(ts) AS BIGINT)
+                                 - {CHG_T0_US}) // {CHG_US_PER_DAY}
+                                < {CHG_SPLIT_DAY}
+                           THEN 0 ELSE 1 END AS half
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2
+          FROM e GROUP BY 1)
+    SELECT cell AS cell5, n1, n2
+    FROM c
+    WHERE (n1 - n2) * (n1 - n2) > 4 * (n1 + n2)""")(
+        *points.sql_xy("event_id")))
+def cell_change_detection(sf_dir: str):
+    """Spatiotemporal change detection: cells whose event density changed
+    significantly between the two halves of the observation window —
+    flagged by the integer Poisson-difference test (n1 − n2)² > 4(n1+n2)
+    (|Δ| > 2·σ̂ under H0: equal rates, squared so no sqrt). Per-batch
+    (cell, half) partial counts; the wide input never shuffles."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(eid)
+        day = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+               - CHG_T0_US) // CHG_US_PER_DAY
+        first = (day < CHG_SPLIT_DAY).astype(np.int64)
+        return pa.table({"cell": pa.array(cells.encode(x, y, CHG_RES)),
+                         "h1": pa.array(first),
+                         "h2": pa.array(1 - first)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cell"]).aggregate([("h1", "sum"), ("h2", "sum")])
+        return g.rename_columns(["cell", "n1", "n2"])
+
+    agg = (ev.map_batches(derive, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cell").aggregate(Sum("n1", alias_name="n1"),
+                                      Sum("n2", alias_name="n2")))
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell", "n1", "n2"])
+        n1 = t["n1"].to_numpy(zero_copy_only=False)
+        n2 = t["n2"].to_numpy(zero_copy_only=False)
+        keep = (n1 - n2) * (n1 - n2) > 4 * (n1 + n2)
+        out = t.filter(pa.array(keep))
+        return pa.table({"cell5": out["cell"],
+                         "n1": pc.cast(out["n1"], pa.int64()),
+                         "n2": pc.cast(out["n2"], pa.int64())})
+
+    return agg.map_batches(flag, batch_format="pyarrow")

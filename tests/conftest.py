@@ -41,7 +41,15 @@ def to_pandas(result):
         return result
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+    df = result.to_pandas()  # ray Dataset
+    if df.shape[1] == 0:
+        # Ray quirk: to_pandas() of a 0-row Dataset drops the columns even
+        # though the schema is known — rebuild the typed empty frame
+        schema = result.schema()
+        if schema is not None and schema.names:
+            df = pa.schema(list(zip(schema.names, schema.types))) \
+                .empty_table().to_pandas()
+    return df
 
 
 def assert_query_matches_oracle(name: str, sf_dir: str = SF_ORACLE):

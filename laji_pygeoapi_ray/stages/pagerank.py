@@ -30,10 +30,21 @@ from .shuffle import grouped_apply
 def integer_pagerank(edges_ds, ids_ds, *, id_col: str = "id",
                      iters: int = 3, base: int = 10 ** 9,
                      damp_num: int = 85, damp_den: int = 100,
-                     num_buckets: int = 16):
+                     num_buckets: int = 16,
+                     broadcast_threshold: int = 5_000_000):
     """edges_ds: directed (src, dst) — pass both directions for an
     undirected graph. ids_ds: one row per node (id_col). Returns a
-    Dataset (id_col, rank: int64)."""
+    Dataset (id_col, rank: int64).
+
+    Two execution shapes, chosen by GRAPH-NODE count (the rank state):
+    when the node table fits a broadcast (≤ ``broadcast_threshold``
+    rows — a few hundred MB of (id, deg, r) arrays), each iteration is
+    ONE stateless map over the STATIC edge dataset (searchsorted rank
+    lookup, per-batch pre-aggregated inflow partials) + a tiny groupby —
+    the edges never shuffle. Beyond the threshold the sentinel-tagged
+    union shuffle routes contributions edge-by-edge (nothing is ever
+    broadcast), which is the unbounded-graph path.
+    """
     base_term = (damp_den - damp_num) * base // damp_den
 
     # out-degree, kept WITH the rank so iterations need no extra join
@@ -53,6 +64,12 @@ def integer_pagerank(edges_ds, ids_ds, *, id_col: str = "id",
 
     state = deg.map_batches(seed, batch_format="pyarrow").materialize()
     edges = edges_ds.materialize()
+
+    if state.count() <= broadcast_threshold:
+        return _pagerank_broadcast(edges, state, ids_ds, id_col=id_col,
+                                   iters=iters, base_term=base_term,
+                                   damp_num=damp_num, damp_den=damp_den,
+                                   num_buckets=num_buckets)
 
     for _ in range(iters):
         # contributions, tagged -1 on the edge side (ids non-negative)
@@ -137,3 +154,57 @@ def integer_pagerank(edges_ds, ids_ds, *, id_col: str = "id",
     return out.map_batches(
         lambda t: pa.table({id_col: t["id"], "rank": t["rank"]}),
         batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges, state, ids_ds, *, id_col, iters,
+                        base_term, damp_num, damp_den, num_buckets):
+    """Bounded-node fast path: ranks broadcast once per iteration, the
+    static edge set is ONLY mapped (never shuffled)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    st = state.to_pandas()
+    ids = np.sort(st["id"].to_numpy(np.int64))
+    order = np.argsort(st["id"].to_numpy(np.int64), kind="mergesort")
+    deg = st["deg"].to_numpy(np.int64)[order]
+    r = st["r"].to_numpy(np.int64)[order]
+
+    for _ in range(iters):
+        contrib_ref = ray.put((ids, r // deg))
+
+        def inflow_partial(t: pa.Table) -> pa.Table:
+            kid, c = ray.get(contrib_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kid, src)
+            vals = c[pos]                     # every src IS a graph node
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq), np.int64)
+            np.add.at(sums, inv, vals)
+            return pa.table({"id": pa.array(uniq),
+                             "inflow": pa.array(sums)})
+
+        agg = (edges.map_batches(inflow_partial, batch_format="pyarrow")
+               .groupby("id").aggregate(Sum("inflow",
+                                            alias_name="inflow"))
+               .to_pandas())
+        got = np.zeros(len(ids), np.int64)
+        pos = np.searchsorted(ids, agg["id"].to_numpy(np.int64))
+        got[pos] = agg["inflow"].to_numpy(np.int64)
+        r = base_term + damp_num * got // damp_den
+
+    rank_ref = ray.put((ids, r))
+
+    def attach(t: pa.Table) -> pa.Table:
+        kid, rv = ray.get(rank_ref)
+        node = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(kid, node)
+        pos_c = np.clip(pos, 0, len(kid) - 1)
+        hit = (len(kid) > 0) & (kid[pos_c] == node)
+        out = np.where(hit, rv[pos_c], np.int64(base_term))
+        return pa.table({id_col: pa.array(node),
+                         "rank": pa.array(out)})
+
+    return ids_ds.map_batches(attach, batch_format="pyarrow")

@@ -1137,3 +1137,116 @@ def capped_sample_per_lang(sf_dir: str):
         return out[["lang", "doc_id", "h", "rk"]]
 
     return grouped_apply(partials, ["lang"], merge, num_buckets=8)
+
+
+# --------------------------------------------------- bigram collocations
+BIGRAM_K = 20
+
+
+@register("bigram_collocations", sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    gs AS (SELECT unnest(generate_series(
+               1, (SELECT MAX(len(t)) FROM toks))) AS g),
+    g2 AS (SELECT t[g] AS w1, t[g + 1] AS w2
+           FROM toks, gs WHERE g <= len(t) - 1),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM g2 GROUP BY 1, 2),
+    u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+    tt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS t FROM c),
+    top AS (SELECT * FROM (
+              SELECT c.*, row_number() OVER (
+                  ORDER BY c_ab DESC, (w1 || ' ' || w2)) AS rk FROM c)
+            WHERE rk <= {BIGRAM_K})
+    SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           (c_ab * (SELECT t FROM tt) * 1000000) // (ua.c * ub.c)
+               AS pmi_q
+    FROM top JOIN uc ua ON ua.w = top.w1 JOIN uc ub ON ub.w = top.w2""")
+def bigram_collocations(sf_dir: str):
+    """Collocation / phrase mining: the top-{BIGRAM_K} adjacent token
+    pairs with their exact integer PMI numerator
+    pmi_q = ⌊c_ab·T·10⁶ / (c_a·c_b)⌋ (the log is monotone — ranking and
+    thresholding work on the rational directly, no float). Vectorized
+    adjacent pairing straight off the Arrow split offsets (pairs never
+    leave the batch unaggregated), tiny groupby + partial top-k merge,
+    unigram counts broadcast for the PMI attach."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.stream import topk_by
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = len(flat)
+        if total < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        left = flat.slice(0, total - 1)
+        right = flat.slice(1, total - 1)
+        # mask out pairs crossing document boundaries
+        ends = np.cumsum(lens) - 1          # last token index per doc
+        valid = np.ones(total - 1, dtype=bool)
+        valid[ends[ends < total - 1]] = False
+        tt = pa.table({"w1": left, "w2": right}).filter(pa.array(valid))
+        g = tt.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n"])
+
+    partials = ds.map_batches(bigram_partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
+    agg = (partials.groupby(["w1", "w2"])
+           .aggregate(Sum("n", alias_name="c_ab"))
+           .map_batches(lambda t: t.rename_columns(["w1", "w2", "c_ab"]),
+                        batch_format="pyarrow")).materialize()
+
+    total_bigrams = int(agg.sum("c_ab"))
+
+    def with_tie(t: pa.Table) -> pa.Table:
+        tie = pc.binary_join_element_wise(
+            pc.cast(t["w1"], pa.string()), pc.cast(t["w2"], pa.string()),
+            " ")
+        return t.append_column("tie", tie)
+
+    top = topk_by(agg.map_batches(with_tie, batch_format="pyarrow"),
+                  "c_ab", BIGRAM_K, tie_col="tie")
+
+    # unigram counts (bounded vocab) broadcast for the PMI attach
+    def uni_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        g = pa.table({"w": flat}).group_by(["w"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["w", "c"])
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow",
+                          batch_size=65536, zero_copy_batch=True)
+           .groupby("w").aggregate(Sum("c", alias_name="c"))).to_pandas()
+    udict = dict(zip(uni["w"], uni["c"].astype(np.int64)))
+    uref = ray.put(udict)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ud = ray.get(uref)
+        w1 = t["w1"].to_pylist()
+        w2 = t["w2"].to_pylist()
+        cab = t["c_ab"].to_numpy(zero_copy_only=False)
+        ca = np.array([int(ud[w]) for w in w1], np.int64)
+        cb = np.array([int(ud[w]) for w in w2], np.int64)
+        pmi = cab * np.int64(total_bigrams) * np.int64(10 ** 6) \
+            // (ca * cb)
+        return pa.table({"w1": pc.cast(t["w1"], pa.string()),
+                         "w2": pc.cast(t["w2"], pa.string()),
+                         "c_ab": pa.array(cab.astype(np.int64)),
+                         "c_a": pa.array(ca), "c_b": pa.array(cb),
+                         "pmi_q": pa.array(pmi)})
+
+    return attach(top)  # topk_by returns a bounded pa.Table

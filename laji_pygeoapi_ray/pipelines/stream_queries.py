@@ -873,3 +873,53 @@ def event_rollup_cube(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["event_type", "day", "n", "sum_q"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- percentile-rank transform
+@register("value_percent_rank", sql="""
+    WITH q AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+               FROM events)
+    SELECT event_id,
+           CAST(rank() OVER (PARTITION BY event_type
+                             ORDER BY q) - 1 AS BIGINT) AS rank_lt,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM q""")
+def value_percent_rank(sf_dir: str):
+    """Rank / CDF transform (feature engineering): every event's rank
+    among its type's cent-quantized values (rank_lt = number of STRICTLY
+    smaller values — ties share the rank, SQL rank() semantics) plus the
+    type count; percent_rank = rank_lt/(n−1) is the consumer's one
+    division. ONE type-keyed shuffle, per-bucket vectorized sort +
+    searchsorted."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("event_type", sort=False):
+            q = g["q"].to_numpy(np.int64)
+            sq = np.sort(q)
+            rl = np.searchsorted(sq, q, side="left").astype(np.int64)
+            out.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "rank_lt": rl,
+                "n": np.full(len(q), len(q), np.int64)}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                   "rank_lt": pd.Series([], dtype="int64"),
+                                   "n": pd.Series([], dtype="int64")}))
+
+    return grouped_apply(ds, ["event_type"], ranks, num_buckets=8)

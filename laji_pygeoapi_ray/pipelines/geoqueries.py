@@ -2103,3 +2103,52 @@ def cell_change_detection(sf_dir: str):
                          "n2": pc.cast(out["n2"], pa.int64())})
 
     return agg.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- shard planning
+SHARD_K = 8
+
+
+@register("shard_plan_cells", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+          GROUP BY 1),
+    r AS (SELECT cell, n,
+                 (row_number() OVER (ORDER BY n DESC, cell) - 1)
+                     % {SHARD_K} AS shard_id
+          FROM c)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS total_docs
+    FROM r GROUP BY 1""")
+def shard_plan_cells(sf_dir: str):
+    """Partition planning: assign the occupied cells to {SHARD_K} output
+    shards by SORTED ROUND-ROBIN (descending count, deterministic ties)
+    — the balancing heuristic that caps shard skew at one max-cell even
+    under the planted Helsinki hot spot; the per-shard totals ARE the
+    balance report. The count table is bounded (≤ 4^res), so the plan is
+    one vectorized rank pass — the plan then drives the partitioned sink
+    (`etl.py`'s hive layout) at any scale."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir), [key])
+
+    def plan(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cell, -n))
+        shard = np.empty(len(cell), np.int64)
+        shard[order] = np.arange(len(cell), dtype=np.int64) % SHARD_K
+        tt = pa.table({"shard_id": pa.array(shard),
+                       "one": pa.array(np.ones(len(cell), np.int64)),
+                       "n": pa.array(n.astype(np.int64))})
+        g = tt.group_by(["shard_id"]).aggregate(
+            [("one", "sum"), ("n", "sum")])
+        return g.rename_columns(["shard_id", "n_cells", "total_docs"])
+
+    return cnt.repartition(1).map_batches(plan, batch_format="pyarrow",
+                                          batch_size=None)

@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     "bbox_cover_ranges", "event_value_outliers", "event_rollup_cube", "label_scatter_stats", "trajectory_crossings", "province_gini_cells", "step_bearing_rose",
     "stay_point_anchors", "od_matrix_cells",
     "hilbert_systematic_sample", "phash_family_representatives",
-    "hilbert_pruned_read", "semivariogram_chars", "hotspot_gi_cells", "colocation_lang_pairs", "cell_change_detection", "bigram_collocations", "value_percent_rank",
+    "hilbert_pruned_read", "semivariogram_chars", "hotspot_gi_cells", "colocation_lang_pairs", "cell_change_detection", "bigram_collocations", "value_percent_rank", "shard_plan_cells",
     # strongest never-driver-checked round-3 operators (earlier sessions)
     "minhash_dedup_clusters", "simhash_near_pairs", "hex_cell_counts",
     "dwithin_doc_pairs", "cosine_neardup_pairs_lsh", "heavy_hitter_tokens",

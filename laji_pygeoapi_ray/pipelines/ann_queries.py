@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow.parquet as pq
+import pyarrow as pa
 import ray.data
 
 from ..sources.parquet import read_table
@@ -19,10 +19,23 @@ _QUANT = ("list_transform({col}, x -> floor(CAST(x AS DOUBLE) * "
 
 
 def _queries_df(sf_dir: str) -> pd.DataFrame:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    return df[df["vec_id"] % QUERY_MOD == 0].reset_index(drop=True)
+    """The bounded ANN query set (1 per ``QUERY_MOD`` corpus vectors).
+
+    Extraction is DISTRIBUTED: the modulo predicate runs inside
+    ``map_batches`` over the column-pruned read, so only the ~1 %
+    survivors ever cross to the driver — never the full embeddings table
+    (at 100 TB a driver-side ``pq.read_table`` of the corpus is an OOM
+    before the pipeline starts). Sorted by vec_id for a deterministic
+    query order regardless of block arrival order."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % QUERY_MOD == 0))
+
+    df = ds.map_batches(pick, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
 
 
 def _ann_sql() -> str:
@@ -54,12 +67,32 @@ def ann_topk_lsh_sharded(sf_dir: str):
     """Sharded LSH ANN (the scale path): corpus split into object-store
     shards (never broadcast whole), per-shard LSH actor pools, per-query
     cross-shard top-k merge. Approximate — no SQL twin; recall ≥ 0.8 vs the
-    brute-force baseline is asserted in tests/test_knn_ann.py."""
+    brute-force baseline is asserted in tests/test_knn_ann.py. The SAME
+    plumbing is oracle-certified end-to-end by `ann_topk_lsh_certified`."""
     from ..stages.ann import ann_topk_lsh
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qds = ray.data.from_pandas(_queries_df(sf_dir))
     return ann_topk_lsh(ds, qds, K, n_shards=4, n_bits=6, n_tables=8)
+
+
+@register("ann_topk_lsh_certified", sql=_ann_sql)
+def ann_topk_lsh_certified(sf_dir: str):
+    """The SAME sharded-LSH machinery as `ann_topk_lsh_sharded` (corpus
+    shard refs, per-shard LshAnnIndex actor pools — hash, bucket
+    searchsorted-gather, exact in-bucket rescore — cross-shard union,
+    per-query merge) run at n_bits = 0: every vector hashes to the single
+    empty-code bucket, so the candidate set in each shard is PROVABLY the
+    whole shard and the exact rescore + merge reproduces brute-force
+    top-k exactly. This gives the shard/bucket/merge plumbing itself an
+    exact oracle row (the `ann_topk_dot` SQL) — the analogue of what
+    `ann_topk_ivf_full_probe` does for IVF — while the default-parameter
+    variant stays registered as the approximate rows-only path."""
+    from ..stages.ann import ann_topk_lsh
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qds = ray.data.from_pandas(_queries_df(sf_dir))
+    return ann_topk_lsh(ds, qds, K, n_shards=4, n_bits=0, n_tables=1)
 
 
 COS_SUB = 250          # subset bound for the exact all-pairs query
@@ -155,6 +188,49 @@ def ann_topk_ivf_full_probe(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann_topk_ivf(ds, _queries_df(sf_dir), K, n_lists=8, n_probe=8)
+
+
+KM_K = 8
+
+
+def _kmeans_assign_sql() -> str:
+    from ..stages.sampling import sql_id_hash
+    q = _QUANT.format(col="embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, {q} AS e FROM embeddings),
+    seeds AS (SELECT e AS ce,
+                     row_number() OVER (
+                         ORDER BY {sql_id_hash('vec_id')}, vec_id) - 1
+                         AS cluster
+              FROM q ORDER BY {sql_id_hash('vec_id')}, vec_id
+              LIMIT {KM_K}),
+    d AS (SELECT q.vec_id, s.cluster,
+                 list_dot_product(q.e, q.e)
+                   - 2 * list_dot_product(q.e, s.ce)
+                   + list_dot_product(s.ce, s.ce) AS d2
+          FROM q CROSS JOIN seeds s),
+    a AS (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rk
+          FROM d)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a
+    WHERE rk = 1"""
+
+
+@register("kmeans_assign_certified", sql=_kmeans_assign_sql)
+def kmeans_assign_certified(sf_dir: str):
+    """The k-means ASSIGNMENT machinery with an exact oracle: 0-iteration
+    Lloyd on quantized integers (seed-scan partial top-k by the Knuth
+    id-hash rank, driver merge of k rows, broadcast centroids, one
+    stateless distance-argmin map — the same shapes
+    `kmeans_embedding_clusters` iterates). Every squared distance is an
+    exact integer, so assignment matches the SQL twin bit-for-bit; the
+    iterative float loop stays rows-only with its ==local-reference
+    test (no summation-order-independent SQL twin exists for it)."""
+    from ..stages.ann import kmeans_assign_exact
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign_exact(ds, KM_K)
 
 
 @register("kmeans_embedding_clusters")

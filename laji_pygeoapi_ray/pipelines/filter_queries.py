@@ -126,6 +126,49 @@ def filtered_docs_province(sf_dir: str):
     return ds.select_columns(["doc_id", "province", "source"])
 
 
+# ----------------------------------------- composed serving page (bbox+sort)
+
+PAGE_LIMIT, PAGE_OFFSET = 4, 2
+
+
+def _bbox_page_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT d.doc_id, d.lang, d.source, {x} AS x, {y} AS y
+                 FROM documents d)
+    SELECT doc_id, lang, source, x, y FROM pts
+    WHERE source IN ('src1', 'src5')
+      AND x >= CAST('24.6' AS DOUBLE) AND x <= CAST('25.3' AS DOUBLE)
+      AND y >= CAST('60.0' AS DOUBLE) AND y <= CAST('60.4' AS DOUBLE)
+    ORDER BY lang, doc_id
+    LIMIT {PAGE_LIMIT} OFFSET {PAGE_OFFSET}"""
+
+
+@register("bbox_query_page", sql=_bbox_page_sql)
+def bbox_query_page(sf_dir: str):
+    """The FULL composed serving request, end-to-end — the
+    ``lajiapi_provider.query`` analogue (reference
+    ``plugins/lajiapi_provider.py:115-135``): raw property filter through
+    the convert_filters TRANSLATION path → res-7 cell-cover PRUNE (the
+    GIST-scan analogue) → exact x/y REFINE → OGC ``sortby`` (per-batch
+    partial top-(offset+limit), page-sized driver merge — no global sort)
+    → limit/offset PAGING with the reference's paging guards
+    (validate_paging) → ``select_properties`` projection. The oracle is
+    the identical SQL WHERE + ORDER BY + LIMIT/OFFSET; sortby ends with
+    the unique doc_id so the page is deterministic on both sides."""
+    from ..stages.derive import derive_and_encode
+    from .query import bbox_query
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (7,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = apply_filters(ds, [("source", "src1,src5")], DOCS_BINDINGS)
+    return bbox_query(
+        ds, BBOX, res=7, limit=PAGE_LIMIT, offset=PAGE_OFFSET,
+        sortby=[("lang", "+"), ("doc_id", "+")],
+        select_properties=["doc_id", "lang", "source", "x", "y"])
+
+
 # ------------------------------------------------- single-record fetch (by id)
 
 GET_ID = 123   # the fixture record fetched by the registered query

@@ -29,19 +29,49 @@ def register(name: str, sql: Callable[[], str] | str | None = None):
 # Driver-gate ordering. The driver's correctness window covers ~50
 # entries in queries() order, so oracle-bearing queries register first,
 # prioritized by which most need a FRESH driver-green row this round:
-#   tier 1 — fixed-red / newly-oracle-bearing / never driver-checked;
-#   tier 2 — round-2 driver-green core operators (keep in-window);
-#   tier 3 — round-2 driver-green derivative twins (overflow: already
-#            proven by the r2 gate AND re-proven every run by
+#   tier 1 (round 4) — the queries with NO green row in any
+#            CORRECTNESS_r1–r3.json (57 oracle-bearing as of r3, plus
+#            queries newly added this round) — per VERDICT r3 item 1;
+#   tier 2 — driver-green in some prior round (overflow: every
+#            oracle-bearing query is ALSO re-proven each run by
 #            tests/test_oracle_sweep.py at the driver's own sf);
-#   tier 4 — rows-only queries (weaker check by design) last.
+#   tier 3 — rows-only queries (weaker check by design) last.
 # Names missing from this list append in registration order (safety:
 # a new query is never silently dropped from the gate).
 _DRIVER_PRIORITY = [
-    # ---- window tier (first ~50 = the driver correctness gate) ----
-    # round-2 red rows, dtype-fixed in round 3 — prove green first
+    # ---- window tier (first ~50 = the driver correctness gate):
+    # never-driver-green queries, VERDICT-r3-named ones first ----
+    "image_decode_verify", "knn_cogroup_nearest", "hll_distinct_users",
+    "audio_features", "asof_view_purchase",
+    "s2_cell_counts", "s2_rollup_11_to_6", "s2_range_query",
+    "s2_cell_extents",
+    "caption_integrity", "heavy_hitter_tokens", "ann_topk_ivf_full_probe",
+    # new round-4 queries (serving path + ANN certification + scale fixes)
+    "bbox_query_page", "ann_topk_lsh_certified", "kmeans_assign_certified",
+    # re-prove in-window: implementation changed this round (semi-join
+    # unigram attach replaced the full-vocab driver dict)
+    "bigram_collocations",
+    # remaining never-driver-green, strongest/core first
+    "cosine_neardup_pairs_lsh", "training_corpus_counts",
+    "vocab_top_tokens", "token_doc_freq", "event_value_percentiles",
+    "repetition_stats", "span_dedup_stats", "tfidf_top_terms",
+    "image_phash_components", "inverted_index_shard",
+    "local_supplier_volume", "quality_gate_p90", "profile_lineitem",
+    "zonal_image_stats", "focal_density_3x3", "province_cover_cells",
+    "weighted_sample_docs", "cell_majority_lang", "knn_interpolated_chars",
+    "image_augment_stats", "event_value_histogram",
+    "orders_left_join_building", "user_travel_stats", "keyset_page_docs",
+    "epoch_shuffle_head", "hex_rollup_7_to_5", "event_concurrency_curve",
+    "max_concurrent_events", "pack_doc_layout", "pack_window_coverage",
+    "doc_repetition_stats", "decontaminate_docs", "caption_stats",
+    "occurrence_taxon_counts", "event_session_join", "running_user_totals",
+    "viewers_never_purchased", "event_sliding_window_join",
+    "orders_by_mktsegment_native", "bloom_semijoin_orders",
+    "filtered_events_time_range", "filtered_docs_province", "get_by_id",
+    "hits_count", "sorted_page_docs",
+    # ---- overflow: driver-green in r1–r3 (and re-proven every run by
+    # tests/test_oracle_sweep.py at the driver's own sf) ----
     "topk_orders_per_segment", "knn_cell_exact_nearest",
-    # round-3 third-session operators (never in any driver gate)
     "dbscan_doc_clusters", "cell_blob_stats", "image_patch_stats",
     "morans_i_cells", "ripley_k_pairs", "hilbert_order_docs",
     "adaptive_quadtree_leaves", "pagerank_docs", "typo_token_pairs",
@@ -51,41 +81,21 @@ _DRIVER_PRIORITY = [
     "supplier_ship_islands", "trailing_user_values", "props_json_stats",
     "simplified_trajectories", "triangle_count_docs",
     "dist_to_nearest_supplier", "curve_locality_compare",
-    "bbox_cover_ranges", "event_value_outliers", "event_rollup_cube", "label_scatter_stats", "trajectory_crossings", "province_gini_cells", "step_bearing_rose",
-    "stay_point_anchors", "od_matrix_cells",
+    "bbox_cover_ranges", "event_value_outliers", "event_rollup_cube",
+    "label_scatter_stats", "trajectory_crossings", "province_gini_cells",
+    "step_bearing_rose", "stay_point_anchors", "od_matrix_cells",
     "hilbert_systematic_sample", "phash_family_representatives",
-    "hilbert_pruned_read", "semivariogram_chars", "hotspot_gi_cells", "colocation_lang_pairs", "cell_change_detection", "bigram_collocations", "value_percent_rank", "shard_plan_cells",
-    # strongest never-driver-checked round-3 operators (earlier sessions)
+    "hilbert_pruned_read", "semivariogram_chars", "hotspot_gi_cells",
+    "colocation_lang_pairs", "cell_change_detection",
+    "value_percent_rank", "shard_plan_cells",
     "minhash_dedup_clusters", "simhash_near_pairs", "hex_cell_counts",
-    "dwithin_doc_pairs", "cosine_neardup_pairs_lsh", "heavy_hitter_tokens",
-    "knn_cogroup_nearest", "image_decode_verify", "hll_distinct_users",
-    "training_corpus_counts", "vocab_top_tokens", "token_doc_freq",
-    "event_value_percentiles", "s2_cell_counts", "repetition_stats",
-    "span_dedup_stats", "tfidf_top_terms", "audio_features",
-    "ann_topk_ivf_full_probe", "image_phash_components",
-    "inverted_index_shard", "local_supplier_volume", "quality_gate_p90",
-    "profile_lineitem", "zonal_image_stats", "caption_integrity",
-    "focal_density_3x3",
-    # ---- overflow: proven by the r2 driver gate and/or re-proven every
-    # run by tests/test_oracle_sweep.py at the driver's own sf ----
-    "province_cover_cells", "weighted_sample_docs", "cell_majority_lang",
-    "knn_interpolated_chars", "image_augment_stats",
-    "event_value_histogram", "orders_left_join_building",
-    "user_travel_stats", "keyset_page_docs", "epoch_shuffle_head",
-    "hex_rollup_7_to_5", "event_concurrency_curve", "max_concurrent_events",
-    "pack_doc_layout", "pack_window_coverage", "doc_repetition_stats",
-    "decontaminate_docs", "s2_rollup_11_to_6", "s2_range_query",
-    "s2_cell_extents",
-    "caption_stats", "individual_count_events", "collection_id_part",
-    "occurrence_taxon_counts", "tumbling_hour_events", "asof_view_purchase",
+    "dwithin_doc_pairs",
+    "individual_count_events", "collection_id_part",
+    "tumbling_hour_events",
     "topk_orders", "upsert_events", "pricing_summary", "tile_polygons",
-    "session_windows_events", "sliding_2h_1h_events", "event_session_join",
-    "running_user_totals", "viewers_never_purchased",
-    "event_sliding_window_join", "orders_by_mktsegment",
-    "supplier_nation_broadcast", "distinct_event_types",
-    "orders_by_mktsegment_native", "bloom_semijoin_orders",
-    "filtered_docs_bbox", "filtered_events_time_range",
-    "filtered_docs_province", "get_by_id", "hits_count", "sorted_page_docs",
+    "session_windows_events", "sliding_2h_1h_events",
+    "orders_by_mktsegment", "supplier_nation_broadcast",
+    "distinct_event_types", "filtered_docs_bbox",
     "cell_assign", "tile_counts", "pip_province", "pip_municipality_ely",
     "province_counts", "pip_lineitem_province_counts", "geom_split_counts",
     "merge_similar_lineitem", "dedup_events_latest", "dedup_docs_first",

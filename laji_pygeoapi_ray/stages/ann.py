@@ -509,6 +509,53 @@ def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
                                                 batch_format="pandas")
 
 
+def kmeans_assign_exact(emb_ds, n_clusters: int, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """0-iteration Lloyd (seed selection + assignment), INTEGER-EXACT — the
+    oracle-certifiable sibling of :func:`kmeans_distributed` (whose float
+    partial-sum loop has no summation-order-independent SQL twin). Shares
+    the same machinery shapes: per-batch seed-scan partial top-k, driver
+    merge of k rows, broadcast centroids, one stateless assignment map.
+
+    Centroids are the ``n_clusters`` corpus vectors with the lowest
+    ``(id_hash(id), id)`` rank (the deterministic no-RNG init, with the id
+    tiebreak making the rank SQL-reproducible); elements are quantized
+    ``floor(x·10⁶ + 0.5)`` so every squared distance is an exact integer
+    (≤ 64·(2·10⁶)² ≈ 2.6e14 < 2⁵³) and the argmin (ties → lowest cluster
+    index) matches DuckDB bit-for-bit."""
+    from .sampling import id_hash
+
+    def seed_scan(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = id_hash(ids)
+        order = np.lexsort((ids, h))[:n_clusters]
+        m = quantize(_emb_matrix(t, emb_col))[order]
+        return pa.table({"h": h[order], "id": ids[order],
+                         "emb": pa.FixedSizeListArray.from_arrays(
+                             pa.array(m.ravel()), m.shape[1])})
+
+    seeds = pa.concat_tables(
+        [b for b in emb_ds.map_batches(seed_scan, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default")
+    top = np.lexsort((seeds["id"].to_numpy(zero_copy_only=False),
+                      seeds["h"].to_numpy(zero_copy_only=False)))[:n_clusters]
+    cent = _emb_matrix(seeds, "emb").astype(np.float64)[top]
+    cent_ref = ray.put(cent)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = quantize(_emb_matrix(t, emb_col))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pa.table({id_col: pa.array(
+                             t[id_col].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+                         "cluster": pa.array(
+                             d2.argmin(1).astype(np.int64))})
+
+    return emb_ds.map_batches(assign_fn, batch_format="pyarrow")
+
+
 def kmeans_distributed(emb_ds, n_clusters: int, *, n_iters: int = 10,
                        id_col: str = "vec_id", emb_col: str = "embedding"):
     """Distributed Lloyd k-means over the full embedding corpus — the

@@ -128,9 +128,17 @@ class AugmentStage:
             sum_ok[i] = int(aug.sum(dtype=np.int64)) == s0
             dims_ok[i] = aug.shape[:2] == (img.shape[1], img.shape[0])
             h2, w2 = img.shape[0] // 2, img.shape[1] // 2
-            pool = img.astype(np.int64).reshape(h2, 2, w2, 2, 3) \
-                      .sum(axis=(1, 3))
-            pool_ok[i] = int(pool.sum()) == s0
+            if (img.ndim != 3 or h2 == 0 or w2 == 0
+                    or img.shape[0] % 2 or img.shape[1] % 2):
+                # odd dims / non-HWC layout: a trimmed pool cannot
+                # preserve the total sum — flag instead of raising (one
+                # malformed image must not kill the whole pipeline)
+                pool_ok[i] = False
+            else:
+                c = img.shape[2]
+                pool = img.astype(np.int64).reshape(h2, 2, w2, 2, c) \
+                          .sum(axis=(1, 3))
+                pool_ok[i] = int(pool.sum()) == s0
         batch = batch.append_column("aug_sum_ok", pa.array(sum_ok))
         batch = batch.append_column("aug_dims_ok", pa.array(dims_ok))
         batch = batch.append_column("aug_pool_ok", pa.array(pool_ok))

@@ -61,6 +61,11 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
             data = {"__side": pd.Series(side_col)}
             for c in all_cols:
                 if c in int_nullable:
+                    # unsigned sources stay unsigned (UInt64) — an
+                    # astype(int64) would wrap values >= 2^63 negative
+                    np_t = (np.uint64
+                            if pa.types.is_unsigned_integer(types[c])
+                            else np.int64)
                     if c in present:
                         vals = t[c].to_numpy(zero_copy_only=False)
                         mask = pc.is_null(t[c]).to_numpy(
@@ -68,10 +73,10 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
                         if mask.any():
                             vals = np.where(mask, 0, vals)
                         data[c] = pd.arrays.IntegerArray(
-                            vals.astype(np.int64), mask=mask.copy())
+                            vals.astype(np_t), mask=mask.copy())
                     else:
                         data[c] = pd.arrays.IntegerArray(
-                            np.zeros(n, np.int64), mask=np.ones(n, bool))
+                            np.zeros(n, np_t), mask=np.ones(n, bool))
                 else:
                     col = (t[c] if c in present
                            else pa.nulls(n, types[c]))

@@ -43,12 +43,34 @@ def integer_pagerank(edges_ds, ids_ds, *, id_col: str = "id",
     lookup, per-batch pre-aggregated inflow partials) + a tiny groupby —
     the edges never shuffle. Beyond the threshold the sentinel-tagged
     union shuffle routes contributions edge-by-edge (nothing is ever
-    broadcast), which is the unbounded-graph path.
+    broadcast), which is the unbounded-graph path. Both paths agree
+    bit-exactly (tested in tests/test_graph_paths.py).
+
+    SINK-NODE SEMANTICS (directed graphs): rank state is seeded from
+    edge SOURCES only, so a zero-out-degree node never enters the state
+    — its inflow is DISCARDED each iteration and it reports
+    ``base_term`` at the end, exactly like an isolated id. For the
+    undirected callers in this repo (both edge directions passed) every
+    endpoint is a source, so no node is a sink and the oracle agrees;
+    a directed-graph reuse that wants sinks to ACCUMULATE rank must
+    union the node ids into the seeded state with deg clamped to 1.
+
+    Ids must be NON-NEGATIVE int64 (the shuffle path tags union sides
+    with a -1 sentinel) — enforced per batch, failing loudly instead of
+    corrupting ranks.
     """
     base_term = (damp_den - damp_num) * base // damp_den
 
-    # out-degree, kept WITH the rank so iterations need no extra join
+    # out-degree, kept WITH the rank so iterations need no extra join;
+    # doubles as the non-negative-id guard (sentinel precondition)
     def to_src(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        if (len(src) and min(src.min(), dst.min()) < 0):
+            raise ValueError(
+                "integer_pagerank requires non-negative int64 node ids "
+                "(-1 is the internal union side-tag sentinel); remap "
+                "negative ids first")
         return pa.table({"src": pc.cast(t["src"], pa.int64())})
 
     deg = (edges_ds.map_batches(to_src, batch_format="pyarrow")

@@ -284,9 +284,20 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     """
     import ray.data as rd
 
+    def _check_nonneg(a: np.ndarray, b: np.ndarray) -> None:
+        # the -1 side-tag sentinel requires non-negative ids; fail loudly
+        # (signed hashes passed as ids would silently corrupt clusters)
+        if (len(a) and a.min() < 0) or (len(b) and b.min() < 0):
+            raise ValueError(
+                "cluster_pairs_ds requires non-negative int64 ids (the "
+                "internal unions tag sides with a -1 sentinel); got a "
+                "negative id — remap signed hashes (e.g. simhash int64) "
+                "to uint-range ids first")
+
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_nonneg(a, b)
         return pa.table({"src": np.concatenate([a, b]),
                          "dst": np.concatenate([b, a])})
 
@@ -297,6 +308,7 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
         else:
             a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_nonneg(a, b)
         keep = a != b                      # self-loops carry no information
         a, b = a[keep], b[keep]
         return pa.table({"src": np.concatenate([a, b]),

@@ -1,0 +1,118 @@
+"""Round-4 contract guards: uint64-safe hash_join, sentinel
+preconditions failing loudly, AugmentStage odd-dim degrade, the
+decontamination broadcast bound, and pagerank path agreement."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+
+def test_hash_join_uint64_above_2_63_survives():
+    """A uint64 payload column absent on one side must round-trip values
+    >= 2^63 (an astype(int64) would wrap them negative)."""
+    from laji_pygeoapi_ray.stages.join import hash_join
+
+    big = np.uint64(2 ** 63) + np.uint64(7)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "u": pa.array([big, np.uint64(5), np.uint64(2 ** 64 - 1)],
+                      pa.uint64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 4], pa.int64()),
+        "v": pa.array([10, 20, 40], pa.int64())}))
+    out = hash_join(left, right, on=["k"], how="inner",
+                    num_buckets=4).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2]
+    got = sorted(int(x) for x in out["u"])
+    assert got == [5, 2 ** 63 + 7]
+    # outer: the uint64 column is null-filled on right-only rows but keeps
+    # its huge values on left rows. Check at the ARROW level (what
+    # downstream stages consume) — a driver to_pandas() of mixed
+    # null/non-null uint64 blocks would itself degrade to float64.
+    outer_ds = hash_join(left, right, on=["k"], how="outer", num_buckets=4)
+    tbl = pa.concat_tables(
+        [b for b in outer_ds.iter_batches(batch_format="pyarrow")
+         if b.num_rows],
+        promote_options="default")
+    assert tbl.schema.field("u").type == pa.uint64()
+    by_k = {k.as_py(): u.as_py() for k, u in zip(tbl["k"], tbl["u"])}
+    assert by_k[3] == 2 ** 64 - 1
+    assert by_k[4] is None
+
+
+def test_cluster_pairs_ds_rejects_negative_ids():
+    from laji_pygeoapi_ray.stages.simdedup import cluster_pairs_ds
+
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([-5, 1], pa.int64()),
+        "id_b": pa.array([2, 3], pa.int64())}))
+    ids = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="non-negative"):
+        cluster_pairs_ds(pairs, ids, num_buckets=2).to_pandas()
+
+
+def test_integer_pagerank_rejects_negative_ids():
+    from laji_pygeoapi_ray.stages.pagerank import integer_pagerank
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, -1], pa.int64()),
+        "dst": pa.array([1, 0], pa.int64())}))
+    ids = ray.data.from_arrow(pa.table({"id": pa.array([0, 1], pa.int64())}))
+    with pytest.raises(Exception, match="non-negative"):
+        integer_pagerank(edges, ids, iters=1, num_buckets=2).to_pandas()
+
+
+def test_pagerank_broadcast_and_shuffle_paths_agree():
+    """The bounded-node broadcast fast path and the unbounded shuffle path
+    must produce bit-identical integer ranks (documented contract)."""
+    from laji_pygeoapi_ray.stages.pagerank import integer_pagerank
+
+    rng = np.random.default_rng(7)
+    n = 40
+    src = rng.integers(0, n, 120).astype(np.int64)
+    dst = rng.integers(0, n, 120).astype(np.int64)
+    # undirected convention used by repo callers: both directions
+    e = pa.table({"src": np.concatenate([src, dst]),
+                  "dst": np.concatenate([dst, src])})
+    ids = pa.table({"id": np.arange(n + 5, dtype=np.int64)})  # +5 isolated
+
+    def run(threshold):
+        out = integer_pagerank(
+            ray.data.from_arrow(e), ray.data.from_arrow(ids),
+            iters=3, num_buckets=4, broadcast_threshold=threshold)
+        return out.to_pandas().sort_values("id").reset_index(drop=True)
+
+    fast = run(10 ** 9)   # broadcast path
+    slow = run(0)         # forced shuffle path
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_augment_stage_odd_dims_flags_not_raises():
+    from laji_pygeoapi_ray.functions import codec
+    from laji_pygeoapi_ray.stages.images import AugmentStage
+
+    even = (np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3))
+    odd = (np.arange(7 * 6 * 3, dtype=np.uint8).reshape(7, 6, 3))
+    batch = pa.table({
+        "fmt": pa.array(["png", "png"]),
+        "bytes": pa.array([codec.png_encode(even), codec.png_encode(odd)],
+                          pa.binary())})
+    out = AugmentStage()(batch)
+    assert out["aug_pool_ok"].to_pylist() == [True, False]
+    assert out["aug_sum_ok"].to_pylist() == [True, True]
+
+
+def test_decontaminate_gram_bound_enforced(monkeypatch):
+    from laji_pygeoapi_ray.pipelines import text_queries as tq
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([0, 11, 22], dtype="int64"),  # all benchmark
+        "text": ["a b c d e", "f g h i j", "k l m n o"]}))
+    monkeypatch.setattr(tq, "DECON_MAX_GRAMS", 1)
+    with pytest.raises(ValueError, match="hash_join"):
+        tq.decontaminate_grams(docs)

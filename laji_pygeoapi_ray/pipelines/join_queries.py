@@ -94,16 +94,24 @@ def bloom_semijoin_orders(sf_dir: str):
     """Semi join with a broadcast Bloom pre-filter (128 KB) + exact
     verify: the big side is pruned inside the scan before any join
     machinery — EXACT result (no false negatives; false positives removed
-    by the membership check), certified by the plain IN-subquery oracle."""
+    by the membership check), certified by the plain IN-subquery oracle.
+    The build side's segment predicate is PUSHED INTO the Parquet read
+    (row-group/page pruning), so only the selected keys — the semi-join's
+    small side by contract — ever cross to the driver, not the whole
+    customer table."""
     import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
 
     from ..stages.join import bloom_semi_join
 
-    keys = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    import pyarrow.compute as pc
-    sel = keys.filter(pc.equal(keys["c_mktsegment"], "BUILDING"))
-    small = sel["c_custkey"].to_numpy(zero_copy_only=False)
+    keys_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == "BUILDING"))
+    small = np.concatenate(
+        [b["c_custkey"].to_numpy(zero_copy_only=False)
+         for b in keys_ds.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)])
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_custkey", "o_totalprice"])
     return bloom_semi_join(orders, np.asarray(small), "o_custkey")

@@ -19,10 +19,23 @@ QUERY_MOD = 100
 
 
 def _query_points(sf_dir: str) -> pd.DataFrame:
-    """Driver-side load of the (tiny) query side — the broadcast pattern."""
-    ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id"])["doc_id"].to_numpy()
-    qids = ids[ids % QUERY_MOD == 0].astype(np.int64)
+    """The bounded kNN query side (1 per ``QUERY_MOD`` documents) — the
+    broadcast pattern. Extraction is DISTRIBUTED: the modulo filter runs
+    inside map_batches over the single-column read and only the ~1 %
+    survivors cross to the driver (never a full table column — the same
+    fix as ``ann_queries._queries_df``)."""
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % QUERY_MOD == 0))
+
+    qids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy(zero_copy_only=False)
+         for b in ds.map_batches(pick, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+         .iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]).astype(np.int64))
     qx, qy = points.derive_xy(qids)
     return pd.DataFrame({"id": qids, "x": qx, "y": qy})
 

@@ -116,3 +116,21 @@ def test_decontaminate_gram_bound_enforced(monkeypatch):
     monkeypatch.setattr(tq, "DECON_MAX_GRAMS", 1)
     with pytest.raises(ValueError, match="hash_join"):
         tq.decontaminate_grams(docs)
+
+
+def test_lance_gate_contract():
+    """The Lance source gate: absent wheel -> clear ImportError naming the
+    Parquet fallback; present wheel -> format parity with read_table."""
+    from laji_pygeoapi_ray.sources import lance as lsrc
+
+    if not lsrc.HAVE_LANCE:
+        with pytest.raises(ImportError, match="read_table"):
+            lsrc.read_lance("/root/testdata/sf0.001", "documents")
+        return
+    # format parity (runs only when a wheel exists)
+    from laji_pygeoapi_ray.sources.parquet import read_table
+    a = lsrc.read_lance("/root/testdata/sf0.001", "documents",
+                        ["doc_id"]).to_pandas().sort_values("doc_id")
+    b = read_table("/root/testdata/sf0.001", "documents",
+                   ["doc_id"]).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()

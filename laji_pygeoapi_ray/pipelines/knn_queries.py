@@ -616,3 +616,51 @@ def colocation_lang_pairs(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["lang_a", "lang_b", "n_pairs"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- rectangle overlap join
+
+RECT_RES = 5        # cell 12.51/32 ≈ 0.39 > max rect width 0.104 → ≤4 cells
+
+
+def _rect_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    r AS (SELECT id,
+            x - (1 + id % 13) * CAST('0.004' AS DOUBLE) AS x1,
+            x + (1 + id % 13) * CAST('0.004' AS DOUBLE) AS x2,
+            y - (1 + id % 7) * CAST('0.006' AS DOUBLE) AS y1,
+            y + (1 + id % 7) * CAST('0.006' AS DOUBLE) AS y2
+          FROM pts)
+    SELECT a.id AS id_a, b.id AS id_b,
+           LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1) AS xo,
+           LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1) AS yo
+    FROM r a JOIN r b ON a.id < b.id
+    WHERE LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1) > 0
+      AND LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1) > 0"""
+
+
+@register("rect_overlap_doc_pairs", sql=_rect_sql)
+def rect_overlap_doc_pairs(sf_dir: str):
+    """Rectangle-overlap SELF-JOIN (bbox ``ST_Intersects`` — the PostGIS
+    ``&&`` primitive behind the reference's spatial filters): each document
+    gets a deterministic box around its derived point (half-extents keyed
+    by doc_id), and every strictly-overlapping pair is reported exactly
+    once via the PBSM reference-point rule (``stages/knn.rect_overlap_pairs``)
+    — one cell shuffle, no O(n²) scan; the oracle IS the O(n²) scan."""
+    from ..stages.knn import rect_overlap_pairs
+
+    ds = _points_ds(sf_dir)
+
+    def to_rects(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        hw = (1 + ids % 13).astype(np.float64) * np.float64(0.004)
+        hh = (1 + ids % 7).astype(np.float64) * np.float64(0.006)
+        return pa.table({"id": ids, "x1": x - hw, "x2": x + hw,
+                         "y1": y - hh, "y2": y + hh})
+
+    rects = ds.map_batches(to_rects, batch_format="pyarrow")
+    return rect_overlap_pairs(rects, res=RECT_RES, num_buckets=32)

@@ -369,3 +369,107 @@ def dwithin_pairs(points_ds, radius: float, *, res: int,
 
     return grouped_apply(exploded, ["cell"], bucket_fn,
                          num_buckets=num_buckets)
+
+
+def rect_overlap_pairs(rects_ds, *, res: int, num_buckets: int = 64):
+    """Rectangle OVERLAP self-join (``ST_Intersects`` on bounding boxes —
+    the PBSM / partition-based-spatial-merge primitive; reference analogue:
+    the PostGIS ``&&`` bbox operator its spatial filters rely on,
+    ``/root/reference/pygeoapi/plugins/lajiapi_provider.py:115-135``).
+
+    Input: Dataset (id:int64, x1, x2, y1, y2 float64), x1 ≤ x2, y1 ≤ y2.
+    Output: Dataset (id_a, id_b, xo, yo) — every pair id_a < id_b whose
+    boxes strictly overlap on both axes (xo = min(x2a,x2b) − max(x1a,x1b)
+    > 0, same for yo; values bit-match the SQL twin via shared op order).
+
+    Distribution: each rect is EXPLODED to every grid cell its box covers
+    (replication = cells covered — pick ``res`` so the cell width exceeds
+    the typical rect, making it ≤ 4); ONE hash shuffle on the cell id
+    cogroups candidates; each cell tests its rects all-pairs, vectorized.
+    Exactly-once rule (the classic PBSM reference-point rule): a pair is
+    reported ONLY in the cell that contains the lower-left corner of the
+    INTERSECTION box (max(x1a,x1b), max(y1a,y1b)) — that corner lies
+    inside both boxes, so both replicas are present in that cell, and it
+    is unique per pair, so no cross-cell pair is double-counted and no
+    dedup shuffle is needed. Cell indices clip to the grid, and the clip
+    is monotone, so boundary-clipped rects keep the guarantee."""
+    from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
+    from .shuffle import grouped_apply
+
+    n = 1 << res
+    cw = (FIN_X1 - FIN_X0) / n
+    ch = (FIN_Y1 - FIN_Y0) / n
+
+    def _clip_ix(x):
+        return np.clip(np.floor((x - FIN_X0) / cw).astype(np.int64),
+                       0, n - 1)
+
+    def _clip_iy(y):
+        return np.clip(np.floor((y - FIN_Y0) / ch).astype(np.int64),
+                       0, n - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = t["x1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x2 = t["x2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y1 = t["y1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y2 = t["y2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ix0, ix1 = _clip_ix(x1), _clip_ix(x2)
+        iy0, iy1 = _clip_iy(y1), _clip_iy(y2)
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(ids)), counts)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(total) - np.repeat(starts, counts)
+        jx = ix0[rep] + pos % nx[rep]
+        jy = iy0[rep] + pos // nx[rep]
+        cell = ((np.int64(res) << cells.RES_SHIFT)
+                | (jy << cells.IY_SHIFT) | jx)
+        return pa.table({"cell": cell, "id": ids[rep],
+                         "x1": x1[rep], "x2": x2[rep],
+                         "y1": y1[rep], "y2": y2[rep]})
+
+    exploded = rects_ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell_id, g in df.groupby("cell", sort=False):
+            if len(g) < 2:
+                continue
+            gid = g["id"].to_numpy(np.int64)
+            gx1 = g["x1"].to_numpy(np.float64)
+            gx2 = g["x2"].to_numpy(np.float64)
+            gy1 = g["y1"].to_numpy(np.float64)
+            gy2 = g["y2"].to_numpy(np.float64)
+            # all-pairs overlap test, SQL-twin op order:
+            # xo = LEAST(x2a, x2b) − GREATEST(x1a, x1b)  (a = smaller id)
+            lo = gid[:, None] < gid[None, :]
+            xo = (np.minimum(gx2[:, None], gx2[None, :])
+                  - np.maximum(gx1[:, None], gx1[None, :]))
+            yo = (np.minimum(gy2[:, None], gy2[None, :])
+                  - np.maximum(gy1[:, None], gy1[None, :]))
+            # reference point = intersection lower-left corner; its cell
+            # must be THIS cell (same clip as explode → exactly once)
+            rx = np.maximum(gx1[:, None], gx1[None, :])
+            ry = np.maximum(gy1[:, None], gy1[None, :])
+            icell = int(cell_id)
+            cix = icell & ((1 << cells.IY_SHIFT) - 1)
+            ciy = (icell >> cells.IY_SHIFT) & ((1 << cells.IY_SHIFT) - 1)
+            here = (_clip_ix(rx) == cix) & (_clip_iy(ry) == ciy)
+            ok = lo & (xo > 0.0) & (yo > 0.0) & here
+            ia, ib = np.nonzero(ok)
+            if len(ia):
+                outs.append(pd.DataFrame({"id_a": gid[ia], "id_b": gid[ib],
+                                          "xo": xo[ia, ib],
+                                          "yo": yo[ia, ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "xo": pd.Series([], dtype="float64"),
+                                 "yo": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(exploded, ["cell"], bucket_fn,
+                         num_buckets=num_buckets)

@@ -127,3 +127,38 @@ def test_kmeans_distributed_matches_local():
     exp_a = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
     srt = np.argsort(ids)
     assert (adf["cluster"].to_numpy() == exp_a[srt]).all()
+
+
+def test_rect_overlap_pairs_matches_bruteforce_multicell():
+    """PBSM exactly-once rule: rects spanning MANY grid cells (extents up
+    to several cell widths at res 5, plus boundary-clipped ones) still
+    produce every overlapping pair exactly once, matching the O(n²) scan."""
+    from laji_pygeoapi_ray.functions.points import (FIN_X0, FIN_X1,
+                                                    FIN_Y0, FIN_Y1)
+    from laji_pygeoapi_ray.stages.knn import rect_overlap_pairs
+
+    rng = np.random.default_rng(42)
+    n = 300
+    cx = rng.uniform(FIN_X0 - 0.5, FIN_X1 + 0.5, n)   # some clip past bbox
+    cy = rng.uniform(FIN_Y0 - 0.5, FIN_Y1 + 0.5, n)
+    hw = rng.uniform(0.01, 1.2, n)                    # up to ~3 cell widths
+    hh = rng.uniform(0.01, 1.0, n)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "x1": cx - hw, "x2": cx + hw,
+                       "y1": cy - hh, "y2": cy + hh})
+    got = rect_overlap_pairs(ray.data.from_pandas(df), res=5,
+                             num_buckets=8).to_pandas()
+    # brute force
+    xo = (np.minimum(df["x2"].to_numpy()[:, None], df["x2"].to_numpy())
+          - np.maximum(df["x1"].to_numpy()[:, None], df["x1"].to_numpy()))
+    yo = (np.minimum(df["y2"].to_numpy()[:, None], df["y2"].to_numpy())
+          - np.maximum(df["y1"].to_numpy()[:, None], df["y1"].to_numpy()))
+    ia, ib = np.nonzero((xo > 0) & (yo > 0)
+                        & (np.arange(n)[:, None] < np.arange(n)))
+    exp = pd.DataFrame({"id_a": ia.astype(np.int64),
+                        "id_b": ib.astype(np.int64),
+                        "xo": xo[ia, ib], "yo": yo[ia, ib]})
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exp = exp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) == len(exp), (len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)

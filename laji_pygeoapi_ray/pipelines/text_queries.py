@@ -1298,3 +1298,115 @@ def bigram_collocations(sf_dir: str):
                          "pmi_q": pa.array(pmi)})
 
     return attach(top)  # topk_by returns a bounded pa.Table
+
+
+# --------------------------------- DSIR-style importance-resampling scores
+
+DSIR_B = 2048        # hashed-feature buckets (driver state = 2·B int64 — fixed)
+DSIR_MIX = 313
+DSIR_K = 50
+DSIR_TARGET = "en"   # "target domain" = the en slice; pool = everything else
+
+
+def _dsir_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, lang = '{DSIR_TARGET}' AS is_t,
+                         string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, is_t,
+            ((length(t[i]) * 256 + unicode(t[i])) * {DSIR_MIX}
+             + (length(t[i+1]) * 256 + unicode(t[i+1]))) % {DSIR_B} AS b
+          FROM toks, (SELECT unnest(generate_series(
+                   1, (SELECT MAX(len(t)) FROM toks))) AS i) gs
+          WHERE i <= len(t) - 1),
+    c AS (SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tn,
+                 SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS rn
+          FROM g GROUP BY b),
+    tot AS (SELECT SUM(tn) AS tt, SUM(rn) AS rt FROM c),
+    s AS (SELECT g.doc_id,
+                 CAST(SUM(c.tn * tot.rt - c.rn * tot.tt) AS BIGINT) AS score
+          FROM g JOIN c USING (b) CROSS JOIN tot
+          WHERE NOT g.is_t GROUP BY g.doc_id)
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+    WHERE rank <= {DSIR_K}"""
+
+
+@register("dsir_importance_topk", sql=_dsir_sql)
+def dsir_importance_topk(sf_dir: str):
+    """Data selection via importance resampling, DSIR-shaped (hashed
+    n-gram features per Xie et al. 2023, arXiv:2302.03169): bucket every
+    bigram by a content hash (B=2048 buckets), estimate the target-domain
+    and raw-pool bucket distributions in ONE corpus pass (per-batch
+    bincount partials → a B-row groupby — the wide text column never
+    shuffles), then score every raw doc in a second pass and keep the
+    top-k most target-like. The float log-ratio of the paper is replaced
+    by the integer-exact cross-difference Σ_g (tn[b]·rt − rn[b]·tt) —
+    same sign/ordering semantics for selection, exactly SQL-checkable
+    (bounds: |score| ≤ grams/doc · tt·rt, ≈2^42 at sf0.1 — at 100-TB
+    scale divide both totals by their GCD or bucket-normalize first).
+    Driver state is the fixed 2·B count table, never vocabulary-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.stream import topk_by
+    from ..stages.text import token_values, window_index
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def buckets_of(t: pa.Table):
+        v, lens_doc = token_values(t["text"])
+        counts, starts, basei = window_index(lens_doc, 2)
+        b = (v[basei] * DSIR_MIX + v[basei + 1]) % DSIR_B
+        return b, counts, starts
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "tn": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        b, counts, _ = buckets_of(t)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        gt = np.repeat(lang == DSIR_TARGET, counts)
+        tn = np.bincount(b[gt], minlength=DSIR_B)
+        rn = np.bincount(b[~gt], minlength=DSIR_B)
+        nz = np.flatnonzero((tn + rn) != 0)
+        return pa.table({"b": nz.astype(np.int64),
+                         "tn": tn[nz].astype(np.int64),
+                         "rn": rn[nz].astype(np.int64)})
+
+    part = ds.map_batches(bucket_partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    agg = part.groupby("b").aggregate(Sum("tn", alias_name="tn"),
+                                      Sum("rn", alias_name="rn"))
+    rows = agg.take_all()                     # ≤ DSIR_B rows by construction
+    T = np.zeros(DSIR_B, np.int64)
+    R = np.zeros(DSIR_B, np.int64)
+    for r in rows:
+        T[int(r["b"])] = int(r["tn"])
+        R[int(r["b"])] = int(r["rn"])
+    tt, rt = int(T.sum()), int(R.sum())
+    ref = ray.put((T, R))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(lang != DSIR_TARGET))
+        if t.num_rows == 0:
+            return empty
+        T_, R_ = ray.get(ref)
+        b, counts, starts = buckets_of(t)
+        has = counts > 0
+        if not has.any():
+            return empty
+        contrib = T_[b] * rt - R_[b] * tt
+        sums = np.add.reduceat(contrib, starts[has])
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)[has]
+        return pa.table({"doc_id": pa.array(dids.astype(np.int64)),
+                         "score": pa.array(sums.astype(np.int64))})
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return topk_by(scored, "score", DSIR_K, tie_col="doc_id")

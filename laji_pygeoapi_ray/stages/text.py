@@ -141,6 +141,51 @@ def minhash_stage(text_col: str = "text", shingle_n: int = 3,
     return fn
 
 
+def token_values(text_arr) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token VALUES straight from the Arrow string buffers:
+    v = bytes·256 + first byte per token over the flat token stream, plus
+    per-row token counts. The SQL twin of every consumer uses
+    ``length(t)·256 + unicode(t)`` (ASCII corpus ⇒ identical). Shared by
+    :func:`rolling_fingerprint_stage` and the DSIR bucket kernels."""
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(pc.cast(text_arr, pa.string()), "")
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if flat.offset:          # sliced array: realign (rare) so the
+        # raw-buffer reads below index from 0
+        flat = pa.array(flat.to_pylist(), pa.string())
+    lens_doc = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # per-token length (bytes == chars for ASCII) + first byte, pure
+    # numpy over the Arrow buffers
+    off = np.frombuffer(flat.buffers()[1], dtype=np.int32,
+                        count=len(flat) + 1).astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
+        if flat.buffers()[2] is not None else np.array([], np.uint8)
+    tlen = np.diff(off)
+    first = np.where(tlen > 0, data[np.minimum(off[:-1],
+                                               max(len(data) - 1, 0))],
+                     0).astype(np.int64)
+    return tlen * 256 + first, lens_doc
+
+
+def window_index(lens_doc: np.ndarray, window: int):
+    """Flat sliding-window index arithmetic over a token stream segmented
+    by ``lens_doc``: returns (counts, starts, basei) where row i owns
+    windows [starts[i], starts[i]+counts[i]) and window j starts at flat
+    token index basei[j] (same construction as ``shingle_explode``)."""
+    counts = np.maximum(lens_doc - window + 1, 0)
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    tok0 = np.cumsum(lens_doc) - lens_doc
+    pos = np.arange(total) - np.repeat(starts, counts)
+    basei = np.repeat(tok0, counts) + pos
+    return counts, starts, basei
+
+
 def rolling_fingerprint_stage(text_col: str = "text",
                               id_col: str = "doc_id",
                               window: int = 4, base: int = 33):
@@ -152,37 +197,11 @@ def rolling_fingerprint_stage(text_col: str = "text",
     straight from the Arrow string buffers (offsets + data), windows via
     the same numpy index arithmetic as shingle_explode. SQL twin uses
     ``length(t)·256 + unicode(t)`` per token (ASCII corpus ⇒ identical)."""
-    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
-        toks = pc.split_pattern(text, " ")
-        flat = pc.list_flatten(toks)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        if flat.offset:          # sliced array: realign (rare) so the
-            # raw-buffer reads below index from 0
-            flat = pa.array(flat.to_pylist(), pa.string())
-        lens_doc = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        # per-token length (bytes == chars for ASCII) + first byte, pure
-        # numpy over the Arrow buffers
-        off = np.frombuffer(flat.buffers()[1], dtype=np.int32,
-                            count=len(flat) + 1).astype(np.int64)
-        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
-            if flat.buffers()[2] is not None else np.array([], np.uint8)
-        tlen = np.diff(off)
-        first = np.where(tlen > 0, data[np.minimum(off[:-1],
-                                                   max(len(data) - 1, 0))],
-                         0).astype(np.int64)
-        v = tlen * 256 + first
-
-        counts = np.maximum(lens_doc - window + 1, 0)
-        total = int(counts.sum())
-        starts = np.cumsum(counts) - counts
-        tok0 = np.cumsum(lens_doc) - lens_doc
-        pos = np.arange(total) - np.repeat(starts, counts)
-        basei = np.repeat(tok0, counts) + pos
+        v, lens_doc = token_values(batch[text_col])
+        counts, starts, basei = window_index(lens_doc, window)
+        total = len(basei)
         h = np.zeros(total, dtype=np.int64)
         for j in range(window):
             h = h * base + v[basei + j]

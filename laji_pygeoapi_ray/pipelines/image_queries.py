@@ -679,3 +679,56 @@ def phash_family_representatives(sf_dir: str):
             "family_size": out["family_size"].astype("int64")})
 
     return grouped_apply(joined, ["cluster_id"], pick, num_buckets=8)
+
+
+HTOPK_K, HTOPK_MOD = 5, 20
+
+
+@register("image_hash_topk_certified", sql=lambda: f"""
+    WITH base AS (SELECT {_img_no_sql()} AS img_no, phash
+                  FROM {_img_path_sql(ORACLE_N)}),
+    q AS (SELECT * FROM base WHERE img_no % {HTOPK_MOD} = 0),
+    d AS (SELECT q.img_no AS query_id, p.img_no AS neighbor_id,
+            CAST(64 - 2 * bit_count(xor(q.phash, p.phash)) AS DOUBLE)
+            * CAST('1000000000000' AS DOUBLE) AS score
+          FROM q, base p WHERE p.img_no <> q.img_no)
+    SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank FROM d)
+    WHERE rank <= {HTOPK_K}""")
+def image_hash_topk_certified(sf_dir: str):
+    """Visual-similarity top-k with an EXACT oracle — the certification
+    sibling of the rows-only ``image_ann_neardup`` (same
+    ``ann_topk_broadcast`` shard/scan/merge machinery, same query set,
+    same k): the embedding is the 64-bit phash expanded to a ±1 vector,
+    so the quantized dot product is exactly (64 − 2·hamming)·10¹² and the
+    SQL twin recomputes it from bit_count(xor(...)) over all pairs. Any
+    regression in the broadcast-ANN candidate/merge path breaks this
+    equality. Only (image_id, phash) is read — pixels never move."""
+    from ..stages.ann import ann_topk_broadcast
+
+    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def to_emb(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        bits = ((ph[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.float64)
+        vec = bits * 2.0 - 1.0
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vec.ravel(), pa.float64()), 64)
+        return pa.table({"vec_id": t["img_no"], "embedding": emb})
+
+    emb = ds.map_batches(to_emb, batch_format="pyarrow")
+
+    def pick(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % HTOPK_MOD == 0))
+
+    # distributed query extraction: only the 1/HTOPK_MOD survivors reach
+    # the driver (bounded by the query-set definition)
+    qparts = [b for b in emb.map_batches(pick, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")]
+    qdf = pa.concat_tables(qparts).to_pandas()
+    return ann_topk_broadcast(emb, qdf, HTOPK_K)

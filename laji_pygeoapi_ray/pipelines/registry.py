@@ -48,6 +48,10 @@ _DRIVER_PRIORITY = [
     "caption_integrity", "heavy_hitter_tokens", "ann_topk_ivf_full_probe",
     # new round-4 queries (serving path + ANN certification + scale fixes)
     "bbox_query_page", "ann_topk_lsh_certified", "kmeans_assign_certified",
+    # new round-4 operators (second session): rectangle-overlap spatial
+    # join, DSIR importance scores, image-ANN plumbing certification
+    "rect_overlap_doc_pairs", "dsir_importance_topk",
+    "image_hash_topk_certified",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

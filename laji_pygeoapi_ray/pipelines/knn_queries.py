@@ -664,3 +664,70 @@ def rect_overlap_doc_pairs(sf_dir: str):
 
     rects = ds.map_batches(to_rects, batch_format="pyarrow")
     return rect_overlap_pairs(rects, res=RECT_RES, num_buckets=32)
+
+
+# ----------------------------------- per-province NN spacing (Clark–Evans)
+
+NN_QUANT = "1000000000.0"     # d² quantizer: exact integer sums across blocks
+
+
+def _nn_spacing_sql() -> str:
+    from ..state import fixtures
+    from .geoqueries import _pip_sql, _points_cte
+
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS ({_points_cte()}),
+    nn AS (SELECT a.doc_id AS doc_id,
+                  MIN((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) AS d2
+           FROM pts a JOIN pts b ON b.doc_id <> a.doc_id
+           GROUP BY a.doc_id),
+    assigned AS ({_pip_sql(fixtures.province_layer, True)})
+    SELECT a.name AS province, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(nn.d2 * CAST('{NN_QUANT}' AS DOUBLE)
+                                + CAST('0.5' AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS sum_d2q
+    FROM nn JOIN assigned a USING (doc_id)
+    GROUP BY 1"""
+
+
+@register("nn_spacing_province", sql=_nn_spacing_sql)
+def nn_spacing_province(sf_dir: str):
+    """Point-pattern spacing statistic per province (the Clark–Evans
+    nearest-neighbour index shape, next to Moran's I / Ripley's K /
+    Getis-Ord in the spatial-statistics family): every point's
+    nearest-neighbour d² via the cell-cogrouped self-kNN (query side is a
+    DATASET — no driver collect; k=1, res=3/ring=1, the parameters the
+    driver-certified ``knn_cogroup_nearest`` proves complete on this
+    distribution), PIP province label per point, then per-province count
+    + exact integer sum of quantized d² (float sums never cross blocks —
+    the float-determinism playbook)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import hash_join
+    from ..stages.knn import knn_cell_cogroup
+    from .geoqueries import _docs_points
+    from ..stages import assign
+    from ..sources.parquet import default_pool
+
+    nn = knn_cell_cogroup(_points_ds(sf_dir), _points_ds(sf_dir),
+                          res=3, k=1, ring=1, num_buckets=16)
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["d2"].to_numpy(np.float64)
+                     * np.float64(1000000000.0) + np.float64(0.5))
+        return pd.DataFrame({"doc_id": df["query_id"].astype(np.int64),
+                             "d2q": q.astype(np.int64)})
+
+    nnq = nn.map_batches(quant, batch_format="pandas")
+    prov = _docs_points(sf_dir).map_batches(
+        assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
+        concurrency=default_pool(), num_cpus=1) \
+        .select_columns(["doc_id", "province"])
+    joined = hash_join(nnq, prov, on=["doc_id"], num_buckets=16)
+    agg = joined.groupby("province").aggregate(
+        Count(alias_name="n"), Sum("d2q", alias_name="sum_d2q"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["province", "n", "sum_d2q"]),
+        batch_format="pyarrow")

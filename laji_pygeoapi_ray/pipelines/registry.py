@@ -51,7 +51,7 @@ _DRIVER_PRIORITY = [
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",
-    "image_hash_topk_certified",
+    "image_hash_topk_certified", "nn_spacing_province",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -11,6 +11,7 @@ no single-worker ordered pass.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..sources.parquet import read_table
@@ -139,3 +140,163 @@ def pack_window_coverage(sf_dir: str):
     window and docs fully contained — the doc→window expansion is a
     vectorized repeat pre-aggregated per batch (only counts shuffle)."""
     return window_coverage(pack_doc_layout(sf_dir))
+
+
+# --------------------------- STR R-tree bulk load (Sort-Tile-Recursive)
+
+STR_S = 8           # slices per axis → S² leaves
+STR_XPARTS = 64     # fixed range partitions for the distributed rank
+STR_YPARTS = 64
+
+
+def _str_sql() -> str:
+    from .geoqueries import _points_cte
+
+    return f"""
+    WITH pts AS ({_points_cte()}),
+    tot AS (SELECT COUNT(*) AS cnt FROM pts),
+    rx AS (SELECT doc_id, x, y,
+                  row_number() OVER (ORDER BY x, doc_id) - 1 AS rk
+           FROM pts),
+    sl AS (SELECT doc_id, x, y,
+                  CAST((rk * {STR_S}) // tot.cnt AS BIGINT) AS slice
+           FROM rx CROSS JOIN tot),
+    ry AS (SELECT *, row_number() OVER (PARTITION BY slice
+                                        ORDER BY y, doc_id) - 1 AS rky,
+                  COUNT(*) OVER (PARTITION BY slice) AS m
+           FROM sl),
+    lf AS (SELECT doc_id, x, y,
+                  CAST(slice * {STR_S} + (rky * {STR_S}) // m AS BIGINT)
+                      AS leaf
+           FROM ry)
+    SELECT leaf, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM lf GROUP BY leaf"""
+
+
+def _part_counts(ds, col: str) -> dict[int, int]:
+    """Tiny pass-1: exact row count per range partition (driver holds one
+    row per partition — the scan.py up-sweep shape)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t[col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(p, return_counts=True)
+        return pa.table({col: pa.array(uniq.astype(np.int64)),
+                         "__c": pa.array(cnt.astype(np.int64))})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(col).aggregate(Sum("__c", alias_name="c")).take_all())
+    return {int(r[col]): int(r["c"]) for r in rows}
+
+
+@register("str_rtree_leaves", sql=_str_sql)
+def str_rtree_leaves(sf_dir: str):
+    """Distributed R-tree BULK LOAD via Sort-Tile-Recursive packing
+    (Leutenegger et al. 1997) — how the polygon/point side of the spatial
+    join gets an index built at 100-TB scale. Rank-by-x → S vertical
+    slices → rank-by-y within slice → S leaves per slice; output is the
+    leaf directory (leaf id, count, MBR), i.e. the R-tree leaf level.
+
+    Both global ranks are the two-pass distributed scan shape (no global
+    sort): a fixed range partition on the coordinate (pure function →
+    totally ordered by construction), a count-per-partition up-sweep
+    (driver holds ≤ STR_XPARTS·STR_YPARTS ints), then one hash shuffle
+    per axis with an in-partition vectorized sort + broadcast offset.
+    SQL twin: the same ranks via window functions. Ties break by
+    (coord, doc_id) on both sides; leaf arithmetic is pure int64."""
+    from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
+    from ..stages.shuffle import grouped_apply
+    from .knn_queries import _points_ds
+    from ray.data.aggregate import Count, Max, Min
+
+    S = STR_S
+    pwx = (FIN_X1 - FIN_X0) / STR_XPARTS
+    pwy = (FIN_Y1 - FIN_Y0) / STR_YPARTS
+
+    def xtag(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        xp = np.clip(np.floor((x - FIN_X0) / pwx).astype(np.int64),
+                     0, STR_XPARTS - 1)
+        return pa.table({"id": t["id"], "x": t["x"], "y": t["y"],
+                         "xpart": pa.array(xp)})
+
+    base = _points_ds(sf_dir).map_batches(xtag, batch_format="pyarrow")
+
+    xcounts = _part_counts(base, "xpart")
+    n_total = sum(xcounts.values())
+    xoffs, acc = {}, 0
+    for p in sorted(xcounts):
+        xoffs[p] = acc
+        acc += xcounts[p]
+
+    def slice_assign(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for xp, g in df.groupby("xpart", sort=False):
+            x = g["x"].to_numpy(np.float64)
+            gid = g["id"].to_numpy(np.int64)
+            order = np.lexsort((gid, x))
+            grank = np.empty(len(g), np.int64)
+            grank[order] = xoffs[int(xp)] + np.arange(len(g))
+            outs.append(pd.DataFrame({
+                "id": gid, "x": x, "y": g["y"].to_numpy(np.float64),
+                "slice": (grank * S) // n_total}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                   "x": pd.Series([], dtype="float64"),
+                                   "y": pd.Series([], dtype="float64"),
+                                   "slice": pd.Series([], dtype="int64")}))
+
+    sliced = grouped_apply(base, ["xpart"], slice_assign, num_buckets=16)
+
+    def ytag(t: pa.Table) -> pa.Table:
+        y = t["y"].to_numpy(zero_copy_only=False)
+        yp = np.clip(np.floor((y - FIN_Y0) / pwy).astype(np.int64),
+                     0, STR_YPARTS - 1)
+        sl = t["slice"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id": t["id"], "x": t["x"], "y": t["y"],
+                         "slice": t["slice"],
+                         "part2": pa.array(sl * STR_YPARTS + yp)})
+
+    tagged = sliced.map_batches(ytag, batch_format="pyarrow")
+
+    ycounts = _part_counts(tagged, "part2")
+    yoffs, m_slice = {}, {}
+    acc_slice = None
+    acc = 0
+    for p2 in sorted(ycounts):
+        sl = p2 // STR_YPARTS
+        if sl != acc_slice:
+            acc_slice, acc = sl, 0
+        yoffs[p2] = acc
+        acc += ycounts[p2]
+        m_slice[sl] = m_slice.get(sl, 0) + ycounts[p2]
+
+    def leaf_assign(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for p2, g in df.groupby("part2", sort=False):
+            y = g["y"].to_numpy(np.float64)
+            gid = g["id"].to_numpy(np.int64)
+            sl = int(p2) // STR_YPARTS
+            order = np.lexsort((gid, y))
+            rky = np.empty(len(g), np.int64)
+            rky[order] = yoffs[int(p2)] + np.arange(len(g))
+            outs.append(pd.DataFrame({
+                "leaf": sl * S + (rky * S) // m_slice[sl],
+                "x": g["x"].to_numpy(np.float64), "y": y}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({"leaf": pd.Series([], dtype="int64"),
+                                   "x": pd.Series([], dtype="float64"),
+                                   "y": pd.Series([], dtype="float64")}))
+
+    leaves = grouped_apply(tagged, ["part2"], leaf_assign, num_buckets=16)
+    agg = leaves.groupby("leaf").aggregate(
+        Count(alias_name="n"),
+        Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),
+        Min("y", alias_name="min_y"), Max("y", alias_name="max_y"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["leaf", "n", "min_x", "max_x",
+                                    "min_y", "max_y"]),
+        batch_format="pyarrow")

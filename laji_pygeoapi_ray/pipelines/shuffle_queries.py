@@ -924,3 +924,70 @@ def od_matrix_cells(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["o_cell", "d_cell", "n"]),
         batch_format="pyarrow")
+
+
+@register("kmv_distinct_by_type", sql="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv,
+           TRUE AS kmv_ok
+    FROM events GROUP BY event_type""")
+def kmv_distinct_by_type(sf_dir: str):
+    """Bottom-k (KMV) distinct sketch per group, next to the HLL family:
+    per-batch bottom-k distinct splitmix64 hashes per event_type (tiny
+    partials; the wide table never shuffles), merged by union+truncate.
+    Certified the same way as ``hll_distinct_users``: the exact NDV is
+    computed distributed (per-batch unique pairs → dedup shuffle →
+    per-type count) and value-checked against COUNT(DISTINCT); kmv_ok
+    goes false (→ red driver row) if the sketch drifts — an UNSATURATED
+    sketch must be EXACT (splitmix64 is a uint64 bijection), a saturated
+    one must land within ±10 % ((k−1)·2⁶⁴/h_k estimator, k=1024 → ~3 %
+    expected error)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import (KMV_K, grouped_apply, kmv_estimate,
+                                  kmv_partial)
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    # ---- exact NDV, distributed (the oracle's value) ----
+    pair_partials = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "user_id": t["user_id"]})
+        .group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow")
+    dedup = grouped_apply(pair_partials, ["event_type", "user_id"],
+                          lambda df: df.drop_duplicates(), num_buckets=16)
+    exact_rows = dedup.groupby("event_type").count().take_all()
+    exact = {r["event_type"]: int(r["count()"]) for r in exact_rows}
+
+    # ---- KMV sketch, distributed ----
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_h = [], []
+        for ty in np.unique(et):
+            hh = kmv_partial(uid[et == ty])
+            out_t.extend([str(ty)] * len(hh))
+            out_h.append(hh)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "h": pa.array(np.concatenate(out_h) if out_h
+                          else np.empty(0, np.uint64), pa.uint64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ty, g in df.groupby("event_type", sort=False):
+            h = np.unique(g["h"].to_numpy().astype(np.uint64))[:KMV_K]
+            out.append((ty, kmv_estimate(h)))
+        return pd.DataFrame({"event_type": [t for t, _ in out],
+                             "est": [e for _, e in out]})
+
+    sk = grouped_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type"], merge, num_buckets=8)
+    ests = {r["event_type"]: float(r["est"]) for r in sk.take_all()}
+
+    types = sorted(exact)
+    ndv = [exact[t] for t in types]
+    ok = [abs(ests[t] - exact[t]) <= 0.1 * exact[t] for t in types]
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "ndv": pa.array(ndv, pa.int64()),
+                     "kmv_ok": pa.array(ok, pa.bool_())})

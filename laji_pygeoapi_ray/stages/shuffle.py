@@ -351,3 +351,35 @@ def heavy_hitters_exact(ds, make_items, k: int, *,
     certified = hide == 0 or kth > hide
     return top.append_column(
         "certified", pa.array([certified] * len(top), pa.bool_()))
+
+
+KMV_K = 1024
+
+
+def kmv_partial(keys: "np.ndarray", k: int = KMV_K) -> "np.ndarray":
+    """int64 keys → bottom-k DISTINCT splitmix64 hashes (sorted uint64) —
+    the KMV / bottom-k distinct sketch partial (Bar-Yossef et al. 2002).
+    Partials merge by union + re-truncate; an UNSATURATED merged sketch
+    (< k hashes) is the exact distinct set of hashes, and splitmix64 is a
+    bijection on uint64, so its size IS the exact NDV."""
+    import numpy as np
+
+    from ..functions.textkernels import mix64
+
+    h = np.unique(mix64(keys.astype(np.int64).view(np.uint64)))
+    return h[:k]
+
+
+def kmv_merge(parts: list, k: int = KMV_K) -> "np.ndarray":
+    import numpy as np
+
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_estimate(h: "np.ndarray", k: int = KMV_K) -> float:
+    """Unsaturated → exact count; saturated → (k−1)·2⁶⁴ / kth-smallest."""
+    if len(h) < k:
+        return float(len(h))
+    return (k - 1) * 2.0 ** 64 / float(h[k - 1] + 1)

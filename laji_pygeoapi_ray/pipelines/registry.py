@@ -52,7 +52,7 @@ _DRIVER_PRIORITY = [
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",
     "image_hash_topk_certified", "nn_spacing_province",
-    "str_rtree_leaves", "kmv_distinct_by_type",
+    "str_rtree_leaves", "kmv_distinct_by_type", "table_checksum_ranges",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

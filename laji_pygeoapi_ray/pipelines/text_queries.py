@@ -1410,3 +1410,77 @@ def dsir_importance_topk(sf_dir: str):
     scored = ds.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
     return topk_by(scored, "score", DSIR_K, tie_col="doc_id")
+
+
+# --------------------------- partition-integrity checksums (anti-entropy)
+
+CHKSUM_W = 100     # doc_id range width per checksum partition
+
+
+def _chksum_sql() -> str:
+    return f"""
+    WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    pha AS (SELECT doc_id, doc_id // {CHKSUM_W} AS range_id,
+                   CAST({tk.sql_poly_hash('text')} AS HUGEINT) AS z0
+            FROM docs),
+    {tk.sql_mix64_ctes('pha', 'doc_id, range_id', prefix='mxa')},
+    idz AS (SELECT range_id, h AS ha, CAST(doc_id AS HUGEINT) AS z0
+            FROM mxa3),
+    {tk.sql_mix64_ctes('idz', 'range_id, ha', prefix='mxb')},
+    rh AS (SELECT range_id, {tk.sql_xor2('ha', 'h')} AS rh FROM mxb3)
+    SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n,
+           bit_xor(CAST(rh AS UBIGINT)) AS checksum
+    FROM rh GROUP BY range_id"""
+
+
+@register("table_checksum_ranges", sql=_chksum_sql)
+def table_checksum_ranges(sf_dir: str):
+    """Per-partition table checksums (anti-entropy / sink-integrity
+    verification — how a resumable 100-TB run proves a re-written
+    partition matches, without re-reading its peer): row hash =
+    mix64(polyhash(text)) XOR mix64(doc_id), folded per doc_id range by
+    XOR — order-independent and associative, so per-batch partials merge
+    exactly under any block order or parallelism. Output (range_id, n,
+    checksum) is the table's integrity manifest; the SQL twin recomputes
+    every hash with the shared HUGEINT mix64/poly CTEs."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"range_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "checksum": pa.array([], pa.uint64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ha = tk.poly_mix_hash(text)
+        hb = tk.mix64(ids.astype(np.uint64))
+        h = ha ^ hb
+        rid = ids // CHKSUM_W
+        order = np.argsort(rid, kind="stable")
+        rs, hs = rid[order], h[order]
+        uniq, starts = np.unique(rs, return_index=True)
+        xors = np.bitwise_xor.reduceat(hs, starts)
+        counts = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        return pa.table({"range_id": pa.array(uniq),
+                         "n": pa.array(counts),
+                         "checksum": pa.array(xors, pa.uint64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rid, g in df.groupby("range_id", sort=False):
+            rows.append((int(rid), int(g["n"].sum()),
+                         np.bitwise_xor.reduce(
+                             g["checksum"].to_numpy().astype(np.uint64))))
+        return pd.DataFrame({
+            "range_id": pd.Series([r for r, _, _ in rows], dtype="int64"),
+            "n": pd.Series([n for _, n, _ in rows], dtype="int64"),
+            "checksum": pd.Series([c for _, _, c in rows], dtype="uint64")})
+
+    return grouped_apply(part, ["range_id"], finish, num_buckets=8)

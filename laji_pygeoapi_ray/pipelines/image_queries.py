@@ -732,3 +732,52 @@ def image_hash_topk_certified(sf_dir: str):
               .iter_batches(batch_format="pyarrow")]
     qdf = pa.concat_tables(qparts).to_pandas()
     return ann_topk_broadcast(emb, qdf, HTOPK_K)
+
+
+@register("cell_image_doc_join", sql=lambda: f"""
+    WITH ib AS (SELECT {_img_no_sql()} AS img_no
+                FROM {_img_path_sql(ORACLE_N)}),
+    ip AS (SELECT {points.sql_xy('img_no')[0]} AS x,
+                  {points.sql_xy('img_no')[1]} AS y FROM ib),
+    ic AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell7,
+                  CAST(COUNT(*) AS BIGINT) AS n_img FROM ip GROUP BY 1),
+    dp AS (SELECT {points.sql_xy('doc_id')[0]} AS x,
+                  {points.sql_xy('doc_id')[1]} AS y FROM documents),
+    dc AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell7,
+                  CAST(COUNT(*) AS BIGINT) AS n_doc FROM dp GROUP BY 1)
+    SELECT ic.cell7, n_img, n_doc FROM ic JOIN dc USING (cell7)""")
+def cell_image_doc_join(sf_dir: str):
+    """CROSS-MODAL tile join: the image table and the document corpus
+    aggregated to the same res-7 occurrence grid and joined per cell —
+    the raster↔vector composition a multimodal training pipeline uses to
+    co-locate imagery with text coverage. Both sides are partial-count
+    shapes (only (cell, n) rows ever shuffle); the join is the bucketed
+    hash join on the shared cell key."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    img = images_ds(sf_dir, columns=["image_id"])
+    img = img.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        return pa.table({"cell7": pa.array(cells.encode(x, y, RES))})
+
+    ni = partial_group_counts(img.map_batches(derive, batch_format="pyarrow"),
+                              ["cell7"], count_col="n_img")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def derive_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(ids)
+        return pa.table({"cell7": pa.array(cells.encode(x, y, RES))})
+
+    nd = partial_group_counts(
+        docs.map_batches(derive_docs, batch_format="pyarrow"),
+        ["cell7"], count_col="n_doc")
+    j = hash_join(ni, nd, on=["cell7"], num_buckets=16)
+    return j.map_batches(lambda t: t.select(["cell7", "n_img", "n_doc"]),
+                         batch_format="pyarrow")

@@ -384,3 +384,52 @@ def label_scatter_stats(sf_dir: str):
     return per_label.map_batches(
         lambda t: t.select(["label", "n", "wss_scaled"]),
         batch_format="pyarrow")
+
+
+PQ_M, PQ_K = 2, 8
+
+
+def _pq_assign_sql() -> str:
+    from ..stages.sampling import sql_id_hash
+    q = _QUANT.format(col="embedding")
+    h = EMB_DIM // PQ_M
+
+    def sub_cte(s: int) -> str:
+        lo, hi = s * h + 1, (s + 1) * h
+        return f"""
+    d{s} AS (SELECT q.vec_id, s.cluster,
+                 list_dot_product(q.e[{lo}:{hi}], q.e[{lo}:{hi}])
+                   - 2 * list_dot_product(q.e[{lo}:{hi}], s.ce[{lo}:{hi}])
+                   + list_dot_product(s.ce[{lo}:{hi}], s.ce[{lo}:{hi}]) AS d2
+          FROM q CROSS JOIN seeds s),
+    a{s} AS (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rk
+          FROM d{s}),
+    c{s} AS (SELECT vec_id, cluster AS c{s} FROM a{s} WHERE rk = 1)"""
+
+    return f"""
+    WITH q AS (SELECT vec_id, {q} AS e FROM embeddings),
+    seeds AS (SELECT e AS ce,
+                     row_number() OVER (
+                         ORDER BY {sql_id_hash('vec_id')}, vec_id) - 1
+                         AS cluster
+              FROM q ORDER BY {sql_id_hash('vec_id')}, vec_id
+              LIMIT {PQ_K}),{sub_cte(0)},{sub_cte(1)}
+    SELECT vec_id, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+           CAST(c0 * {PQ_K} + c1 AS BIGINT) AS code
+    FROM c0 JOIN c1 USING (vec_id)"""
+
+
+@register("pq_code_assign_certified", sql=_pq_assign_sql)
+def pq_code_assign_certified(sf_dir: str):
+    """Product-quantization code assignment with an exact oracle — the
+    compression layer of a 10¹²-scale ANN index (IVF-PQ): M=2 subspaces,
+    k=8 codewords each, codebook = the deterministic seed set's
+    subvectors (shared with kmeans_assign_certified), packed code
+    c0·k + c1. Integer-exact subspace distances ⇒ the SQL twin matches
+    bit-for-bit; one k×d broadcast, one stateless map, no shuffle."""
+    from ..stages.ann import pq_assign_exact
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_assign_exact(ds, PQ_M, PQ_K)

@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     "rect_overlap_doc_pairs", "dsir_importance_topk",
     "image_hash_topk_certified", "nn_spacing_province",
     "str_rtree_leaves", "kmv_distinct_by_type", "table_checksum_ranges",
-    "cell_image_doc_join",
+    "cell_image_doc_join", "pq_code_assign_certified",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -509,20 +509,13 @@ def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
                                                 batch_format="pandas")
 
 
-def kmeans_assign_exact(emb_ds, n_clusters: int, *, id_col: str = "vec_id",
-                        emb_col: str = "embedding"):
-    """0-iteration Lloyd (seed selection + assignment), INTEGER-EXACT — the
-    oracle-certifiable sibling of :func:`kmeans_distributed` (whose float
-    partial-sum loop has no summation-order-independent SQL twin). Shares
-    the same machinery shapes: per-batch seed-scan partial top-k, driver
-    merge of k rows, broadcast centroids, one stateless assignment map.
-
-    Centroids are the ``n_clusters`` corpus vectors with the lowest
-    ``(id_hash(id), id)`` rank (the deterministic no-RNG init, with the id
-    tiebreak making the rank SQL-reproducible); elements are quantized
-    ``floor(x·10⁶ + 0.5)`` so every squared distance is an exact integer
-    (≤ 64·(2·10⁶)² ≈ 2.6e14 < 2⁵³) and the argmin (ties → lowest cluster
-    index) matches DuckDB bit-for-bit."""
+def exact_seed_centroids(emb_ds, n_clusters: int, *, id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic no-RNG centroid seeds: the ``n_clusters`` corpus
+    vectors with the lowest ``(id_hash(id), id)`` rank, QUANTIZED — the
+    SQL-reproducible init shared by :func:`kmeans_assign_exact` and
+    :func:`pq_assign_exact`. Per-batch partial top-k scan, driver merge
+    of k rows (k×d floats — never the corpus)."""
     from .sampling import id_hash
 
     def seed_scan(t: pa.Table) -> pa.Table:
@@ -540,7 +533,60 @@ def kmeans_assign_exact(emb_ds, n_clusters: int, *, id_col: str = "vec_id",
         promote_options="default")
     top = np.lexsort((seeds["id"].to_numpy(zero_copy_only=False),
                       seeds["h"].to_numpy(zero_copy_only=False)))[:n_clusters]
-    cent = _emb_matrix(seeds, "emb").astype(np.float64)[top]
+    return _emb_matrix(seeds, "emb").astype(np.float64)[top]
+
+
+def pq_assign_exact(emb_ds, n_sub: int, n_clusters: int, *,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Product-quantization CODE ASSIGNMENT, integer-exact (Jégou et al.
+    2011 — the compression layer every 10¹²-vector ANN index runs on):
+    the embedding splits into ``n_sub`` contiguous subspaces; each
+    subspace's codebook is the shared seed set's subvectors; each vector
+    gets the argmin-d² codeword per subspace (ties → lowest index) and
+    the packed code Σ cᵢ·kⁱ. Quantized elements make every subspace
+    distance an exact integer, so the assignment is SQL-checkable.
+    One broadcast (k×d codebook), one stateless map — nothing shuffles."""
+    cent = exact_seed_centroids(emb_ds, n_clusters, id_col=id_col,
+                                emb_col=emb_col)
+    cent_ref = ray.put(cent)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = quantize(_emb_matrix(t, emb_col))
+        d = m.shape[1]
+        w = d // n_sub
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {id_col: pa.array(ids)}
+        code = np.zeros(len(ids), np.int64)
+        for s in range(n_sub):
+            ms = m[:, s * w:(s + 1) * w]
+            cs = c[:, s * w:(s + 1) * w]
+            d2 = ((ms[:, None, :] - cs[None, :, :]) ** 2).sum(-1)
+            cls = d2.argmin(1).astype(np.int64)
+            cols[f"c{s}"] = pa.array(cls)
+            code = code * n_clusters + cls
+        cols["code"] = pa.array(code)
+        return pa.table(cols)
+
+    return emb_ds.map_batches(assign_fn, batch_format="pyarrow")
+
+
+def kmeans_assign_exact(emb_ds, n_clusters: int, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """0-iteration Lloyd (seed selection + assignment), INTEGER-EXACT — the
+    oracle-certifiable sibling of :func:`kmeans_distributed` (whose float
+    partial-sum loop has no summation-order-independent SQL twin). Shares
+    the same machinery shapes: per-batch seed-scan partial top-k, driver
+    merge of k rows, broadcast centroids, one stateless assignment map.
+
+    Centroids are the ``n_clusters`` corpus vectors with the lowest
+    ``(id_hash(id), id)`` rank (the deterministic no-RNG init, with the id
+    tiebreak making the rank SQL-reproducible); elements are quantized
+    ``floor(x·10⁶ + 0.5)`` so every squared distance is an exact integer
+    (≤ 64·(2·10⁶)² ≈ 2.6e14 < 2⁵³) and the argmin (ties → lowest cluster
+    index) matches DuckDB bit-for-bit."""
+    cent = exact_seed_centroids(emb_ds, n_clusters, id_col=id_col,
+                                emb_col=emb_col)
     cent_ref = ray.put(cent)
 
     def assign_fn(t: pa.Table) -> pa.Table:

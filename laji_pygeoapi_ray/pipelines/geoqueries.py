@@ -2152,3 +2152,191 @@ def shard_plan_cells(sf_dir: str):
 
     return cnt.repartition(1).map_batches(plan, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ----------------------------- corridor join (point-to-polyline distance)
+CORR_QS = 10_000        # quantizer: 1e-4 deg lattice (keeps cross² in int64)
+CORR_R_Q = 1_000        # corridor radius: 0.1° in lattice units
+CORR_CAP_Q = 5_000      # segment length cap per axis (0.5°)
+CORR_RES = 5            # cover grid: cell 0.39° ≥ radius → ≤ 3×3 cells/seg
+
+
+def _corridor_sql() -> str:
+    ex, ey = points.sql_xy("event_id")
+    dx_, dy_ = points.sql_xy("doc_id")
+    r2 = CORR_R_Q * CORR_R_Q
+    return f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(floor({ex} * {CORR_QS}) AS BIGINT) AS qx,
+                  CAST(floor({ey} * {CORR_QS}) AS BIGINT) AS qy
+               FROM events),
+    seg AS (SELECT user_id, qx AS ax, qy AS ay,
+                   lead(qx) OVER w AS bx, lead(qy) OVER w AS by_
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+    s AS (SELECT * FROM seg WHERE bx IS NOT NULL
+          AND GREATEST(abs(bx - ax), abs(by_ - ay)) <= {CORR_CAP_Q}),
+    p AS (SELECT doc_id, CAST(floor({dx_} * {CORR_QS}) AS BIGINT) AS px,
+                 CAST(floor({dy_} * {CORR_QS}) AS BIGINT) AS py
+          FROM documents),
+    m AS (SELECT s.user_id, p.doc_id,
+                 (s.bx - s.ax) AS vx, (s.by_ - s.ay) AS vy,
+                 (p.px - s.ax) AS wx, (p.py - s.ay) AS wy,
+                 (p.px - s.bx) AS ux, (p.py - s.by_) AS uy
+          FROM s, p),
+    near AS (SELECT DISTINCT user_id, doc_id FROM m
+             WHERE CASE
+                 WHEN vx * wx + vy * wy <= 0
+                     THEN wx * wx + wy * wy <= {r2}
+                 WHEN vx * wx + vy * wy >= vx * vx + vy * vy
+                     THEN ux * ux + uy * uy <= {r2}
+                 ELSE (vx * wy - vy * wx) * (vx * wy - vy * wx)
+                      <= {r2} * (vx * vx + vy * vy)
+                 END)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM near GROUP BY user_id"""
+
+
+@register("corridor_doc_counts", sql=_corridor_sql)
+def corridor_doc_counts(sf_dir: str):
+    """CORRIDOR JOIN (``ST_DWithin`` point-to-LINESTRING — route-matching /
+    buffer-intersect): per user trajectory, how many distinct documents
+    lie within 0.1° of ANY path segment. Integer point-to-segment
+    distance on the 10⁻⁴° lattice (endpoint / projection / cross²·len2
+    branches — division-free, every product inside int64 on BOTH sides),
+    so the O(n·m) SQL twin matches exactly.
+
+    Distribution: segments cover the grid cells of their r-inflated bbox
+    (≤ 3×3 at these caps), points land home; ONE cell shuffle cogroups
+    candidates; per-cell chunked segment×point distance matrices emit
+    candidate (user, doc) pairs, deduped by one (user, doc) shuffle into
+    per-user partial counts — no O(n·m) scan, no driver state."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    r2 = CORR_R_Q * CORR_R_Q
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(eid)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "qx": pa.array(np.floor(x * CORR_QS).astype(np.int64)),
+            "qy": pa.array(np.floor(y * CORR_QS).astype(np.int64))})
+
+    def make_segments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        qx = df["qx"].to_numpy(np.int64)
+        qy = df["qy"].to_numpy(np.int64)
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[:-1] = u[1:] == u[:-1]
+            same[-1] = False
+        ax, ay = qx[same], qy[same]
+        nxt = np.flatnonzero(same) + 1
+        bx, by = qx[nxt], qy[nxt]
+        keep = np.maximum(np.abs(bx - ax), np.abs(by - ay)) <= CORR_CAP_Q
+        return pd.DataFrame({"user_id": u[same][keep],
+                             "ax": ax[keep], "ay": ay[keep],
+                             "bx": bx[keep], "by": by[keep]})
+
+    segs = grouped_apply(ev.map_batches(to_rows, batch_format="pyarrow"),
+                         ["user_id"], make_segments, num_buckets=16)
+
+    def seg_cover(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ax = t["ax"].to_numpy(zero_copy_only=False)
+        ay = t["ay"].to_numpy(zero_copy_only=False)
+        bx = t["bx"].to_numpy(zero_copy_only=False)
+        by = t["by"].to_numpy(zero_copy_only=False)
+        x0 = (np.minimum(ax, bx) - CORR_R_Q) / CORR_QS
+        x1 = (np.maximum(ax, bx) + CORR_R_Q) / CORR_QS
+        y0 = (np.minimum(ay, by) - CORR_R_Q) / CORR_QS
+        y1 = (np.maximum(ay, by) + CORR_R_Q) / CORR_QS
+        lox, loy = cells.cell_xy(x0, y0, CORR_RES)
+        hix, hiy = cells.cell_xy(x1, y1, CORR_RES)
+        nx, ny = hix - lox + 1, hiy - loy + 1
+        cnt = nx * ny
+        idx = np.repeat(np.arange(len(uid), dtype=np.int64), cnt)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        k = np.arange(int(cnt.sum()), dtype=np.int64) - starts[idx]
+        kx = k % nx[idx]
+        ky = k // nx[idx]
+        cellv = ((np.int64(CORR_RES) << cells.RES_SHIFT)
+                 | ((loy[idx] + ky) << cells.IY_SHIFT) | (lox[idx] + kx))
+        return pa.table({"cell": pa.array(cellv), "side": pa.array(
+                             np.zeros(len(idx), np.int8)),
+                         "id": pa.array(uid[idx].astype(np.int64)),
+                         "ax": pa.array(ax[idx]), "ay": pa.array(ay[idx]),
+                         "bx": pa.array(bx[idx]), "by": pa.array(by[idx])})
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(ids)
+        px = np.floor(x * CORR_QS).astype(np.int64)
+        py = np.floor(y * CORR_QS).astype(np.int64)
+        ix, iy = cells.cell_xy(px / CORR_QS, py / CORR_QS, CORR_RES)
+        cellv = ((np.int64(CORR_RES) << cells.RES_SHIFT)
+                 | (iy << cells.IY_SHIFT) | ix)
+        return pa.table({"cell": pa.array(cellv), "side": pa.array(
+                             np.ones(len(ids), np.int8)),
+                         "id": pa.array(ids.astype(np.int64)),
+                         "ax": pa.array(px), "ay": pa.array(py),
+                         "bx": pa.array(px), "by": pa.array(py)})
+
+    tagged = segs.map_batches(seg_cover, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow"))
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cell", sort=False):
+            sgs = g[g["side"] == 0]
+            pts = g[g["side"] == 1]
+            if sgs.empty or pts.empty:
+                continue
+            uid = sgs["id"].to_numpy(np.int64)
+            ax = sgs["ax"].to_numpy(np.int64)
+            ay = sgs["ay"].to_numpy(np.int64)
+            bx = sgs["bx"].to_numpy(np.int64)
+            by = sgs["by"].to_numpy(np.int64)
+            did = pts["id"].to_numpy(np.int64)
+            px = pts["ax"].to_numpy(np.int64)
+            py = pts["ay"].to_numpy(np.int64)
+            vx, vy = bx - ax, by - ay
+            len2 = vx * vx + vy * vy
+            chunk = 512
+            for lo in range(0, len(uid), chunk):
+                sl = slice(lo, min(lo + chunk, len(uid)))
+                wx = px[None, :] - ax[sl, None]
+                wy = py[None, :] - ay[sl, None]
+                ux = px[None, :] - bx[sl, None]
+                uy = py[None, :] - by[sl, None]
+                dot = vx[sl, None] * wx + vy[sl, None] * wy
+                cross = vx[sl, None] * wy - vy[sl, None] * wx
+                near = np.where(
+                    dot <= 0, wx * wx + wy * wy <= r2,
+                    np.where(dot >= len2[sl, None],
+                             ux * ux + uy * uy <= r2,
+                             cross * cross <= r2 * len2[sl, None]))
+                ia, ib = np.nonzero(near)
+                if len(ia):
+                    outs.append(pd.DataFrame({
+                        "user_id": uid[sl][ia], "doc_id": did[ib]}))
+        if not outs:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    cands = grouped_apply(tagged, ["cell"], per_cell, num_buckets=16)
+    dedup = grouped_apply(cands, ["user_id", "doc_id"],
+                          lambda df: df.drop_duplicates(), num_buckets=16)
+    return partial_group_counts(dedup, ["user_id"], count_col="n_docs")

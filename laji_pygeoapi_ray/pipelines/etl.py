@@ -64,6 +64,45 @@ def _enrich(ds, layers_ref, concurrency) -> "ray.data.Dataset":
     return ds.map_batches(imgsrc.local_id, batch_format="pyarrow")
 
 
+def shard_checksum(shard_dir: str) -> int:
+    """Order-independent content checksum of a written shard: XOR of
+    mix64(polyhash(image_id)) over every row (one narrow column read).
+    Recorded in the manifest at write time; :func:`verify_etl_output`
+    recomputes it to prove a partition survived intact — the anti-entropy
+    check a resumable 100-TB sink runs before trusting a resume skip
+    (same hash construction as the ``table_checksum_ranges`` query)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions import textkernels as tk
+
+    files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+    acc = np.uint64(0)
+    for f in files:
+        col = pq.read_table(f, columns=["image_id"])["image_id"]
+        if len(col):
+            acc ^= np.bitwise_xor.reduce(tk.poly_mix_hash(
+                col.combine_chunks()))
+    return int(acc)
+
+
+def verify_etl_output(out_dir: str) -> dict:
+    """Recompute every done shard's checksum against the manifest —
+    returns {shard_id: bool}. A False entry means the partition on disk
+    no longer matches what the run recorded (corruption or partial
+    rewrite) and must be re-run rather than resume-skipped."""
+    manifest = RunManifest(out_dir, TRANSFORM_VERSION)
+    out = {}
+    for shard_id, entry in manifest.data.get("shards", {}).items():
+        if entry.get("status") != "done":
+            continue
+        want = entry.get("counters", {}).get("checksum_xor")
+        shard_dir = os.path.join(out_dir, "shards", shard_id)
+        out[shard_id] = (want is not None and os.path.isdir(shard_dir)
+                         and shard_checksum(shard_dir) == want)
+    return out
+
+
 def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
             resume: bool = True) -> RunManifest:
     """Enrich+append phase with per-shard resume."""
@@ -120,7 +159,9 @@ def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
                            counters={"rows": rows,
                                      "min_psnr_db": float(pc.min(
                                          stats["psnr"]).as_py()),
-                                     "fmt_counts": fmt_counts})
+                                     "fmt_counts": fmt_counts,
+                                     "checksum_xor": shard_checksum(
+                                         shard_dir)})
     done = [s for s in manifest.data["shards"].values()
             if s["status"] == "done"]
     manifest.set_counters({

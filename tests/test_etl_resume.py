@@ -386,3 +386,38 @@ def test_cell_index_prunes_files():
     n_all = len(glob.glob(os.path.join(out, "**", "*.parquet"),
                           recursive=True))
     assert pruned.input_files() and len(pruned.input_files()) < n_all
+
+
+def test_etl_checksum_verifies_and_flags_corruption(tmp_path):
+    """The manifest records a per-shard content checksum at write time;
+    verify_etl_output recomputes it — all True on a clean run, False for
+    a shard whose parquet was tampered with after the fact."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from laji_pygeoapi_ray.pipelines import etl
+
+    out = str(tmp_path / "out")
+    m = etl.run_etl(SF_UNIT, out, shards=4)
+    done = [s for s, e in m.data["shards"].items() if e["status"] == "done"]
+    assert done
+    ok = etl.verify_etl_output(out)
+    assert ok and all(ok.values()), ok
+
+    # tamper: rewrite one shard file with one image_id changed
+    victim = done[0]
+    f = sorted(glob.glob(os.path.join(out, "shards", victim,
+                                      "*.parquet")))[0]
+    t = pq.read_table(f)
+    ids = t["image_id"].to_pylist()
+    ids[0] = ids[0] + "_corrupt"
+    import pyarrow as pa
+    t = t.set_column(t.schema.get_field_index("image_id"), "image_id",
+                     pa.array(ids, pa.string()))
+    pq.write_table(t, f)
+
+    ok2 = etl.verify_etl_output(out)
+    assert ok2[victim] is False
+    assert all(v for s, v in ok2.items() if s != victim)

@@ -300,3 +300,111 @@ def str_rtree_leaves(sf_dir: str):
         lambda t: t.rename_columns(["leaf", "n", "min_x", "max_x",
                                     "min_y", "max_y"]),
         batch_format="pyarrow")
+
+
+# ------------------------- temporal zone-map / partition-pruned read
+
+TP_DAY_US = 86_400_000_000
+# exact query window: 2024-01-10 06:00 → 2024-01-13 18:00 (µs epoch) —
+# deliberately mid-day so boundary partitions are READ but only
+# partially HIT (scanned > hits measures the read amplification)
+TP_T0 = 1_704_866_400_000_000
+TP_T1 = 1_705_168_800_000_000
+TP_VERSION = 1
+
+
+def _events_day_layout(sf_dir: str) -> str:
+    """Idempotent layout step: events re-written TIME-PARTITIONED (hive
+    ``day=<epoch-day>/`` directories) under /tmp — the temporal sibling
+    of the Hilbert spatial layout. At scale this is the streaming
+    partitioned sink every event table gets written through anyway."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}v{TP_VERSION}".encode()).hexdigest()[:12]
+    out = f"/tmp/laji_ray_events_days/{tag}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "value"])
+
+    def tag_day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return t.append_column("day", pa.array(ts // TP_DAY_US))
+
+    os.makedirs(out, exist_ok=True)
+    ds.map_batches(tag_day, batch_format="pyarrow") \
+        .write_parquet(out, partition_cols=["day"])
+    open(marker, "w").close()
+    return out
+
+
+@register("time_pruned_read", sql=f"""
+    WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, value
+               FROM events),
+    d AS (SELECT tus, value, tus // {TP_DAY_US} AS day FROM e)
+    SELECT
+      CAST((SELECT COUNT(DISTINCT day) FROM d) AS BIGINT) AS n_files_total,
+      CAST((SELECT COUNT(DISTINCT day) FROM d
+            WHERE day BETWEEN {TP_T0 // TP_DAY_US} AND {TP_T1 // TP_DAY_US})
+          AS BIGINT) AS n_files_read,
+      CAST((SELECT COUNT(*) FROM d
+            WHERE day BETWEEN {TP_T0 // TP_DAY_US} AND {TP_T1 // TP_DAY_US})
+          AS BIGINT) AS n_scanned,
+      CAST((SELECT COUNT(*) FROM d
+            WHERE tus >= {TP_T0} AND tus < {TP_T1}) AS BIGINT) AS n_hits,
+      CAST((SELECT COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+                            0)
+            FROM d WHERE tus >= {TP_T0} AND tus < {TP_T1}) AS BIGINT)
+          AS sum_value_q""")
+def time_pruned_read(sf_dir: str):
+    """Temporal partition pruning end-to-end (the time-axis sibling of
+    `hilbert_pruned_read`): events written once into a day-partitioned
+    hive layout, then a time-range query PRUNES AT THE READ — only the
+    partitions whose day range overlaps the predicate are opened (pure
+    directory metadata, zero data I/O for the rest), the exact µs filter
+    runs inside map_batches over the survivors, and the result reports
+    the prune ratio (files read / total) next to the exact hit count and
+    value sum. The oracle recomputes all five numbers from the raw
+    table."""
+    import glob
+    import os
+
+    import ray.data
+
+    path = _events_day_layout(sf_dir)
+    dirs = sorted(glob.glob(os.path.join(path, "day=*")))
+    days = np.array([int(d.rsplit("=", 1)[1]) for d in dirs])
+    lo, hi = TP_T0 // TP_DAY_US, TP_T1 // TP_DAY_US
+    keep = [d for d, dy in zip(dirs, days) if lo <= dy <= hi]
+    n_total, n_read = len(dirs), len(keep)
+
+    files = sorted(f for d in keep
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    ds = ray.data.read_parquet(files, columns=["ts", "value"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hit = (ts >= TP_T0) & (ts < TP_T1)
+        vq = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "scanned": pa.array([len(ts)], pa.int64()),
+            "hits": pa.array([int(hit.sum())], pa.int64()),
+            "sv": pa.array([int(vq[hit].sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(scan, batch_format="pyarrow").aggregate(
+        Sum("scanned", alias_name="s"), Sum("hits", alias_name="h"),
+        Sum("sv", alias_name="sv"))
+    return pa.table({
+        "n_files_total": pa.array([n_total], pa.int64()),
+        "n_files_read": pa.array([n_read], pa.int64()),
+        "n_scanned": pa.array([int(agg["s"])], pa.int64()),
+        "n_hits": pa.array([int(agg["h"])], pa.int64()),
+        "sum_value_q": pa.array([int(agg["sv"])], pa.int64())})

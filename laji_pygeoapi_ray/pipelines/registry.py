@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     "image_hash_topk_certified", "nn_spacing_province",
     "str_rtree_leaves", "kmv_distinct_by_type", "table_checksum_ranges",
     "cell_image_doc_join", "pq_code_assign_certified",
-    "corridor_doc_counts", "time_pruned_read",
+    "corridor_doc_counts", "time_pruned_read", "neyman_allocation_sample",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

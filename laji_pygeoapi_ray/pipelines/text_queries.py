@@ -1484,3 +1484,114 @@ def table_checksum_ranges(sf_dir: str):
             "checksum": pd.Series([c for _, _, c in rows], dtype="uint64")})
 
     return grouped_apply(part, ["range_id"], finish, num_buckets=8)
+
+
+# --------------------- variance-weighted (Neyman) stratified allocation
+
+ALLOC_TOTAL = 100      # total sample size to allocate across strata
+
+
+def _neyman_sql() -> str:
+    return f"""
+    WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                       CAST(SUM(n_chars) AS BIGINT) AS sq,
+                       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq2
+                FROM documents GROUP BY lang),
+    v AS (SELECT lang, n_pop, n_pop * sq2 - sq * sq AS v FROM st),
+    s0 AS (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS r
+           FROM v),
+    s1 AS (SELECT lang, n_pop, v,
+                  CASE WHEN r * r > v THEN r - 1
+                       WHEN (r + 1) * (r + 1) <= v THEN r + 1
+                       ELSE r END AS s
+           FROM s0),
+    tot AS (SELECT SUM(s) AS w FROM s1),
+    alloc AS (SELECT lang, n_pop, s AS s_weight,
+                     LEAST(({ALLOC_TOTAL} * s) // tot.w, n_pop) AS n_alloc
+              FROM s1 CROSS JOIN tot),
+    h AS (SELECT lang, doc_id, {sampling.sql_id_hash('doc_id')} AS h
+          FROM documents),
+    rk AS (SELECT lang, row_number() OVER (PARTITION BY lang
+                                           ORDER BY h, doc_id) AS rk
+           FROM h),
+    sel AS (SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_sel
+            FROM rk r JOIN alloc a USING (lang)
+            WHERE r.rk <= a.n_alloc GROUP BY r.lang)
+    SELECT a.lang, a.n_pop, CAST(a.s_weight AS BIGINT) AS s_weight,
+           CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           CAST(COALESCE(sel.n_sel, 0) AS BIGINT) AS n_sel
+    FROM alloc a LEFT JOIN sel USING (lang)"""
+
+
+@register("neyman_allocation_sample", sql=_neyman_sql)
+def neyman_allocation_sample(sf_dir: str):
+    """Variance-weighted stratified sampling (the Neyman-allocation shape
+    n_h ∝ N_h·σ_h): stratum weight = isqrt(N_h·Σq² − (Σq)²) — the exact
+    integer √(N²·variance), so the allocation is integer-reproducible on
+    both sides (the SQL twin corrects float sqrt by one Newton step).
+    Pass 1 computes per-stratum (N, Σq, Σq²) partials (tiny groupby,
+    driver state = one row per stratum); pass 2 SELECTS each stratum's
+    n_h docs by Knuth-hash priority (per-batch per-stratum top-n_h
+    partials — the corpus never shuffles) and reports the realized
+    sample size next to the allocation."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.sampling import id_hash
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        q = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"lang": t["lang"], "n": pa.array(
+                          np.ones(len(q), np.int64)),
+                      "sq": pa.array(q), "sq2": pa.array(q * q)}) \
+            .group_by(["lang"]).aggregate(
+                [("n", "sum"), ("sq", "sum"), ("sq2", "sum")])
+        return g.rename_columns(["lang", "n", "sq", "sq2"])
+
+    stats = (ds.map_batches(stat_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("lang").aggregate(
+                 Sum("n", alias_name="n"), Sum("sq", alias_name="sq"),
+                 Sum("sq2", alias_name="sq2"))).take_all()
+    rows = []
+    for r in stats:
+        v = int(r["n"]) * int(r["sq2"]) - int(r["sq"]) ** 2
+        rows.append((str(r["lang"]), int(r["n"]), math.isqrt(v)))
+    wsum = sum(s for _, _, s in rows)
+    alloc = {lang: min((ALLOC_TOTAL * s) // wsum, n)
+             for lang, n, s in rows}
+
+    def pick_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["h"] = id_hash(df["doc_id"].to_numpy(np.int64))
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        keep = df.groupby("lang", sort=False).cumcount() \
+            < df["lang"].map(alloc).fillna(0).to_numpy(np.int64)
+        return df.loc[keep, ["lang", "doc_id", "h"]]
+
+    partials = ds.map_batches(pick_partial, batch_format="pandas",
+                              batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        keep = df.groupby("lang", sort=False).cumcount() \
+            < df["lang"].map(alloc).fillna(0).to_numpy(np.int64)
+        sel = df.loc[keep]
+        return sel.groupby("lang", sort=False).size().reset_index(
+            name="n_sel")
+
+    counts = {r["lang"]: int(r["n_sel"])
+              for r in grouped_apply(partials, ["lang"], merge,
+                                     num_buckets=4).take_all()}
+    langs = sorted(l for l, _, _ in rows)
+    by = {l: (n, s) for l, n, s in rows}
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_pop": pa.array([by[l][0] for l in langs], pa.int64()),
+        "s_weight": pa.array([by[l][1] for l in langs], pa.int64()),
+        "n_alloc": pa.array([alloc[l] for l in langs], pa.int64()),
+        "n_sel": pa.array([counts.get(l, 0) for l in langs], pa.int64())})

@@ -781,3 +781,33 @@ def cell_image_doc_join(sf_dir: str):
     j = hash_join(ni, nd, on=["cell7"], num_buckets=16)
     return j.map_batches(lambda t: t.select(["cell7", "n_img", "n_doc"]),
                          batch_format="pyarrow")
+
+
+@register("image_transcode_verify", sql=lambda: f"""
+    SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_roundtrip_ok
+    FROM {_img_path_sql(ORACLE_N)} GROUP BY fmt""")
+def image_transcode_verify(sf_dir: str):
+    """The WRITE path of the multimodal pipeline: decode → re-encode as
+    lossless PNG (storage-format normalization) → decode again → require
+    exact pixel equality. The twin pins n = n_roundtrip_ok per fmt (the
+    decode-verify trust model: an encoder regression breaks the driver
+    hash). Actor pool, small batches, bytes dropped at the boundary."""
+    import pyarrow.compute as pc
+
+    from ..stages.images import TranscodeStage
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(TranscodeStage, batch_format="pyarrow",
+                        batch_size=512, concurrency=fixed_pool(),
+                        num_cpus=1)
+
+    def gates(t: pa.Table) -> pa.Table:
+        return pa.table({"fmt": t["fmt"],
+                         "ok": pc.cast(t["transcode_ok"], pa.int64())})
+
+    agg = ds.map_batches(gates, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Count(alias_name="n"), Sum("ok", alias_name="n_roundtrip_ok"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "n", "n_roundtrip_ok"]),
+        batch_format="pyarrow")

@@ -175,3 +175,35 @@ class ImageEmbedStage:
         if self.drop_bytes and "bytes" in batch.column_names:
             batch = batch.drop_columns(["bytes"])
         return batch
+
+
+class TranscodeStage:
+    """Actor stage: decode each row and RE-ENCODE it as lossless PNG (the
+    write path of an image pipeline — normalization to one storage
+    format), then decode the re-encoded bytes and require EXACT pixel
+    equality (PNG is lossless, so any mismatch is an encoder/decoder
+    regression). Emits ``transcode_ok`` plus the re-encoded size; bytes
+    are dropped at the stage boundary (the payload never travels on)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        datas = batch["bytes"].to_pylist()
+        ok = np.zeros(len(batch), dtype=bool)
+        out_bytes = np.zeros(len(batch), dtype=np.int64)
+        for i, (fmt, data) in enumerate(zip(fmts, datas)):
+            try:
+                img = codec.decode(data, fmt)
+                enc = codec.png_encode(img)
+                rt = codec.png_decode(enc)
+                ok[i] = rt.shape == img.shape and bool((rt == img).all())
+                out_bytes[i] = len(enc)
+            except Exception:
+                if self.strict:
+                    raise
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column("transcode_ok", pa.array(ok))
+        return out.append_column("png_bytes", pa.array(out_bytes))

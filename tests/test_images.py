@@ -202,3 +202,29 @@ def test_augment_stage_invariants_are_measured():
     # not preserve this image's sum — i.e. the flag tracks real pixels
     other = codec.procedural_image(124, 32, 64)
     assert int(other.sum(dtype=np.int64)) != int(img.sum(dtype=np.int64))
+
+
+def test_transcode_stage_roundtrip_and_degrade():
+    """Exact PNG roundtrip on good rows; corrupt bytes degrade to
+    transcode_ok=False (strict=False) instead of killing the batch."""
+    import pyarrow as pa
+
+    from laji_pygeoapi_ray.sources.images import images_table
+    from laji_pygeoapi_ray.stages.images import TranscodeStage
+
+    t = images_table(6)
+    good = TranscodeStage()(t)
+    assert good["transcode_ok"].to_pylist() == [True] * 6
+    assert all(b > 0 for b in good["png_bytes"].to_pylist())
+    assert "bytes" not in good.column_names
+
+    data = t.to_pydict()
+    data["bytes"][2] = b"not an image"
+    bad = TranscodeStage()(pa.Table.from_pydict(data, schema=t.schema))
+    oks = bad["transcode_ok"].to_pylist()
+    assert oks[2] is False and sum(oks) == 5
+    import pytest
+
+    with pytest.raises(Exception):
+        TranscodeStage(strict=True)(pa.Table.from_pydict(data,
+                                                         schema=t.schema))

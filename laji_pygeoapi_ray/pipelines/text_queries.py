@@ -1332,6 +1332,19 @@ def _dsir_sql() -> str:
     WHERE rank <= {DSIR_K}"""
 
 
+def _dsir_check_totals(tt: int, rt: int) -> None:
+    """Loud precondition (the sentinel-guard rule): per-gram score
+    contributions are bounded by tt·rt, and a doc of ≤2^13 grams must
+    stay inside int64 — beyond 2^48, normalize per bucket (divide T,R by
+    their GCD or switch to the quantized log-ratio form) before
+    scoring."""
+    if tt * rt > (1 << 48):
+        raise ValueError(
+            f"dsir_importance_topk: gram totals too large for the "
+            f"integer cross-difference (tt*rt = {tt * rt} > 2^48); "
+            f"bucket-normalize the distributions before scoring")
+
+
 @register("dsir_importance_topk", sql=_dsir_sql)
 def dsir_importance_topk(sf_dir: str):
     """Data selection via importance resampling, DSIR-shaped (hashed
@@ -1385,6 +1398,7 @@ def dsir_importance_topk(sf_dir: str):
         T[int(r["b"])] = int(r["tn"])
         R[int(r["b"])] = int(r["rn"])
     tt, rt = int(T.sum()), int(R.sum())
+    _dsir_check_totals(tt, rt)
     ref = ray.put((T, R))
 
     def score(t: pa.Table) -> pa.Table:

@@ -134,3 +134,16 @@ def test_lance_gate_contract():
     b = read_table("/root/testdata/sf0.001", "documents",
                    ["doc_id"]).to_pandas().sort_values("doc_id")
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_dsir_gram_total_bound_enforced():
+    """The DSIR integer cross-difference requires tt*rt <= 2^48; beyond
+    it the scorer must fail loudly with the normalization advice rather
+    than silently overflow int64."""
+    import pytest
+
+    from laji_pygeoapi_ray.pipelines.text_queries import _dsir_check_totals
+
+    _dsir_check_totals(1 << 20, 1 << 20)          # fine
+    with pytest.raises(ValueError, match="bucket-normalize"):
+        _dsir_check_totals(1 << 30, 1 << 30)

@@ -138,3 +138,25 @@ def sql_cell_bounds(cell: str, res: int) -> tuple[str, str, str, str]:
             f"({_d(FIN_Y0)} + {iy} * {ch})",
             f"({_d(FIN_X0)} + ({ix} + CAST(1.0 AS DOUBLE)) * {cw})",
             f"({_d(FIN_Y0)} + ({iy} + CAST(1.0 AS DOUBLE)) * {ch})")
+
+
+def enumerate_cover(lox: np.ndarray, hix: np.ndarray,
+                    loy: np.ndarray, hiy: np.ndarray,
+                    res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-row cell-rectangle enumeration: row i expands to
+    every cell id in [lox[i], hix[i]] × [loy[i], hiy[i]] (inclusive index
+    ranges, already clipped by the caller). Returns (idx, cell) — idx maps
+    each output cell back to its source row. Shared by the bbox-cover
+    explodes (rectangle-overlap join, corridor join, segment crossings
+    shape)."""
+    nx = hix - lox + 1
+    ny = hiy - loy + 1
+    cnt = nx * ny
+    total = int(cnt.sum())
+    idx = np.repeat(np.arange(len(lox), dtype=np.int64), cnt)
+    starts = np.cumsum(cnt) - cnt
+    k = np.arange(total, dtype=np.int64) - starts[idx]
+    jx = lox[idx] + k % nx[idx]
+    jy = loy[idx] + k // nx[idx]
+    cell = (np.int64(res) << RES_SHIFT) | (jy << IY_SHIFT) | jx
+    return idx, cell

@@ -122,7 +122,13 @@ def run_etl(sf_dir: str, out_dir: str, *, shards: int = 4,
         shard_id = f"shard_{i:04d}"
         shard_dir = os.path.join(out_dir, "shards", shard_id)
         if resume and manifest.is_done(shard_id) and os.path.isdir(shard_dir):
-            continue
+            want = manifest.data["shards"][shard_id].get(
+                "counters", {}).get("checksum_xor")
+            if want is None or shard_checksum(shard_dir) == want:
+                continue
+            # recorded checksum no longer matches the bytes on disk —
+            # the resume skip cannot be trusted; fall through and
+            # rewrite the shard (the verify-before-skip contract)
         tmp = shard_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(shard_dir, ignore_errors=True)

@@ -2262,15 +2262,7 @@ def corridor_doc_counts(sf_dir: str):
         y1 = (np.maximum(ay, by) + CORR_R_Q) / CORR_QS
         lox, loy = cells.cell_xy(x0, y0, CORR_RES)
         hix, hiy = cells.cell_xy(x1, y1, CORR_RES)
-        nx, ny = hix - lox + 1, hiy - loy + 1
-        cnt = nx * ny
-        idx = np.repeat(np.arange(len(uid), dtype=np.int64), cnt)
-        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-        k = np.arange(int(cnt.sum()), dtype=np.int64) - starts[idx]
-        kx = k % nx[idx]
-        ky = k // nx[idx]
-        cellv = ((np.int64(CORR_RES) << cells.RES_SHIFT)
-                 | ((loy[idx] + ky) << cells.IY_SHIFT) | (lox[idx] + kx))
+        idx, cellv = cells.enumerate_cover(lox, hix, loy, hiy, CORR_RES)
         return pa.table({"cell": pa.array(cellv), "side": pa.array(
                              np.zeros(len(idx), np.int8)),
                          "id": pa.array(uid[idx].astype(np.int64)),

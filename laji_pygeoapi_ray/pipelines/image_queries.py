@@ -767,8 +767,8 @@ def cell_image_doc_join(sf_dir: str):
     ni = partial_group_counts(img.map_batches(derive, batch_format="pyarrow"),
                               ["cell7"], count_col="n_img")
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
+    from ..sources.parquet import read_table
+    docs = read_table(sf_dir, "documents", ["doc_id"])
 
     def derive_docs(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

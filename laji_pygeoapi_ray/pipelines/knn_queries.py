@@ -716,7 +716,7 @@ def nn_spacing_province(sf_dir: str):
 
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         q = np.floor(df["d2"].to_numpy(np.float64)
-                     * np.float64(1000000000.0) + np.float64(0.5))
+                     * np.float64(float(NN_QUANT)) + np.float64(0.5))
         return pd.DataFrame({"doc_id": df["query_id"].astype(np.int64),
                              "d2q": q.astype(np.int64)})
 

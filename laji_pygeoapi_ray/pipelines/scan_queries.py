@@ -249,7 +249,10 @@ def str_rtree_leaves(sf_dir: str):
                                    "y": pd.Series([], dtype="float64"),
                                    "slice": pd.Series([], dtype="int64")}))
 
-    sliced = grouped_apply(base, ["xpart"], slice_assign, num_buckets=16)
+    # materialize: the slice shuffle feeds BOTH the y-count pass and the
+    # leaf pass — without this the hash shuffle re-executes per consumer
+    sliced = grouped_apply(base, ["xpart"], slice_assign,
+                           num_buckets=16).materialize()
 
     def ytag(t: pa.Table) -> pa.Table:
         y = t["y"].to_numpy(zero_copy_only=False)
@@ -326,6 +329,8 @@ def _events_day_layout(sf_dir: str) -> str:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
+    import shutil
+
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -336,9 +341,16 @@ def _events_day_layout(sf_dir: str) -> str:
             .astype("datetime64[us]").astype(np.int64)
         return t.append_column("day", pa.array(ts // TP_DAY_US))
 
-    os.makedirs(out, exist_ok=True)
+    # atomic materialization (the materialize_images pattern): write into
+    # a .tmp sibling and os.replace — an interrupted first run can never
+    # leave partial day=*/ files that a rerun would append to
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     ds.map_batches(tag_day, batch_format="pyarrow") \
-        .write_parquet(out, partition_cols=["day"])
+        .write_parquet(tmp, partition_cols=["day"])
+    os.replace(tmp, out)
     open(marker, "w").close()
     return out
 

@@ -1412,6 +1412,11 @@ def dsir_importance_topk(sf_dir: str):
             return empty
         T_, R_ = ray.get(ref)
         b, counts, starts = buckets_of(t)
+        if counts.size and int(counts.max()) > (1 << 13):
+            raise ValueError(
+                f"dsir_importance_topk: a document has {int(counts.max())} "
+                f"bigrams (> 2^13) — the per-doc score bound G*tt*rt no "
+                f"longer fits int64; split long documents before scoring")
         has = counts > 0
         if not has.any():
             return empty
@@ -1576,6 +1581,11 @@ def neyman_allocation_sample(sf_dir: str):
         v = int(r["n"]) * int(r["sq2"]) - int(r["sq"]) ** 2
         rows.append((str(r["lang"]), int(r["n"]), math.isqrt(v)))
     wsum = sum(s for _, _, s in rows)
+    if wsum == 0:
+        raise ValueError(
+            "neyman_allocation_sample: every stratum has zero variance "
+            "(all weights 0) — variance-weighted allocation is undefined; "
+            "use proportional allocation (weight = N_h) instead")
     alloc = {lang: min((ALLOC_TOTAL * s) // wsum, n)
              for lang, n, s in rows}
 

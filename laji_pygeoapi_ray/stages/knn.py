@@ -416,17 +416,7 @@ def rect_overlap_pairs(rects_ds, *, res: int, num_buckets: int = 64):
         y2 = t["y2"].to_numpy(zero_copy_only=False).astype(np.float64)
         ix0, ix1 = _clip_ix(x1), _clip_ix(x2)
         iy0, iy1 = _clip_iy(y1), _clip_iy(y2)
-        nx = ix1 - ix0 + 1
-        ny = iy1 - iy0 + 1
-        counts = nx * ny
-        total = int(counts.sum())
-        rep = np.repeat(np.arange(len(ids)), counts)
-        starts = np.cumsum(counts) - counts
-        pos = np.arange(total) - np.repeat(starts, counts)
-        jx = ix0[rep] + pos % nx[rep]
-        jy = iy0[rep] + pos // nx[rep]
-        cell = ((np.int64(res) << cells.RES_SHIFT)
-                | (jy << cells.IY_SHIFT) | jx)
+        rep, cell = cells.enumerate_cover(ix0, ix1, iy0, iy1, res)
         return pa.table({"cell": cell, "id": ids[rep],
                          "x1": x1[rep], "x2": x2[rep],
                          "y1": y1[rep], "y2": y2[rep]})

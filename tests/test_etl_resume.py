@@ -421,3 +421,10 @@ def test_etl_checksum_verifies_and_flags_corruption(tmp_path):
     ok2 = etl.verify_etl_output(out)
     assert ok2[victim] is False
     assert all(v for s, v in ok2.items() if s != victim)
+
+    # resume must NOT trust the corrupt shard: the verify-before-skip
+    # path recomputes the checksum, rewrites the shard, and the output
+    # verifies clean again
+    etl.run_etl(SF_UNIT, out, shards=4, resume=True)
+    ok3 = etl.verify_etl_output(out)
+    assert ok3 and all(ok3.values()), ok3

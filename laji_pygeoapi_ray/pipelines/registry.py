@@ -55,7 +55,7 @@ _DRIVER_PRIORITY = [
     "str_rtree_leaves", "kmv_distinct_by_type", "table_checksum_ranges",
     "cell_image_doc_join", "pq_code_assign_certified",
     "corridor_doc_counts", "time_pruned_read", "neyman_allocation_sample",
-    "image_transcode_verify",
+    "image_transcode_verify", "skyline_orders",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -991,3 +991,70 @@ def kmv_distinct_by_type(sf_dir: str):
     return pa.table({"event_type": pa.array(types, pa.string()),
                      "ndv": pa.array(ndv, pa.int64()),
                      "kmv_ok": pa.array(ok, pa.bool_())})
+
+
+def _skyline_sql() -> str:
+    # window formulation of the dominance test (the O(n²) NOT EXISTS twin
+    # is correct but quadratic — tests/test_shuffle_ops.py checks the
+    # kernel against the literal brute-force dominance scan instead):
+    # dominated(b) ⇔ min{d: p' > p_b} ≤ d_b ∨ min{d: p' ≥ p_b} < d_b
+    return """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p,
+                      CAST(epoch_us(o_orderdate) AS BIGINT)
+                          // 86400000000 AS d
+               FROM orders),
+    pp AS (SELECT p, MIN(d) AS md FROM o GROUP BY p),
+    w AS (SELECT p,
+                 MIN(md) OVER (ORDER BY p DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS m1,
+                 MIN(md) OVER (ORDER BY p DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS m2
+          FROM pp)
+    SELECT o.o_orderkey, o.p AS price_q, o.d AS day
+    FROM o JOIN w USING (p)
+    WHERE NOT (COALESCE(w.m1, 9223372036854775807) <= o.d OR w.m2 < o.d)"""
+
+
+@register("skyline_orders", sql=_skyline_sql)
+def skyline_orders(sf_dir: str):
+    """SKYLINE / Pareto-front query (dominance analysis: the orders no
+    other order beats on BOTH higher price and earlier date). Classic
+    distributed shape: each block computes its local skyline vectorized
+    (``pareto_mask_2d``, O(m log m)); the global skyline is provably a
+    subset of the union of local skylines, so one small final pass over
+    the union finishes exactly. Integer cents + epoch-days; the oracle
+    is the literal NOT EXISTS dominance scan (and a brute-force pytest
+    checks the kernel independently)."""
+    from ..stages.stream import pareto_mask_2d
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        day = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_q": pa.array(np.floor(price * 100.0 + 0.5)
+                                .astype(np.int64)),
+            "day": pa.array(day)})
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keep = pareto_mask_2d(t["price_q"].to_numpy(zero_copy_only=False),
+                              t["day"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep))
+
+    local = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .map_batches(local_sky, batch_format="pyarrow")
+    # final exact pass over the (small) union of local skylines
+    return local.repartition(1).map_batches(local_sky,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

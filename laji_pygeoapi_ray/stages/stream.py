@@ -320,3 +320,31 @@ def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
     out_dtypes = {c: ltypes2.get(c, itypes.get(c)) for c in out_cols}
     return grouped_apply(tagged, [key, "__bin"], bucket_fn,
                          num_buckets=num_buckets, out_dtypes=out_dtypes)
+
+
+def pareto_mask_2d(p: "np.ndarray", d: "np.ndarray") -> "np.ndarray":
+    """2-D skyline membership (maximize ``p``, minimize ``d``): True where
+    no other row has (p' ≥ p ∧ d' ≤ d) with at least one strict. Exact
+    duplicates on the front all survive (neither dominates). Vectorized:
+    per-price min-d, exclusive/inclusive running minima over descending
+    price, two comparisons — O(n log n).
+
+    dominated(b) ⇔ min{d' : p' > p_b} ≤ d_b  ∨  min{d' : p' ≥ p_b} < d_b
+    (the second catches equal-price strictly-earlier rows; b itself never
+    triggers it since d_b < d_b is false)."""
+    import numpy as np
+
+    p = np.asarray(p, dtype=np.int64)
+    d = np.asarray(d, dtype=np.int64)
+    uniq, inv = np.unique(p, return_inverse=True)      # ascending prices
+    md = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(md, inv, d)
+    # running minima over DESCENDING price
+    md_desc = md[::-1]
+    m2_desc = np.minimum.accumulate(md_desc)           # inclusive
+    m1_desc = np.empty_like(m2_desc)                   # exclusive
+    m1_desc[0] = np.iinfo(np.int64).max
+    m1_desc[1:] = m2_desc[:-1]
+    m1 = m1_desc[::-1][inv]
+    m2 = m2_desc[::-1][inv]
+    return ~((m1 <= d) | (m2 < d))

@@ -192,3 +192,22 @@ def test_heavy_hitters_exact_and_certification():
     ds = ray.data.from_pandas(pd.DataFrame({"item": items})).repartition(8)
     out = heavy_hitters_exact(ds, mk, 5, m=2, cand_cap=4)
     assert out["certified"].to_pylist() == [False] * len(out)
+
+
+def test_pareto_mask_matches_bruteforce():
+    """Skyline kernel vs the literal O(n²) dominance scan, including
+    duplicate points and ties on one axis."""
+    import numpy as np
+
+    from laji_pygeoapi_ray.stages.stream import pareto_mask_2d
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 120))
+        p = rng.integers(0, 12, n).astype(np.int64)   # many ties
+        d = rng.integers(0, 12, n).astype(np.int64)
+        got = pareto_mask_2d(p, d)
+        dom = (p[:, None] >= p[None, :]) & (d[:, None] <= d[None, :]) \
+            & ((p[:, None] > p[None, :]) | (d[:, None] < d[None, :]))
+        exp = ~dom.any(axis=0)
+        assert (got == exp).all(), (trial, p, d)

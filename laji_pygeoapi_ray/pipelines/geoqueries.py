@@ -854,6 +854,31 @@ def _morans_consts():
     return n, n_cells, w_pairs
 
 
+def _rook_neighbor_sums(cnt, key: str, n: int):
+    """Σ_j w_ij x_j for rook adjacency via scatter-to-neighbors: each
+    occupied cell sends its count to its ≤4 clipped neighbors; one tiny
+    groupby sums arrivals per target cell. The lattice never materializes
+    and only the occupied-cell count table shuffles."""
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        x = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outc, outn = [], []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            jx, jy = ix + dx, iy + dy
+            ok = (jx >= 0) & (jx <= n - 1) & (jy >= 0) & (jy <= n - 1)
+            outc.append((np.int64(RES) << cells.RES_SHIFT)
+                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+            outn.append(x[ok])
+        return pa.table({key: np.concatenate(outc),
+                         "sx": np.concatenate(outn)})
+
+    return (cnt.map_batches(scatter, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("sx", alias_name="sx")))
+
+
 @register("morans_i_cells", sql=lambda: (lambda n, N, W: f"""
     WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
                  FROM ({_points_cte()})),
@@ -916,22 +941,7 @@ def morans_i_cells(sf_dir: str):
         Sum("degx", alias_name="degx"))
     s, sx2, degx = int(b["s"]), int(b["sx2"]), int(b["degx"])
 
-    def scatter(t: pa.Table) -> pa.Table:
-        cell = t[key].to_numpy(zero_copy_only=False)
-        x = t["n"].to_numpy(zero_copy_only=False)
-        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
-        outc, outn = [], []
-        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            jx, jy = ix + dx, iy + dy
-            ok = (jx >= 0) & (jx <= n - 1) & (jy >= 0) & (jy <= n - 1)
-            outc.append((np.int64(RES) << cells.RES_SHIFT)
-                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
-            outn.append(x[ok])
-        return pa.table({key: np.concatenate(outc),
-                         "sx": np.concatenate(outn)})
-
-    nbr = (cnt.map_batches(scatter, batch_format="pyarrow")
-           .groupby(key).aggregate(Sum("sx", alias_name="sx")))
+    nbr = _rook_neighbor_sums(cnt, key, n)
     joined = hash_join(nbr.map_batches(
         lambda t: t.rename_columns([key, "sx"]), batch_format="pyarrow"),
         cnt, on=[key], num_buckets=16)
@@ -959,6 +969,77 @@ def morans_i_cells(sf_dir: str):
         "num_scaled": np.array([num], np.int64),
         "den_scaled": np.array([den], np.int64),
         "morans_i": np.array([mi], np.float64)})
+
+
+def _lisa_sql() -> str:
+    n, n_cells, _ = _morans_consts()
+    mask = (1 << cells.IY_SHIFT) - 1
+    deg = (f"(4 - CASE WHEN c.ix = 0 THEN 1 ELSE 0 END"
+           f" - CASE WHEN c.ix = {n - 1} THEN 1 ELSE 0 END"
+           f" - CASE WHEN c.iy = 0 THEN 1 ELSE 0 END"
+           f" - CASE WHEN c.iy = {n - 1} THEN 1 ELSE 0 END)")
+    return f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x,
+                 cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+          FROM pts GROUP BY 1),
+    base AS (SELECT CAST(SUM(x) AS BIGINT) AS s FROM c),
+    nb AS (SELECT a.cell, CAST(SUM(b.x) AS BIGINT) AS nsum
+           FROM c a JOIN c b
+           ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1 GROUP BY 1)
+    SELECT c.cell AS cell7, c.x, CAST({deg} AS BIGINT) AS deg,
+           CAST(COALESCE(nb.nsum, 0) AS BIGINT) AS nsum,
+           CAST(({n_cells} * c.x - base.s)
+                * ({n_cells} * COALESCE(nb.nsum, 0) - {deg} * base.s)
+                AS BIGINT) AS li_num
+    FROM c LEFT JOIN nb ON nb.cell = c.cell, base"""
+
+
+@register("local_moran_cells", sql=_lisa_sql)
+def local_moran_cells(sf_dir: str):
+    """Local Moran's I (LISA, Anselin 1995) per occupied res-7 cell over
+    the full-lattice count surface (rook adjacency, empty cells = 0):
+    the hot/cold/outlier classifier behind 'significant cluster' maps.
+    Same scaled-integer trick as the global statistic — with
+    z_i = N·x_i − S the per-cell numerator z_i·Σ_j w_ij z_j becomes
+    li_num = (N·x_i − S)·(N·nsum_i − deg_i·S), pure int64 (neighbors that
+    are EMPTY cells contribute exactly −S each via the deg_i term, so the
+    sparse occupied-cell table is all that ever shuffles). The consumer
+    divides by the global m2 from morans_i_cells. Shape: one partial-count
+    pass, the shared rook scatter, one LEFT bucket join back to the count
+    table (cells with zero occupied neighbors keep nsum = 0)."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    n, n_cells, _ = _morans_consts()
+    key = f"cell{RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    cnt = partial_group_counts(_docs_points(sf_dir), [key]).materialize()
+    s = int(cnt.aggregate(Sum("n", alias_name="s"))["s"])
+
+    nbr = _rook_neighbor_sums(cnt, key, n).map_batches(
+        lambda t: t.rename_columns([key, "nsum"]), batch_format="pyarrow")
+    joined = hash_join(cnt, nbr, on=[key], how="left", num_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        x = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nsum = pc.fill_null(pc.cast(t["nsum"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        deg = (4 - (ix == 0) - (ix == n - 1)
+               - (iy == 0) - (iy == n - 1)).astype(np.int64)
+        z = n_cells * x - s
+        zn = n_cells * nsum - deg * s
+        return pa.table({"cell7": pa.array(cell), "x": pa.array(x),
+                         "deg": pa.array(deg), "nsum": pa.array(nsum),
+                         "li_num": pa.array(z * zn)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ------------------------------------------------------ Hilbert layout key
@@ -1134,14 +1215,10 @@ def _trend_sql() -> str:
     FROM c GROUP BY 1 HAVING COUNT(*) >= 2"""
 
 
-@register("cell_trend_hourly", sql=_trend_sql)
-def cell_trend_hourly(sf_dir: str):
-    """Spatiotemporal trend surface: per res-5 cell, the integer ordinary
-    least-squares slope components of hourly event counts over OBSERVED
-    hours — trend_num/trend_den = (n·Σty − Σt·Σy)/(n·Σt² − (Σt)²), all
-    int64 so block order never matters (the consumer divides). Shape:
-    derive + hour-bucket inside the scan, per-batch (cell, hour) partial
-    counts, one small groupby for the per-cell moment sums."""
+def _event_hour_counts(sf_dir: str):
+    """(cell, hour) → event count over OBSERVED hours: derive + hour-bucket
+    inside the scan, per-batch partial counts — the wide events table never
+    shuffles. Shared by the trend-surface and Mann–Kendall queries."""
     import pyarrow.compute as pc
 
     from ..stages.shuffle import partial_group_counts
@@ -1156,9 +1233,20 @@ def cell_trend_hourly(sf_dir: str):
         return pa.table({"cell": pa.array(cells.encode(x, y, TREND_RES)),
                          "t": pa.array(tt)})
 
-    ct = partial_group_counts(
+    return partial_group_counts(
         ev.map_batches(derive, batch_format="pyarrow"), ["cell", "t"],
         count_col="y")
+
+
+@register("cell_trend_hourly", sql=_trend_sql)
+def cell_trend_hourly(sf_dir: str):
+    """Spatiotemporal trend surface: per res-5 cell, the integer ordinary
+    least-squares slope components of hourly event counts over OBSERVED
+    hours — trend_num/trend_den = (n·Σty − Σt·Σy)/(n·Σt² − (Σt)²), all
+    int64 so block order never matters (the consumer divides). Shape:
+    derive + hour-bucket inside the scan, per-batch (cell, hour) partial
+    counts, one small groupby for the per-cell moment sums."""
+    ct = _event_hour_counts(sf_dir)
 
     def moments(t: pa.Table) -> pa.Table:
         tt = t["t"].to_numpy(zero_copy_only=False)
@@ -1190,6 +1278,79 @@ def cell_trend_hourly(sf_dir: str):
         return out.filter(pa.array(n >= 2))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- Mann–Kendall emerging hotspot
+def _mk_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', TREND_RES)} AS cell,
+                      (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
+                          // {US_PER_HOUR} AS t
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell, t, CAST(COUNT(*) AS BIGINT) AS y
+          FROM e GROUP BY 1, 2),
+    s AS (SELECT a.cell,
+                 CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                               WHEN b.y < a.y THEN -1 ELSE 0 END)
+                      AS BIGINT) AS mk_s
+          FROM c a JOIN c b ON b.cell = a.cell AND b.t > a.t
+          GROUP BY 1),
+    tv AS (SELECT cell,
+                  CAST(SUM(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tie
+           FROM (SELECT cell, y, CAST(COUNT(*) AS BIGINT) AS tk
+                 FROM c GROUP BY 1, 2) GROUP BY 1),
+    nh AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT nh.cell AS cell5, nh.n AS n_hours, s.mk_s,
+           CAST(nh.n * (nh.n - 1) * (2 * nh.n + 5) - tv.tie AS BIGINT)
+               AS var18
+    FROM nh JOIN s ON s.cell = nh.cell JOIN tv ON tv.cell = nh.cell
+    WHERE nh.n >= 2"""
+
+
+@register("mann_kendall_cells", sql=_mk_sql)
+def mann_kendall_cells(sf_dir: str):
+    """Emerging-hotspot trend test (the space-time-cube primitive): per
+    res-5 cell, the Mann–Kendall S statistic of the hourly event-count
+    series over OBSERVED hours plus the tie-corrected variance numerator
+    var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5). Both are
+    pure int64 — no float crosses a block boundary; the consumer forms
+    z = (S∓1)/sqrt(var18/18). Unlike the OLS slope (cell_trend_hourly)
+    the statistic is rank-based, so it needs the cell's full hour series
+    co-located: one hash shuffle of the per-(cell, hour) COUNT table
+    (≤ cells × hours rows — the wide events table never moves), then a
+    vectorized boolean-pairwise sign sum per cell (n ≤ 720 here; at a
+    longer time axis, switch the per-cell kernel to the O(n log n)
+    merge-count). Oracle: per-cell O(n²) self-join on the same counts."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    ct = _event_hour_counts(sf_dir)
+
+    def mk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cell, g in df.groupby("cell", sort=False):
+            yv = g["y"].to_numpy(np.int64)
+            n = len(yv)
+            if n < 2:
+                continue
+            ys = yv[np.argsort(g["t"].to_numpy(np.int64))]
+            gt = ys[None, :] > ys[:, None]       # bool n×n: concordant i<j
+            lt = ys[None, :] < ys[:, None]
+            s = int(np.triu(gt, 1).sum()) - int(np.triu(lt, 1).sum())
+            _, tk = np.unique(ys, return_counts=True)
+            tk = tk.astype(np.int64)
+            tie = int((tk * (tk - 1) * (2 * tk + 5)).sum())
+            rows.append((int(cell), n, s,
+                         n * (n - 1) * (2 * n + 5) - tie))
+        return pd.DataFrame(rows, columns=["cell5", "n_hours", "mk_s",
+                                           "var18"]).astype(np.int64)
+
+    return grouped_apply(ct, ["cell"], mk_bucket, num_buckets=32,
+                         out_dtypes={c: pa.int64() for c in
+                                     ("cell5", "n_hours", "mk_s", "var18")})
 
 
 # ---------------------------------------------- marching-squares case census

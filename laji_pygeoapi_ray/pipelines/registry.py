@@ -56,6 +56,8 @@ _DRIVER_PRIORITY = [
     "cell_image_doc_join", "pq_code_assign_certified",
     "corridor_doc_counts", "time_pruned_read", "neyman_allocation_sample",
     "image_transcode_verify", "skyline_orders",
+    # round-4 third session: spatial statistics + space-time cube
+    "mann_kendall_cells", "local_moran_cells",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -18,7 +18,8 @@ _QUANT = ("list_transform({col}, x -> floor(CAST(x AS DOUBLE) * "
           f"CAST({SCALE!r} AS DOUBLE) + CAST(0.5 AS DOUBLE)))")
 
 
-def _queries_df(sf_dir: str) -> pd.DataFrame:
+def _queries_df(sf_dir: str,
+                cols: tuple = ("vec_id", "embedding")) -> pd.DataFrame:
     """The bounded ANN query set (1 per ``QUERY_MOD`` corpus vectors).
 
     Extraction is DISTRIBUTED: the modulo predicate runs inside
@@ -27,7 +28,7 @@ def _queries_df(sf_dir: str) -> pd.DataFrame:
     (at 100 TB a driver-side ``pq.read_table`` of the corpus is an OOM
     before the pipeline starts). Sorted by vec_id for a deterministic
     query order regardless of block arrival order."""
-    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", list(cols))
 
     def pick(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -93,6 +94,36 @@ def ann_topk_lsh_certified(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qds = ray.data.from_pandas(_queries_df(sf_dir))
     return ann_topk_lsh(ds, qds, K, n_shards=4, n_bits=0, n_tables=1)
+
+
+def _hardneg_sql() -> str:
+    qd = _QUANT.format(col="q.embedding")
+    ed = _QUANT.format(col="e.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+    d AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_dot_product({qd}, {ed}) AS score
+          FROM q, embeddings e WHERE e.label <> q.label)
+    SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM d)
+    WHERE rank <= {K}"""
+
+
+@register("hard_negative_topk", sql=_hardneg_sql)
+def hard_negative_topk(sf_dir: str):
+    """Hard-negative mining for contrastive training: per anchor (the
+    bounded query set), the top-k HIGHEST-similarity corpus vectors with a
+    DIFFERENT label — the nearest wrong-class examples that make the most
+    informative negatives. Same broadcast-matmul shape as `ann_topk_dot`
+    (one quantized integer matmul per batch, per-batch top-k partials, one
+    per-query merge); the label mask is applied inside the scan so
+    same-class rows never become candidates."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = _queries_df(sf_dir, cols=("vec_id", "embedding", "label"))
+    return ann_topk_broadcast(ds, qdf, K, label_col="label")
 
 
 COS_SUB = 250          # subset bound for the exact all-pairs query

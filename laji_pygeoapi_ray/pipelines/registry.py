@@ -57,7 +57,8 @@ _DRIVER_PRIORITY = [
     "corridor_doc_counts", "time_pruned_read", "neyman_allocation_sample",
     "image_transcode_verify", "skyline_orders",
     # round-4 third session: spatial statistics + space-time cube
-    "mann_kendall_cells", "local_moran_cells",
+    "mann_kendall_cells", "local_moran_cells", "ntile_event_buckets",
+    "hard_negative_topk",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -420,3 +420,80 @@ def time_pruned_read(sf_dir: str):
         "n_scanned": pa.array([int(agg["s"])], pa.int64()),
         "n_hits": pa.array([int(agg["h"])], pa.int64()),
         "sum_value_q": pa.array([int(agg["sv"])], pa.int64())})
+
+
+# --------------------------- distributed ntile (equi-depth bucketing)
+
+NT_B = 16          # buckets (the equi-depth partition plan size)
+NT_VPARTS = 64     # fixed value-range partitions for the distributed rank
+NT_V0, NT_V1 = 0.0, 1024.0   # value domain cover (clipped, skew-tolerant)
+
+
+@register("ntile_event_buckets", sql=f"""
+    WITH r AS (SELECT value,
+                      ntile({NT_B}) OVER (ORDER BY value, event_id)
+                          AS bucket
+               FROM events)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM r GROUP BY 1""")
+def ntile_event_buckets(sf_dir: str):
+    """Equi-depth bucketing (ntile) of events by value — the histogram/
+    range-partition PLANNER primitive (each bucket's [min, max] becomes a
+    balanced shard boundary), certified against the SQL window ntile
+    including its uneven-remainder rule (the first n % B buckets take one
+    extra row). Global rank without a global sort: fixed value-range
+    partition (a pure function, totally ordered by construction) →
+    count-per-partition up-sweep (driver holds ≤ NT_VPARTS ints) → one
+    hash shuffle with in-partition vectorized (value, event_id) sort +
+    broadcast offsets — the str_rtree_leaves two-pass scan shape. Bucket
+    assignment from the 0-based rank is pure int64."""
+    from ..stages.shuffle import grouped_apply
+
+    pw = (NT_V1 - NT_V0) / NT_VPARTS
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def vtag(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        vp = np.clip(np.floor((v - NT_V0) / pw).astype(np.int64),
+                     0, NT_VPARTS - 1)
+        return pa.table({"event_id": t["event_id"], "value": t["value"],
+                         "vpart": pa.array(vp)})
+
+    base = ds.map_batches(vtag, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    counts = _part_counts(base, "vpart")
+    n_total = sum(counts.values())
+    offs, acc = {}, 0
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
+    q, rem = divmod(n_total, NT_B)
+
+    def bucket_assign(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for vp, g in df.groupby("vpart", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            gid = g["event_id"].to_numpy(np.int64)
+            order = np.lexsort((gid, v))
+            rank = np.empty(len(g), np.int64)
+            rank[order] = offs[int(vp)] + np.arange(len(g))
+            head = rem * (q + 1)
+            bucket = np.where(rank < head, rank // max(q + 1, 1),
+                              rem + (rank - head) // max(q, 1)) + 1
+            outs.append(pd.DataFrame({"bucket": bucket, "value": v}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                   "value": pd.Series([], dtype="float64")}))
+
+    from ray.data.aggregate import Count, Max, Min
+    rows = grouped_apply(base, ["vpart"], bucket_assign, num_buckets=16)
+    agg = rows.groupby("bucket").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["bucket", "n", "min_value",
+                                    "max_value"]),
+        batch_format="pyarrow")

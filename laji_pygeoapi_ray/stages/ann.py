@@ -49,18 +49,29 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
 
 def ann_topk_broadcast(emb_ds, queries: pd.DataFrame, k: int,
                        *, id_col: str = "vec_id", emb_col: str = "embedding",
-                       exclude_self: bool = True):
+                       exclude_self: bool = True, label_col: str | None = None):
     """Exact top-k by quantized dot product for each broadcast query vector.
-    Returns a Dataset (query_id, neighbor_id, score, rank)."""
+    Returns a Dataset (query_id, neighbor_id, score, rank).
+
+    With ``label_col`` (present in BOTH ``queries`` and the corpus batches)
+    only DIFFERENT-label neighbors compete — hard-negative mining for
+    contrastive training (the nearest wrong-label example per anchor)."""
     qid = queries[id_col].to_numpy(np.int64)
     qm = quantize(np.stack(queries[emb_col].to_numpy()))
-    q_ref = ray.put((qid, qm))
+    qlab = (queries[label_col].to_numpy(np.int64)
+            if label_col is not None else None)
+    q_ref = ray.put((qid, qm, qlab))
 
     def scan(batch: pa.Table) -> pa.Table:
-        bqid, bqm = ray.get(q_ref)
+        bqid, bqm, bqlab = ray.get(q_ref)
         pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pm = quantize(_emb_matrix(batch, emb_col))
         scores = bqm @ pm.T                      # (Q, n) exact integers
+        if bqlab is not None:
+            plab = batch[label_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            scores = np.where(bqlab[:, None] == plab[None, :], -np.inf,
+                              scores)
         if exclude_self:
             scores = np.where(bqid[:, None] == pid[None, :], -np.inf, scores)
         kk = min(k, scores.shape[1])

@@ -463,6 +463,91 @@ def triangle_count_docs(sf_dir: str):
                          "n_triangles": np.array([n_tri], np.int64)})
 
 
+# ------------------------------------------------------ k-core decomposition
+KC_K = 12        # core order: every kept node has ≥ K neighbors in the core
+KC_ROUNDS = 12   # SQL unroll depth; the engine asserts convergence within it
+
+
+def _kcore_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    r = DW_RADIUS
+    parts = [f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    e AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+          ON a.id <> b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{r}' AS DOUBLE) * CAST('{r}' AS DOUBLE)),
+    a0 AS (SELECT DISTINCT ia AS id FROM e)"""]
+    for i in range(1, KC_ROUNDS + 1):
+        # MATERIALIZED: each level is referenced twice — inlined CTEs
+        # would re-evaluate the whole chain 2^KC_ROUNDS times
+        parts.append(f""",
+    a{i} AS MATERIALIZED (SELECT e.ia AS id FROM e
+             JOIN a{i - 1} x ON x.id = e.ia JOIN a{i - 1} y ON y.id = e.ib
+             GROUP BY 1 HAVING COUNT(*) >= {KC_K})""")
+    parts.append(f"""
+    SELECT e.ia AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e JOIN a{KC_ROUNDS} x ON x.id = e.ia
+           JOIN a{KC_ROUNDS} y ON y.id = e.ib
+    GROUP BY 1""")
+    return "".join(parts)
+
+
+@register("kcore_docs", sql=_kcore_sql)
+def kcore_docs(sf_dir: str):
+    """K-core decomposition of the spatial proximity graph: iteratively
+    peel every node with fewer than KC_K surviving neighbors until a
+    fixpoint; output the core members with their within-core degree — the
+    dense-subgraph extractor (spam/bot rings, dense dup neighborhoods).
+    Distributed peeling: each round is one partial-count degree pass +
+    two bucketed semi-joins that shrink the edge set (removed nodes stay
+    removed — the peel is monotone, so no re-entry check is needed);
+    edges repartition+materialize per round (the iterative-loop lesson,
+    NOTES.md). Rounds are bounded by the peel depth, asserted ≤
+    KC_ROUNDS so the unrolled SQL twin provably reaches the same
+    fixpoint; at the fixpoint the last degree table IS the answer."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+    from ..stages.knn import dwithin_pairs
+    from ..stages.shuffle import partial_group_counts
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
+                          num_buckets=32)
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    e = pairs.map_batches(both, batch_format="pyarrow").materialize()
+
+    for _ in range(KC_ROUNDS):
+        deg = partial_group_counts(
+            e.select_columns(["src"]), ["src"]).materialize()
+        keep = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], KC_K))
+            .select(["src"]), batch_format="pyarrow").materialize()
+        if keep.count() == deg.count():
+            out = deg
+            break
+        e = hash_join(e, keep, on=["src"], num_buckets=16)
+        e = hash_join(
+            e, keep.map_batches(lambda t: t.rename_columns(["dst"]),
+                                batch_format="pyarrow"),
+            on=["dst"], num_buckets=16).repartition(8).materialize()
+    else:
+        raise RuntimeError(
+            f"kcore_docs did not converge within {KC_ROUNDS} rounds — "
+            f"raise KC_ROUNDS (and the SQL unroll) together")
+
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["src"],
+                            "core_deg": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- semivariogram
 def _variogram_sql() -> str:
     x, y = points.sql_xy("doc_id")

@@ -1487,6 +1487,92 @@ def cell_hop_distance(sf_dir: str):
                                           batch_size=None)
 
 
+# --------------------------------------- weighted SSSP cost-distance field
+SSSP_DMAX = 256   # path-cost enumeration bound; engine asserts max dist < it
+
+
+def _sssp_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH RECURSIVE
+    pts AS (SELECT {cells.sql_cell('x', 'y', BFS_RES)} AS cell
+            FROM (SELECT event_id, {x} AS x, {y} AS y FROM events)),
+    c AS (SELECT cell, cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1, 2, 3),
+    e AS MATERIALIZED (SELECT a.cell AS ia, b.cell AS ib, 1 + (b.n & 3) AS w
+         FROM c a JOIN c b ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1),
+    walk(cell, d) AS (
+        SELECT (SELECT MIN(cell) FROM c), 0
+        UNION
+        SELECT e.ib, wk.d + e.w FROM walk wk JOIN e ON e.ia = wk.cell
+        WHERE wk.d + e.w <= {SSSP_DMAX})
+    SELECT cell, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY 1"""
+
+
+@register("cell_sssp_weighted", sql=_sssp_sql)
+def cell_sssp_weighted(sf_dir: str):
+    """Cost-distance field (weighted SSSP): least-cost path distance from
+    the minimum occupied res-5 cell through the event-occupancy raster,
+    where ENTERING cell v costs 1 + (count_v & 3) — the terrain/friction
+    accumulated-cost surface (the weighted sibling of cell_hop_distance's
+    BFS). Same bounded-raster judgment: after the distributed
+    partial-count pass the ≤4^res count table collapses to one worker
+    and Bellman–Ford relaxes vectorized over the whole grid per round
+    (rounds ≤ the max cost, each one 4 shifted adds + a min). The oracle
+    enumerates (cell, path-cost) pairs ≤ SSSP_DMAX through a recursive
+    CTE and takes MIN per cell; the engine asserts its max distance stays
+    below the bound so the truncation provably never clips a shortest
+    path. Unreached cells are absent on both sides."""
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{BFS_RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    n = 1 << BFS_RES
+
+    ev = read_table(sf_dir, "events", ["event_id"])
+    pts = ev.map_batches(derive_and_encode("event_id", (BFS_RES,)),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    occ = partial_group_counts(pts, [key])
+
+    def relax(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        cnt = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        grid = np.zeros((n, n), dtype=bool)
+        grid[iy, ix] = True
+        w = np.zeros((n, n), np.int64)           # cost to ENTER each cell
+        w[iy, ix] = 1 + (cnt & 3)
+        big = np.int64(1) << 62
+        dist = np.full((n, n), big, np.int64)
+        seed = np.argmin(cell)
+        dist[iy[seed], ix[seed]] = 0
+        while True:
+            d = dist.copy()
+            d[1:, :] = np.minimum(d[1:, :], dist[:-1, :] + w[1:, :])
+            d[:-1, :] = np.minimum(d[:-1, :], dist[1:, :] + w[:-1, :])
+            d[:, 1:] = np.minimum(d[:, 1:], dist[:, :-1] + w[:, 1:])
+            d[:, :-1] = np.minimum(d[:, :-1], dist[:, 1:] + w[:, :-1])
+            d[~grid] = big
+            if np.array_equal(d, dist):
+                break
+            dist = d
+        dd = dist[iy, ix]
+        reach = dd < big
+        if reach.any() and int(dd[reach].max()) >= SSSP_DMAX:
+            raise RuntimeError(
+                f"cell_sssp_weighted: max distance {int(dd[reach].max())} "
+                f"reached the oracle enumeration bound {SSSP_DMAX} — "
+                f"raise SSSP_DMAX on both sides")
+        return pa.table({"cell": pa.array(cell[reach]),
+                         "dist": pa.array(dd[reach])})
+
+    return occ.repartition(1).map_batches(relax, batch_format="pyarrow",
+                                          batch_size=None)
+
+
 # --------------------------------------------- distance-to-nearest enrich
 NEAR_RES = 6
 

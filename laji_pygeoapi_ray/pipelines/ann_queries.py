@@ -126,6 +126,146 @@ def hard_negative_topk(sf_dir: str):
     return ann_topk_broadcast(ds, qdf, K, label_col="label")
 
 
+# ----------------------------- hybrid retrieval (reciprocal-rank fusion)
+RRF_C = 60             # the standard RRF constant
+RRF_SCALE = 10 ** 9    # integer score: RRF_SCALE // (C + rank), floor div
+
+
+def _rrf_sql() -> str:
+    qd = _QUANT.format(col="q.embedding")
+    ed = _QUANT.format(col="e.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+    ed AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+                  list_dot_product({qd}, {ed}) AS score
+           FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+    erank AS (SELECT query_id, cand_id, rk FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+                FROM ed) WHERE rk <= {K}),
+    ctok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                 AS token FROM documents),
+    qtok AS (SELECT doc_id AS query_id, token FROM ctok
+             WHERE doc_id % {QUERY_MOD} = 0 AND token <> ''),
+    sc AS (SELECT qt.query_id, c.doc_id AS cand_id,
+                  CAST(COUNT(*) AS BIGINT) AS shared
+           FROM qtok qt JOIN ctok c ON c.token = qt.token
+           WHERE c.doc_id <> qt.query_id AND c.token <> ''
+           GROUP BY 1, 2),
+    trank AS (SELECT query_id, cand_id, rk FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY shared DESC, cand_id) AS rk
+                FROM sc) WHERE rk <= {K}),
+    fused AS (SELECT query_id, cand_id,
+                     CAST(SUM({RRF_SCALE} // ({RRF_C} + rk)) AS BIGINT)
+                         AS rrf_int
+              FROM (SELECT * FROM erank UNION ALL SELECT * FROM trank)
+              GROUP BY 1, 2)
+    SELECT query_id, cand_id, rrf_int, CAST(frank AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_int DESC, cand_id) AS frank
+          FROM fused)
+    WHERE frank <= {K}"""
+
+
+@register("hybrid_rrf_topk", sql=_rrf_sql)
+def hybrid_rrf_topk(sf_dir: str):
+    """Hybrid retrieval: fuse an EMBEDDING ranking (quantized-dot top-k,
+    the ann_topk_dot machinery) with a LEXICAL ranking (shared distinct
+    tokens between the query document and each corpus document) by
+    reciprocal-rank fusion — the two-tower + BM25-ish union every modern
+    retrieval stack runs. RRF scores are integers
+    (RRF_SCALE // (C + rank), floor division on both sides) so the fused
+    ordering is bit-stable. Shape: the embedding list reuses the
+    broadcast-matmul top-k; the lexical list is one token-keyed
+    partitioned hash join of the corpus distinct-(doc, token) table
+    against the bounded query-token table (both sides stay datasets — no
+    vocabulary ever collects to the driver), per-(query, cand) partial
+    counts, per-query top-k; fusion is one (query, cand) groupby over
+    the two rank lists. Ties break by cand_id at every stage."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    # --- embedding ranks (existing exact top-k machinery)
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    er = ann_topk_broadcast(emb, _queries_df(sf_dir), K)
+    erank = er.map_batches(
+        lambda t: pa.table({"query_id": t["query_id"],
+                            "cand_id": t["neighbor_id"],
+                            "rk": pc.cast(t["rank"], pa.int64())}),
+        batch_format="pyarrow")
+
+    # --- lexical ranks: distinct (doc, token) pairs (each doc lives in
+    # exactly one row, so per-batch dedup IS global dedup)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_pairs(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table({"doc_id": ids, "token": flat}) \
+            .filter(pc.not_equal(flat, ""))
+        return pairs.group_by(["doc_id", "token"]).aggregate([])
+
+    ctok = docs.map_batches(tok_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    qtok = ctok.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % QUERY_MOD == 0))
+        .rename_columns(["query_id", "token"]), batch_format="pyarrow")
+
+    joined = hash_join(ctok, qtok, on=["token"], num_buckets=16)
+    joined = joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["query_id"]))
+        .select(["query_id", "doc_id"]), batch_format="pyarrow")
+    sc = partial_group_counts(joined, ["query_id", "doc_id"],
+                              count_col="shared")
+
+    def toprank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "shared", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(K).copy()
+        df["rk"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return pd.DataFrame({"query_id": df["query_id"].astype("int64"),
+                             "cand_id": df["doc_id"].astype("int64"),
+                             "rk": df["rk"].astype("int64")})
+
+    trank = grouped_apply(sc, ["query_id"], toprank, num_buckets=8)
+    trank = trank.map_batches(lambda t: t, batch_format="pyarrow")
+
+    # --- fuse
+    def rrf(t: pa.Table) -> pa.Table:
+        rk = t["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"query_id": t["query_id"], "cand_id": t["cand_id"],
+                         "rrf_int": pa.array(
+                             np.int64(RRF_SCALE) // (np.int64(RRF_C) + rk))})
+
+    both = erank.union(trank).map_batches(rrf, batch_format="pyarrow")
+    fused = both.groupby(["query_id", "cand_id"]).aggregate(
+        Sum("rrf_int", alias_name="rrf_int"))
+    fused = fused.map_batches(
+        lambda t: t.rename_columns(["query_id", "cand_id", "rrf_int"]),
+        batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "rrf_int", "cand_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(K).copy()
+        df["fused_rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df.astype({"query_id": "int64", "cand_id": "int64",
+                          "rrf_int": "int64", "fused_rank": "int64"})
+
+    return grouped_apply(fused, ["query_id"], final, num_buckets=8)
+
+
 COS_SUB = 250          # subset bound for the exact all-pairs query
 COS_SCALE = 1000.0     # per-op quantization (bounds keep int64 exact)
 

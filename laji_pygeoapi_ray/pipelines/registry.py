@@ -59,7 +59,7 @@ _DRIVER_PRIORITY = [
     # round-4 third session: spatial statistics + space-time cube
     "mann_kendall_cells", "local_moran_cells", "ntile_event_buckets",
     "hard_negative_topk", "kcore_docs", "cell_sssp_weighted",
-    "segment_cell_density",
+    "segment_cell_density", "hybrid_rrf_topk",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

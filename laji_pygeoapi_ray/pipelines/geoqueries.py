@@ -1353,6 +1353,132 @@ def mann_kendall_cells(sf_dir: str):
                                      ("cell5", "n_hours", "mk_s", "var18")})
 
 
+# --------------------------------------------- CUSUM change-point per cell
+def _cusum_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', TREND_RES)} AS cell,
+                      (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
+                          // {US_PER_HOUR} AS t
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell, t, CAST(COUNT(*) AS BIGINT) AS y
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT cell, t, y,
+                 CAST(SUM(y) OVER (PARTITION BY cell ORDER BY t)
+                      AS BIGINT) AS sk,
+                 CAST(row_number() OVER (PARTITION BY cell ORDER BY t)
+                      AS BIGINT) AS k
+          FROM c),
+    tot AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sn FROM c GROUP BY 1),
+    st AS (SELECT w.cell, w.k, w.t, tot.n, tot.sn,
+                  abs(tot.n * w.sk - w.k * tot.sn) AS dev
+           FROM w JOIN tot ON tot.cell = w.cell)
+    SELECT cell AS cell5, n AS n_hours, sn AS n_events,
+           dev AS cusum_max, t AS t_at, k AS k_at
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY cell ORDER BY dev DESC, k) AS rn FROM st)
+    WHERE rn = 1 AND n >= 2"""
+
+
+@register("cusum_change_cells", sql=_cusum_sql)
+def cusum_change_cells(sf_dir: str):
+    """Change-point detection per cell (CUSUM): over each res-5 cell's
+    hourly count series, the maximum absolute deviation of the cumulative
+    count from the uniform-rate line — scaled integer-exact as
+    dev_k = |n·S_k − k·S_n| (n = observed hours, S_n = total events), so
+    the statistic and its arg-hour are pure int64 (the consumer divides
+    by n·S_n for the normalized CUSUM). The break hour t_at is where the
+    rate shifts. Same one-shuffle shape as mann_kendall_cells; per-cell
+    kernel is a vectorized prefix sum + argmax (first max ties k, both
+    sides)."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    ct = _event_hour_counts(sf_dir)
+
+    def cusum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cell, g in df.groupby("cell", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            order = np.argsort(g["t"].to_numpy(np.int64))
+            tt = g["t"].to_numpy(np.int64)[order]
+            yv = g["y"].to_numpy(np.int64)[order]
+            sk = np.cumsum(yv)
+            sn = int(sk[-1])
+            k = np.arange(1, n + 1, dtype=np.int64)
+            dev = np.abs(n * sk - k * sn)
+            i = int(np.argmax(dev))       # first max == smallest k
+            rows.append((int(cell), n, sn, int(dev[i]), int(tt[i]), i + 1))
+        return pd.DataFrame(rows, columns=[
+            "cell5", "n_hours", "n_events", "cusum_max", "t_at", "k_at"]
+        ).astype(np.int64)
+
+    return grouped_apply(ct, ["cell"], cusum_bucket, num_buckets=32,
+                         out_dtypes={c: pa.int64() for c in
+                                     ("cell5", "n_hours", "n_events",
+                                      "cusum_max", "t_at", "k_at")})
+
+
+# ------------------------------------------- language diversity per cell
+@register("cell_lang_impurity", sql=lambda: f"""
+    WITH pts AS (SELECT d.lang, {cells.sql_cell('p.x', 'p.y', TREND_RES)}
+                     AS cell
+                 FROM documents d JOIN ({_points_cte()}) p USING (doc_id)),
+    cl AS (SELECT cell, lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM pts GROUP BY 1, 2)
+    SELECT cell AS cell5, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT)
+               - CAST(SUM(n * n) AS BIGINT) AS imp_num
+    FROM cl GROUP BY 1""")
+def cell_lang_impurity(sf_dir: str):
+    """Categorical diversity surface: per res-5 cell, the Gini impurity of
+    the document-language mix as an exact integer rational —
+    imp_num/N² = 1 − Σ(n_l/N)² (the consumer divides; entropy would need
+    a log, which is never bit-stable across engines — the float playbook's
+    transcendental-free rule). Shape: (cell, lang) partial counts, one
+    tiny per-cell rollup with Σn and Σn² partials; the wide table never
+    shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (TREND_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=65536)
+    from ..stages.shuffle import partial_group_counts
+    cl = partial_group_counts(
+        ds.map_batches(lambda t: t.select([f"cell{TREND_RES}", "lang"]),
+                       batch_format="pyarrow"),
+        [f"cell{TREND_RES}", "lang"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": t[f"cell{TREND_RES}"],
+                         "one": pa.array(np.ones(len(n), np.int64)),
+                         "s": pa.array(n), "s2": pa.array(n * n)})
+
+    agg = (cl.map_batches(moments, batch_format="pyarrow")
+           .groupby("cell").aggregate(
+               Sum("s", alias_name="n_docs"),
+               Sum("one", alias_name="n_langs"),
+               Sum("s2", alias_name="s2")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell5", "n_docs", "n_langs", "s2"])
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell5": t["cell5"], "n_docs": t["n_docs"],
+                         "n_langs": t["n_langs"],
+                         "imp_num": pa.array(nd * nd - s2)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------- marching-squares case census
 MS_RES = 6   # 64×64 occupancy raster
 

@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = [
     "mann_kendall_cells", "local_moran_cells", "ntile_event_buckets",
     "hard_negative_topk", "kcore_docs", "cell_sssp_weighted",
     "segment_cell_density", "hybrid_rrf_topk",
+    "cusum_change_cells", "cell_lang_impurity", "rag_chunk_layout",
+    "rendezvous_shards",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

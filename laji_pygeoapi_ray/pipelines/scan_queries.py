@@ -497,3 +497,54 @@ def ntile_event_buckets(sf_dir: str):
         lambda t: t.rename_columns(["bucket", "n", "min_value",
                                     "max_value"]),
         batch_format="pyarrow")
+
+
+# ------------------------------- RAG chunking layout (overlapping windows)
+CHUNK_W = 128   # tokens per chunk
+CHUNK_S = 96    # stride (CHUNK_W - CHUNK_S = 32-token overlap)
+
+
+@register("rag_chunk_layout", sql=f"""
+    WITH tok AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents),
+    ch AS (SELECT doc_id, n,
+                  unnest(generate_series(0,
+                      CASE WHEN n > {CHUNK_W}
+                           THEN (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+                           ELSE 0 END)) AS chunk_idx
+           FROM tok)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_W}, n - chunk_idx * {CHUNK_S}) AS BIGINT)
+               AS chunk_len
+    FROM ch""")
+def rag_chunk_layout(sf_dir: str):
+    """RAG-style document chunking layout: per document, overlapping
+    CHUNK_W-token windows at CHUNK_S stride (the per-document sibling of
+    the cross-document `pack_doc_layout`; retrieval chunkers overlap,
+    packers don't). Emits (doc_id, chunk_idx, start_tok, chunk_len) — a
+    pure streaming per-row transform: token count via the shared
+    tokenizer contract, then a vectorized ragged expand (repeat/arange),
+    no shuffle at all; chunk arithmetic is int64 on both sides. The text
+    payload never leaves the scan — a downstream embedding stage would
+    slice tokens by (start_tok, chunk_len) against the same layout."""
+    tok = token_counts(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        extra = np.maximum(n - CHUNK_W, 0)
+        m = 1 + (extra + CHUNK_S - 1) // CHUNK_S
+        tot = int(m.sum())
+        idx = np.repeat(np.arange(len(m)), m)
+        ci = np.arange(tot) - np.repeat(np.cumsum(m) - m, m)
+        start = ci * CHUNK_S
+        return pa.table({
+            "doc_id": pa.array(ids[idx]),
+            "chunk_idx": pa.array(ci),
+            "start_tok": pa.array(start),
+            "chunk_len": pa.array(np.minimum(CHUNK_W, n[idx] - start))})
+
+    return tok.map_batches(expand, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1505,6 +1505,75 @@ def table_checksum_ranges(sf_dir: str):
     return grouped_apply(part, ["range_id"], finish, num_buckets=8)
 
 
+# --------------------------- rendezvous (HRW) shard placement
+HRW_SHARDS = 8
+
+
+def _hrw_sql() -> str:
+    return f"""
+    WITH sh AS (SELECT unnest(generate_series(0, {HRW_SHARDS - 1})) AS s),
+    base AS (SELECT d.doc_id, sh.s,
+                    CAST(d.doc_id * {HRW_SHARDS} + sh.s AS HUGEINT) AS z0
+             FROM documents d CROSS JOIN sh),
+    {tk.sql_mix64_ctes('base', 'doc_id, s', prefix='mxr')},
+    pick AS (SELECT doc_id, s FROM (
+               SELECT doc_id, s, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY h DESC, s) AS rn FROM mxr3)
+             WHERE rn = 1)
+    SELECT CAST(s AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM pick GROUP BY 1"""
+
+
+@register("rendezvous_shards", sql=_hrw_sql)
+def rendezvous_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) shard placement: every doc goes
+    to argmax_s mix64(doc_id·S + s) — the consistent-placement rule whose
+    property (removing one shard only moves THAT shard's keys) makes it
+    the right assignment for resumable distributed sinks, vs mod-hashing
+    which reshuffles everything. Pure per-row math: one scan computes all
+    S hashes vectorized and argmaxes (ties → smallest s, both sides);
+    only S-row partials (count, min, max per shard) ever shuffle. The
+    SQL twin replays splitmix64 through the shared HUGEINT CTEs."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "min_doc": pa.array([], pa.int64()),
+                             "max_doc": pa.array([], pa.int64())})
+        z = (ids[:, None] * np.int64(HRW_SHARDS)
+             + np.arange(HRW_SHARDS, dtype=np.int64)[None, :])
+        h = tk.mix64(z.astype(np.uint64).ravel()).reshape(len(ids),
+                                                          HRW_SHARDS)
+        shard = np.argmax(h, axis=1).astype(np.int64)  # first max = min s
+        order = np.argsort(shard, kind="stable")
+        ss, ii = shard[order], ids[order]
+        uniq, starts = np.unique(ss, return_index=True)
+        ends = np.append(starts[1:], len(ss))
+        return pa.table({
+            "shard": pa.array(uniq),
+            "n_docs": pa.array((ends - starts).astype(np.int64)),
+            "min_doc": pa.array(np.minimum.reduceat(ii, starts)),
+            "max_doc": pa.array(np.maximum.reduceat(ii, starts))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    agg = part.groupby("shard").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Min("min_doc", alias_name="min_doc"),
+        Max("max_doc", alias_name="max_doc"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["shard", "n_docs", "min_doc",
+                                    "max_doc"]),
+        batch_format="pyarrow")
+
+
 # --------------------- variance-weighted (Neyman) stratified allocation
 
 ALLOC_TOTAL = 100      # total sample size to allocate across strata

@@ -548,6 +548,132 @@ def kcore_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+# ------------------------------------------- Knox space-time interaction
+KNOX_MOD = 25                     # subset: event_id % MOD = 0 (O(n²) twin)
+KNOX_R = 0.25                     # spatial closeness radius (degrees)
+KNOX_TAU = 6 * 3600 * 1_000_000   # temporal closeness window (6 h, µs)
+
+
+def _knox_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+                      {x} AS x, {y} AS y
+               FROM events WHERE event_id % {KNOX_MOD} = 0),
+    p AS (SELECT CASE WHEN (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+                           <= CAST('{KNOX_R}' AS DOUBLE)
+                              * CAST('{KNOX_R}' AS DOUBLE)
+                      THEN 1 ELSE 0 END AS sp,
+                 CASE WHEN abs(a.t - b.t) <= {KNOX_TAU}
+                      THEN 1 ELSE 0 END AS tm
+          FROM e a JOIN e b ON a.event_id < b.event_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_pts,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(sp) AS BIGINT) AS n_space,
+           CAST(SUM(tm) AS BIGINT) AS n_time,
+           CAST(SUM(sp * tm) AS BIGINT) AS n_both,
+           CAST(SUM(sp) AS BIGINT) * CAST(SUM(tm) AS BIGINT) AS knox_num
+    FROM p"""
+
+
+@register("knox_space_time", sql=_knox_sql)
+def knox_space_time(sf_dir: str):
+    """Knox space-time interaction test (the classic cluster-epidemiology
+    statistic): over the deterministic event subset, count pairs close in
+    SPACE (d ≤ KNOX_R), close in TIME (|Δt| ≤ KNOX_TAU), and close in
+    BOTH — interaction shows as n_both ≫ n_space·n_time / n_pairs (the
+    expectation numerator knox_num is emitted; consumer divides). All
+    counts are exact:
+    - spatial pairs reuse the exactly-once grid-cell cogroup
+      (`dwithin_pairs`);
+    - temporal pairs run the SAME ghost-cell idea in 1-D: each point is
+      home in its ⌊t/τ⌋ bucket and ghosts into the previous one, each
+      bucket sorts (t, id) and counts successors within τ by one
+      vectorized searchsorted — a pair is counted only at its EARLIER
+      point's home bucket;
+    - the joint count attaches times to the spatial pairs with two
+      bucketed hash joins (the pair table is radius-bounded, never n²).
+    The O(n²) twin evaluates both predicates literally."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+    from ..stages.knn import dwithin_pairs
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid % KNOX_MOD == 0
+        eid = eid[keep].astype(np.int64)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))[keep]
+        x, y = points.derive_xy(eid)
+        return pa.table({"id": pa.array(eid), "x": pa.array(x),
+                         "y": pa.array(y), "t": pa.array(ts)})
+
+    pts = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    n_pts = pts.count()
+    n_pairs = n_pts * (n_pts - 1) // 2
+
+    # --- spatial pairs (exactly-once grid cogroup)
+    pairs = dwithin_pairs(pts.select_columns(["id", "x", "y"]), KNOX_R,
+                          res=DW_RES, num_buckets=32).materialize()
+    n_space = pairs.count()
+
+    # --- joint count: attach both endpoint times, filter |Δt| ≤ τ
+    times = pts.select_columns(["id", "t"])
+    ta = times.map_batches(lambda t: t.rename_columns(["id_a", "ta"]),
+                           batch_format="pyarrow")
+    tb = times.map_batches(lambda t: t.rename_columns(["id_b", "tb"]),
+                           batch_format="pyarrow")
+    j = hash_join(hash_join(pairs, ta, on=["id_a"], num_buckets=8),
+                  tb, on=["id_b"], num_buckets=8)
+    n_both = j.map_batches(
+        lambda t: t.filter(pc.less_equal(
+            pc.abs(pc.subtract(t["ta"], t["tb"])), KNOX_TAU)),
+        batch_format="pyarrow").count()
+
+    # --- temporal pairs: 1-D ghost-bucket cogroup, earlier-point home
+    def tscatter(t: pa.Table) -> pa.Table:
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        b = tt // KNOX_TAU
+        return pa.table({
+            "bucket": pa.array(np.concatenate([b, b - 1])),
+            "t": pa.array(np.concatenate([tt, tt])),
+            "id": pa.array(np.concatenate([ids, ids])),
+            "home": pa.array(np.concatenate(
+                [np.ones(len(tt), np.int64), np.zeros(len(tt), np.int64)]))})
+
+    def tcount(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("bucket", sort=False):
+            tt = g["t"].to_numpy(np.int64)
+            ids = g["id"].to_numpy(np.int64)
+            hm = g["home"].to_numpy(np.int64).astype(bool)
+            order = np.lexsort((ids, tt))
+            ts_s, hm_s = tt[order], hm[order]
+            rank = np.arange(len(ts_s))
+            hi = np.searchsorted(ts_s, ts_s + KNOX_TAU, side="right")
+            rows.append(int((hi - rank - 1)[hm_s].sum()))
+        return pd.DataFrame({"c": pd.Series(rows, dtype="int64")})
+
+    scat = pts.map_batches(tscatter, batch_format="pyarrow")
+    tparts = grouped_apply(scat, ["bucket"], tcount, num_buckets=16)
+    n_time = int(tparts.aggregate(Sum("c", alias_name="c"))["c"] or 0)
+
+    return pd.DataFrame({
+        "n_pts": np.array([n_pts], np.int64),
+        "n_pairs": np.array([n_pairs], np.int64),
+        "n_space": np.array([n_space], np.int64),
+        "n_time": np.array([n_time], np.int64),
+        "n_both": np.array([n_both], np.int64),
+        "knox_num": np.array([n_space * n_time], np.int64)})
+
+
 # ---------------------------------------------------------- semivariogram
 def _variogram_sql() -> str:
     x, y = points.sql_xy("doc_id")

@@ -1424,6 +1424,78 @@ def cusum_change_cells(sf_dir: str):
                                       "cusum_max", "t_at", "k_at")})
 
 
+# --------------------------------------------- Theil–Sen robust slope
+def _theil_sen_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', TREND_RES)} AS cell,
+                      (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
+                          // {US_PER_HOUR} AS t
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell, t, CAST(COUNT(*) AS BIGINT) AS y
+          FROM e GROUP BY 1, 2),
+    p AS (SELECT a.cell,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                     AS slope
+          FROM c a JOIN c b ON b.cell = a.cell AND b.t > a.t),
+    m AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY 1),
+    nh AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1),
+    r AS (SELECT cell, slope, row_number() OVER (
+              PARTITION BY cell ORDER BY slope) AS rn FROM p)
+    SELECT r.cell AS cell5, nh.n AS n_hours, m.n_pairs,
+           r.slope AS ts_slope
+    FROM r JOIN m ON m.cell = r.cell JOIN nh ON nh.cell = r.cell
+    WHERE r.rn = (m.n_pairs - 1) // 2 + 1"""
+
+
+@register("theil_sen_cells", sql=_theil_sen_sql)
+def theil_sen_cells(sf_dir: str):
+    """Theil–Sen robust trend per cell: the LOWER MEDIAN of all pairwise
+    slopes (y_j − y_i)/(t_j − t_i) of the hourly count series — the
+    outlier-resistant sibling of cell_trend_hourly's OLS (one corrupt
+    hour moves OLS arbitrarily, moves Theil–Sen not at all). Each slope
+    is ONE IEEE division of two int64-derived doubles evaluated
+    identically on both sides, and median SELECTION (sort + index
+    (m−1)//2) is value-deterministic even under float ties — so the
+    estimate is hash-exact without quantization. Same one-shuffle shape
+    as mann_kendall_cells; the per-cell kernel is a vectorized pairwise
+    slope matrix + partition-select."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    ct = _event_hour_counts(sf_dir)
+
+    def ts_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cell, g in df.groupby("cell", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            order = np.argsort(g["t"].to_numpy(np.int64))
+            tt = g["t"].to_numpy(np.int64)[order]
+            yv = g["y"].to_numpy(np.int64)[order]
+            iu = np.triu_indices(n, 1)
+            slopes = ((yv[iu[1]] - yv[iu[0]]).astype(np.float64)
+                      / (tt[iu[1]] - tt[iu[0]]).astype(np.float64))
+            m = len(slopes)
+            k = (m - 1) // 2
+            med = float(np.partition(slopes, k)[k])
+            rows.append((int(cell), n, m, med))
+        out = pd.DataFrame(rows, columns=["cell5", "n_hours", "n_pairs",
+                                          "ts_slope"])
+        return out.astype({"cell5": "int64", "n_hours": "int64",
+                           "n_pairs": "int64", "ts_slope": "float64"})
+
+    return grouped_apply(ct, ["cell"], ts_bucket, num_buckets=32,
+                         out_dtypes={"cell5": pa.int64(),
+                                     "n_hours": pa.int64(),
+                                     "n_pairs": pa.int64(),
+                                     "ts_slope": pa.float64()})
+
+
 # ------------------------------------------- language diversity per cell
 @register("cell_lang_impurity", sql=lambda: f"""
     WITH pts AS (SELECT d.lang, {cells.sql_cell('p.x', 'p.y', TREND_RES)}

@@ -61,7 +61,8 @@ _DRIVER_PRIORITY = [
     "hard_negative_topk", "kcore_docs", "cell_sssp_weighted",
     "segment_cell_density", "hybrid_rrf_topk",
     "cusum_change_cells", "cell_lang_impurity", "rag_chunk_layout",
-    "rendezvous_shards", "knox_space_time",
+    "rendezvous_shards", "knox_space_time", "theil_sen_cells",
+    "event_type_lift",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

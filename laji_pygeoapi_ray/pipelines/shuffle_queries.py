@@ -926,6 +926,89 @@ def od_matrix_cells(sf_dir: str):
         batch_format="pyarrow")
 
 
+# ----------------------------------------- co-occurrence / association lift
+TYPE_CARD_MAX = 1024   # guard: the type-count table must stay broadcastable
+
+
+@register("event_type_lift", sql="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ut GROUP BY 1),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+    pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+           FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type),
+    pc AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_both
+           FROM pr GROUP BY 1, 2)
+    SELECT pc.ta AS type_a, pc.tb AS type_b, pc.n_both,
+           ca.n AS n_a, cb.n AS n_b,
+           pc.n_both * nu.n AS lift_num, ca.n * cb.n AS lift_den
+    FROM pc JOIN tc ca ON ca.event_type = pc.ta
+            JOIN tc cb ON cb.event_type = pc.tb, nu""")
+def event_type_lift(sf_dir: str):
+    """Association-rule mining (market-basket lift): for every unordered
+    pair of event types, the number of users exhibiting BOTH, plus the
+    exact integer lift rational lift = (n_both·n_users)/(n_a·n_b) —
+    lift ≫ 1 flags behaviorally coupled actions. Shape: one shuffle
+    builds the global distinct (user, type) table (per-batch dedup
+    partials, then the count groupby doubles as the dedup); per-user
+    pairs expand inside a user-keyed bucket pass (pairs per user ≤
+    C(#types, 2), bounded); marginals are a type-cardinality table
+    ASSERTED broadcastable (TYPE_CARD_MAX) and attached in the finisher —
+    the fallback at unbounded cardinality is a hash_join on both type
+    keys."""
+    import pyarrow.compute as pc_
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    ut = partial_group_counts(ds, ["user_id", "event_type"]) \
+        .select_columns(["user_id", "event_type"]).materialize()
+
+    tc = partial_group_counts(ut, ["event_type"]).to_pandas()
+    if len(tc) > TYPE_CARD_MAX:
+        raise RuntimeError(
+            f"event_type_lift: {len(tc)} distinct types > TYPE_CARD_MAX "
+            f"({TYPE_CARD_MAX}) — switch the marginal attach to hash_join")
+    counts = dict(zip(tc["event_type"], tc["n"].astype(np.int64)))
+    n_users = partial_group_counts(ut, ["user_id"]).count()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outa, outb = [], []
+        for _, g in df.groupby("user_id", sort=False):
+            ts = np.sort(g["event_type"].to_numpy(dtype=object))
+            k = len(ts)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            outa.append(ts[iu[0]])
+            outb.append(ts[iu[1]])
+        if not outa:
+            return pd.DataFrame({"ta": pd.Series([], dtype="string"),
+                                 "tb": pd.Series([], dtype="string")})
+        return pd.DataFrame({"ta": np.concatenate(outa),
+                             "tb": np.concatenate(outb)})
+
+    pr = grouped_apply(ut, ["user_id"], pairs, num_buckets=16)
+    pcnt = partial_group_counts(pr, ["ta", "tb"], count_col="n_both")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ta = t["ta"].to_pylist()
+        tb = t["tb"].to_pylist()
+        nb = t["n_both"].to_numpy(zero_copy_only=False)
+        na = np.array([counts[a] for a in ta], np.int64)
+        nbv = np.array([counts[b] for b in tb], np.int64)
+        return pa.table({
+            "type_a": pc_.cast(t["ta"], pa.string()),
+            "type_b": pc_.cast(t["tb"], pa.string()),
+            "n_both": pa.array(nb), "n_a": pa.array(na),
+            "n_b": pa.array(nbv),
+            "lift_num": pa.array(nb * n_users),
+            "lift_den": pa.array(na * nbv)})
+
+    return pcnt.map_batches(finish, batch_format="pyarrow")
+
+
 # -------------------------------------------- segment raster line density
 SEG_CW = 10_000   # cell width on the 1e-4° integer lattice (= 1°)
 

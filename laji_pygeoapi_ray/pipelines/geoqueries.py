@@ -1551,6 +1551,92 @@ def cell_lang_impurity(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# ------------------------------------------------- Sobel gradient raster
+SOBEL_RES = 6
+
+
+def _sobel_sql() -> str:
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', SOBEL_RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x,
+                 cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+          FROM pts GROUP BY 1),
+    g AS (SELECT a.cell,
+                 CAST(SUM(b.x * (b.ix - a.ix)
+                          * (2 - abs(b.iy - a.iy))) AS BIGINT) AS gx,
+                 CAST(SUM(b.x * (b.iy - a.iy)
+                          * (2 - abs(b.ix - a.ix))) AS BIGINT) AS gy
+          FROM c a JOIN c b
+          ON greatest(abs(a.ix - b.ix), abs(a.iy - b.iy)) = 1
+          GROUP BY 1)
+    SELECT c.cell AS cell6, c.x AS n,
+           CAST(COALESCE(g.gx, 0) AS BIGINT) AS gx,
+           CAST(COALESCE(g.gy, 0) AS BIGINT) AS gy
+    FROM c LEFT JOIN g ON g.cell = c.cell"""
+
+
+@register("sobel_gradient_cells", sql=_sobel_sql)
+def sobel_gradient_cells(sf_dir: str):
+    """Raster gradient (Sobel) of the res-6 document-count surface: per
+    occupied cell, the integer convolution gx = Σ x_b·rx·(2−|ry|),
+    gy = Σ x_b·ry·(2−|rx|) over its 8-neighborhood (empty neighbors = 0)
+    — the slope/aspect primitive for density surfaces (aspect =
+    atan2(gy, gx), consumer-side). Scatter-to-neighbors shape (the
+    focal_density pattern with signed weights): each occupied cell SENDS
+    its count to its ≤8 neighbors with the weight the RECEIVER's kernel
+    assigns to that relative offset; one tiny groupby sums arrivals, one
+    LEFT bucket join keeps isolated cells at gradient 0."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{SOBEL_RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    n = 1 << SOBEL_RES
+    cnt = partial_group_counts(
+        _docs_points(sf_dir, (SOBEL_RES,)), [key]).materialize()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        x = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outc, outgx, outgy = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx <= n - 1) & (jy >= 0) & (jy <= n - 1)
+                # receiver at (jx, jy) sees this source at rel (-dx, -dy)
+                outc.append((np.int64(SOBEL_RES) << cells.RES_SHIFT)
+                            | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+                outgx.append(x[ok] * (-dx) * (2 - abs(dy)))
+                outgy.append(x[ok] * (-dy) * (2 - abs(dx)))
+        return pa.table({key: np.concatenate(outc),
+                         "gx": np.concatenate(outgx),
+                         "gy": np.concatenate(outgy)})
+
+    grad = (cnt.map_batches(scatter, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("gx", alias_name="gx"),
+                                    Sum("gy", alias_name="gy"))
+            .map_batches(lambda t: t.rename_columns([key, "gx", "gy"]),
+                         batch_format="pyarrow"))
+    joined = hash_join(cnt, grad, on=[key], how="left", num_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        gx = pc.fill_null(pc.cast(t["gx"], pa.int64()), 0)
+        gy = pc.fill_null(pc.cast(t["gy"], pa.int64()), 0)
+        return pa.table({"cell6": t[key],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "gx": gx, "gy": gy})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------- marching-squares case census
 MS_RES = 6   # 64×64 occupancy raster
 

@@ -62,7 +62,7 @@ _DRIVER_PRIORITY = [
     "segment_cell_density", "hybrid_rrf_topk",
     "cusum_change_cells", "cell_lang_impurity", "rag_chunk_layout",
     "rendezvous_shards", "knox_space_time", "theil_sen_cells",
-    "event_type_lift",
+    "event_type_lift", "bpe_top_merges", "sobel_gradient_cells",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -1505,6 +1505,80 @@ def table_checksum_ranges(sf_dir: str):
     return grouped_apply(part, ["range_id"], finish, num_buckets=8)
 
 
+# --------------------------- BPE merge step (adjacent byte-pair counts)
+BPE_TOPK = 20
+
+
+@register("bpe_top_merges", sql=f"""
+    WITH ch AS (SELECT COALESCE(text, '') AS text FROM documents
+                WHERE len(COALESCE(text, '')) >= 2),
+    p AS (SELECT substr(text, i, 2) AS pair
+          FROM ch CROSS JOIN LATERAL (SELECT unnest(generate_series(
+              1, len(text) - 1)) AS i) u),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1)
+    SELECT pair, n, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM c)
+    WHERE rank <= {BPE_TOPK}""")
+def bpe_top_merges(sf_dir: str):
+    """One BPE tokenizer-training STEP: the corpus-wide frequency of every
+    adjacent byte pair, top-{BPE_TOPK} by (count DESC, pair ASC) — the
+    argmax is exactly the next merge rule BPE would learn (iterating this
+    with a re-pair pass IS BPE training). Counting runs straight off the
+    Arrow string buffers: one vectorized code = hi·256+lo per adjacent
+    byte position (string boundaries masked out), one np.bincount(65536)
+    per batch — the alphabet-bounded partial (≤ 64k rows) is what
+    shuffles, never the corpus. ASCII corpus ⇒ byte pairs == the SQL
+    twin's 2-char substrings."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.stream import topk_by
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.offset:
+            arr = pa.array(arr.to_pylist(), pa.string())
+        n = len(arr)
+        if n == 0:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=n + 1).astype(np.int64)
+        base = off[0]
+        off = off - base
+        nbytes = int(off[-1])
+        if nbytes < 2:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                             count=nbytes + int(base))[int(base):]
+        codes = (data[:-1].astype(np.int64) << 8) | data[1:]
+        # mask the positions whose pair straddles a string boundary
+        valid = np.ones(nbytes - 1, dtype=bool)
+        ends = off[1:-1] - 1               # last byte index of each string
+        valid[ends[(ends >= 0) & (ends < nbytes - 1)]] = False
+        cnt = np.bincount(codes[valid], minlength=1 << 16)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    parts = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = parts.groupby("code").aggregate(Sum("n", alias_name="n"))
+    agg = agg.map_batches(lambda t: t.rename_columns(["code", "n"]),
+                          batch_format="pyarrow")
+    top = topk_by(agg, "n", BPE_TOPK, tie_col="code")
+    code = top["code"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "pair": pa.array([chr(c >> 8) + chr(c & 255) for c in code]),
+        "n": top["n"], "rank": top["rank"]})
+
+
 # --------------------------- rendezvous (HRW) shard placement
 HRW_SHARDS = 8
 

@@ -129,6 +129,7 @@ def hard_negative_topk(sf_dir: str):
 # ----------------------------- hybrid retrieval (reciprocal-rank fusion)
 RRF_C = 60             # the standard RRF constant
 RRF_SCALE = 10 ** 9    # integer score: RRF_SCALE // (C + rank), floor div
+RRF_QTOK_MAX = 2_000_000   # broadcast bound for the query-token side
 
 
 def _rrf_sql() -> str:
@@ -178,12 +179,16 @@ def hybrid_rrf_topk(sf_dir: str):
     retrieval stack runs. RRF scores are integers
     (RRF_SCALE // (C + rank), floor division on both sides) so the fused
     ordering is bit-stable. Shape: the embedding list reuses the
-    broadcast-matmul top-k; the lexical list is one token-keyed
-    partitioned hash join of the corpus distinct-(doc, token) table
-    against the bounded query-token table (both sides stay datasets — no
-    vocabulary ever collects to the driver), per-(query, cand) partial
-    counts, per-query top-k; fusion is one (query, cand) groupby over
-    the two rank lists. Ties break by cand_id at every stage."""
+    broadcast-matmul top-k; the lexical list scores shared distinct
+    tokens per (query, cand). When the query-token table fits the
+    broadcast bound (``RRF_QTOK_MAX`` — it is sized by the bounded query
+    SET, not the corpus), it ships once via ``ray.put`` and scoring runs
+    inside the corpus token scan with per-block pair pre-counting, so
+    the corpus token strings never shuffle; above the bound it falls
+    back to a token-keyed partitioned hash join (same result, one
+    exchange). Per-query top-k follows; fusion is one (query, cand)
+    groupby over the two rank lists. Ties break by cand_id at every
+    stage."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -222,12 +227,75 @@ def hybrid_rrf_topk(sf_dir: str):
             t["doc_id"].to_numpy(zero_copy_only=False) % QUERY_MOD == 0))
         .rename_columns(["query_id", "token"]), batch_format="pyarrow")
 
-    joined = hash_join(ctok, qtok, on=["token"], num_buckets=16)
-    joined = joined.map_batches(
-        lambda t: t.filter(pc.not_equal(t["doc_id"], t["query_id"]))
-        .select(["query_id", "doc_id"]), batch_format="pyarrow")
-    sc = partial_group_counts(joined, ["query_id", "doc_id"],
-                              count_col="shared")
+    # The query-token side is bounded by the query-set definition (the
+    # same contract as the broadcast ANN query matrix). Under the bound,
+    # broadcast it and score inside the corpus scan — the corpus token
+    # STRINGS never shuffle; above it, fall back to the distributed
+    # token-keyed hash join (same result, one big exchange).
+    n_qtok = qtok.count()
+    if n_qtok <= RRF_QTOK_MAX:
+        qdf = qtok.to_pandas()
+        qmap: dict = {}
+        for tok, qid in zip(qdf["token"], qdf["query_id"]):
+            qmap.setdefault(tok, []).append(int(qid))
+        qref = ray.put({t: np.array(v, np.int64)
+                        for t, v in qmap.items()})
+
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "shared": pa.array([], pa.int64())})
+
+        def score_scan(t: pa.Table) -> pa.Table:
+            qm = ray.get(qref)
+            toks = t["token"].to_pylist()
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(np.asarray(toks, dtype=object),
+                                  return_inverse=True)
+            hits = [qm.get(u) for u in uniq]
+            lens = np.array([0 if h is None else len(h) for h in hits],
+                            np.int64)
+            m = lens[inv]
+            tot = int(m.sum())
+            if tot == 0:
+                return empty
+            starts = np.zeros(len(uniq), np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            qcat = np.concatenate([h for h in hits if h is not None])
+            off = np.arange(tot) - np.repeat(np.cumsum(m) - m, m)
+            qids = qcat[np.repeat(starts[inv], m) + off]
+            dids = np.repeat(ids, m)
+            keep = qids != dids
+            qids, dids = qids[keep], dids[keep]
+            if len(qids) == 0:
+                return empty
+            # pre-count per (query, doc) INSIDE the block: distinct pairs
+            # per block ≤ block-docs × queries, ~40× smaller than the raw
+            # expansion — only the counted partials ever shuffle
+            order = np.lexsort((dids, qids))
+            qs_, ds_ = qids[order], dids[order]
+            new = np.empty(len(qs_), bool)
+            new[0] = True
+            new[1:] = (qs_[1:] != qs_[:-1]) | (ds_[1:] != ds_[:-1])
+            starts2 = np.nonzero(new)[0]
+            cnt = np.diff(np.append(starts2, len(qs_)))
+            return pa.table({"query_id": pa.array(qs_[starts2]),
+                             "doc_id": pa.array(ds_[starts2]),
+                             "shared": pa.array(cnt.astype(np.int64))})
+
+        joined = ctok.map_batches(score_scan, batch_format="pyarrow")
+    else:
+        joined = hash_join(ctok, qtok, on=["token"], num_buckets=16)
+        joined = joined.map_batches(
+            lambda t: (lambda f: pa.table({
+                "query_id": f["query_id"], "doc_id": f["doc_id"],
+                "shared": pa.array(np.ones(f.num_rows, np.int64))}))(
+                t.filter(pc.not_equal(t["doc_id"], t["query_id"]))),
+            batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _Sum
+    sc = joined.groupby(["query_id", "doc_id"]).aggregate(
+        _Sum("shared", alias_name="shared")).map_batches(
+        lambda t: t.rename_columns(["query_id", "doc_id", "shared"]),
+        batch_format="pyarrow")
 
     def toprank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["query_id", "shared", "doc_id"],

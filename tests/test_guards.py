@@ -147,3 +147,18 @@ def test_dsir_gram_total_bound_enforced():
     _dsir_check_totals(1 << 20, 1 << 20)          # fine
     with pytest.raises(ValueError, match="bucket-normalize"):
         _dsir_check_totals(1 << 30, 1 << 30)
+
+
+def test_hybrid_rrf_fallback_join_path_matches_broadcast(monkeypatch):
+    """Force the distributed token-join fallback (RRF_QTOK_MAX = 0) and
+    check it fuses to exactly the same rows as the broadcast fast path."""
+    from laji_pygeoapi_ray.pipelines import ann_queries as aq
+
+    sf = "/root/testdata/sf0.001"
+    fast = aq.hybrid_rrf_topk(sf).to_pandas()
+    monkeypatch.setattr(aq, "RRF_QTOK_MAX", 0)
+    slow = aq.hybrid_rrf_topk(sf).to_pandas()
+    cols = list(fast.columns)
+    fast = fast.sort_values(cols).reset_index(drop=True)
+    slow = slow.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)

@@ -672,3 +672,114 @@ def pq_code_assign_certified(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return pq_assign_exact(ds, PQ_M, PQ_K)
+
+
+# ----------------------------------------------------------- SemDeDup
+SD_TAU2 = (9, 64)      # cos ≥ 3/8 ⇔ dot > 0 ∧ 64·dot² ≥ 9·|a|²·|b|²
+SD_SCALE = 1000.0      # pairwise quantizer (dot ≤ d·(scale·max|x|)² ≪ 2⁵³)
+
+
+def _semdedup_sql() -> str:
+    from ..stages.sampling import sql_id_hash
+    e6 = _QUANT.format(col="embedding")
+    p3 = ("list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * "
+          f"CAST({SD_SCALE!r} AS DOUBLE) + CAST(0.5 AS DOUBLE)))")
+    num, den = SD_TAU2
+    return f"""
+    WITH q AS (SELECT vec_id, {e6} AS e, {p3} AS p FROM embeddings),
+    seeds AS (SELECT e AS ce,
+                     row_number() OVER (
+                         ORDER BY {sql_id_hash('vec_id')}, vec_id) - 1
+                         AS cluster
+              FROM q ORDER BY {sql_id_hash('vec_id')}, vec_id
+              LIMIT {KM_K}),
+    d AS (SELECT q.vec_id, s.cluster,
+                 list_dot_product(q.e, q.e)
+                   - 2 * list_dot_product(q.e, s.ce)
+                   + list_dot_product(s.ce, s.ce) AS d2
+          FROM q CROSS JOIN seeds s),
+    asg AS (SELECT vec_id, cluster FROM (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster) AS rk
+              FROM d) WHERE rk = 1),
+    pts AS (SELECT asg.vec_id, asg.cluster, q.p
+            FROM asg JOIN q USING (vec_id)),
+    dots AS (SELECT a.vec_id AS ua, b.vec_id AS ub,
+                    CAST(list_dot_product(a.p, b.p) AS BIGINT) AS dot,
+                    CAST(list_dot_product(a.p, a.p) AS BIGINT) AS na,
+                    CAST(list_dot_product(b.p, b.p) AS BIGINT) AS nb
+             FROM pts a JOIN pts b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    dup AS (SELECT DISTINCT ub AS vec_id FROM dots
+            WHERE dot > 0 AND {den} * dot * dot >= {num} * na * nb)
+    SELECT p.vec_id, CAST(p.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_kept
+    FROM pts p LEFT JOIN dup USING (vec_id)"""
+
+
+@register("semdedup_reps", sql=_semdedup_sql)
+def semdedup_reps(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space and dropping, inside each cluster, every vector
+    that is cosine-≥ τ to an earlier-id clustermate (keep-first — the
+    deterministic stand-in for the paper's keep-farthest-from-centroid
+    rule). Output: every vector with its cluster and is_kept flag.
+
+    Exactness: cluster assignment is the certified 0-iteration integer
+    k-means (seed scan + broadcast centroids, `kmeans_assign_certified`);
+    the in-cluster near-dup test is the exact integer rational-τ
+    comparison (den·dot² ≥ num·|a|²·|b|² on SD_SCALE-quantized
+    components) — both SQL-twinnable bit-for-bit.
+
+    Scale shape: one broadcast (k×d centroids), one fused assign+quantize
+    map, ONE shuffle keyed by cluster, per-cluster vectorized all-pairs
+    (the SemDeDup contract — k grows with the corpus precisely so each
+    cluster fits a worker; the paper runs k = 50k on 1e9 points)."""
+    from ..stages.ann import SCALE as KM_SCALE
+    from ..stages.ann import _emb_matrix, exact_seed_centroids
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = exact_seed_centroids(ds, KM_K)
+    cent_ref = ray.put(cent)
+    num, den = SD_TAU2
+
+    def assign_quant(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        raw = _emb_matrix(t, "embedding").astype(np.float64)
+        m6 = np.floor(raw * KM_SCALE + 0.5)
+        d2 = ((m6[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        p3 = np.floor(raw * SD_SCALE + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(t["vec_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64)),
+            "cluster": pa.array(d2.argmin(1).astype(np.int64)),
+            "p": pa.FixedSizeListArray.from_arrays(
+                pa.array(p3.ravel()), p3.shape[1])})
+
+    asg = ds.map_batches(assign_quant, batch_format="pyarrow")
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, g in df.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(np.int64)
+            q = np.stack(g["p"].to_numpy()).astype(np.int64)
+            gram = q @ q.T
+            n2 = np.diag(gram).copy()
+            near = (gram > 0) & (den * gram * gram
+                                 >= num * (n2[:, None] * n2[None, :]))
+            # dup[j] ⇔ ∃ i < j (ids ascending) with near[i, j]
+            dup = np.triu(near, 1).any(axis=0)
+            out.append(pd.DataFrame({
+                "vec_id": ids, "cluster": np.full(len(ids), cl, np.int64),
+                "is_kept": (~dup).astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "is_kept": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_apply(asg, ["cluster"], per_cluster, num_buckets=8)

@@ -942,3 +942,139 @@ def nn_spacing_province(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["province", "n", "sum_d2q"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------ link prediction
+LP_K = 20        # report the top-K candidate links
+
+
+def _linkpred_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    r = TRI_RADIUS
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    e AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+          ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{r}' AS DOUBLE) * CAST('{r}' AS DOUBLE)),
+    b AS MATERIALIZED (SELECT ia AS v, ib AS n FROM e
+                       UNION ALL SELECT ib AS v, ia AS n FROM e),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM b GROUP BY 1),
+    cn AS (SELECT b1.n AS pa_, b2.n AS pb, CAST(COUNT(*) AS BIGINT) AS cn
+           FROM b b1 JOIN b b2 ON b1.v = b2.v AND b1.n < b2.n
+           GROUP BY 1, 2),
+    nonadj AS (SELECT cn.* FROM cn LEFT JOIN e
+               ON e.ia = cn.pa_ AND e.ib = cn.pb WHERE e.ia IS NULL),
+    top AS (SELECT * FROM nonadj
+            ORDER BY cn DESC, pa_, pb LIMIT {LP_K})
+    SELECT t.pa_ AS id_a, t.pb AS id_b, t.cn AS common_neighbors,
+           da.d + db.d - t.cn AS union_neighbors
+    FROM top t JOIN deg da ON da.v = t.pa_ JOIN deg db ON db.v = t.pb"""
+
+
+@register("link_pred_common_neighbors", sql=_linkpred_sql)
+def link_pred_common_neighbors(sf_dir: str):
+    """Link prediction over the sparse proximity graph: the LP_K strongest
+    NON-adjacent candidate pairs by common-neighbor count (Jaccard comes
+    free as cn / union_neighbors — both reported as exact integers so the
+    consumer divides at any precision). The classic friend-of-friend
+    recommender shape (Liben-Nowell & Kleinberg 2007).
+
+    Distribution: edges via the dwithin grid cogroup; ONE shuffle
+    cogroups each vertex's full neighborhood (both directions), wedge
+    pairs are generated per center and PRE-COUNTED per block before the
+    (pair)-keyed exchange; candidate pairs and the edge set merge in one
+    tagged-union bucket pass that sums wedge counts, drops adjacent
+    pairs, and keeps a LOCAL top-K per bucket — the driver merges only
+    num_buckets × K rows. Degrees attach at the end by filtering the
+    degree dataset to the ≤ 2·K winning nodes (broadcast id set), never
+    a node-table join for a K-row answer."""
+    from ..stages.knn import dwithin_pairs
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
+                          num_buckets=32).select_columns(["id_a", "id_b"])
+    edges = pairs.materialize()
+
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "v": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                   t["id_b"].combine_chunks()]),
+            "n": pa.concat_arrays([t["id_b"].combine_chunks(),
+                                   t["id_a"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def wedge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket wedge pairs, pre-counted before they shuffle."""
+        out_a, out_b = [], []
+        for _, g in df.groupby("v", sort=False):
+            nb = np.sort(g["n"].to_numpy(np.int64))
+            k = len(nb)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            out_a.append(nb[iu[0]])
+            out_b.append(nb[iu[1]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cn": pd.Series([], dtype="int64"),
+                                 "edge": pd.Series([], dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.nonzero(new)[0]
+        cnt = np.diff(np.append(st, len(a)))
+        return pd.DataFrame({"id_a": a[st], "id_b": b[st],
+                             "cn": cnt.astype(np.int64),
+                             "edge": np.zeros(len(st), np.int64)})
+
+    wedges = grouped_apply(both, ["v"], wedge_counts, num_buckets=16)
+    etag = edges.map_batches(
+        lambda t: t.append_column(
+            "cn", pa.array(np.zeros(len(t), np.int64))).append_column(
+            "edge", pa.array(np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False).agg(
+            cn=("cn", "sum"), edge=("edge", "sum")).reset_index()
+        g = g[(g["edge"] == 0) & (g["cn"] > 0)]
+        g = g.sort_values(["cn", "id_a", "id_b"],
+                          ascending=[False, True, True]).head(LP_K)
+        return g[["id_a", "id_b", "cn"]].astype("int64")
+
+    cand = grouped_apply(wedges.union(etag), ["id_a", "id_b"],
+                         bucket_topk, num_buckets=16)
+    top = cand.to_pandas().sort_values(
+        ["cn", "id_a", "id_b"],
+        ascending=[False, True, True]).head(LP_K).reset_index(drop=True)
+
+    deg = partial_group_counts(both, ["v"], count_col="d")
+    if not len(top):
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "common_neighbors": pd.Series([], dtype="int64"),
+            "union_neighbors": pd.Series([], dtype="int64")})
+    want = np.unique(np.concatenate([top["id_a"].to_numpy(np.int64),
+                                     top["id_b"].to_numpy(np.int64)]))
+    want_ref = ray.put(want)
+    dsel = deg.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["v"].to_numpy(zero_copy_only=False), ray.get(want_ref)))),
+        batch_format="pyarrow").to_pandas()
+    dmap = dict(zip(dsel["v"].astype(np.int64),
+                    dsel["d"].astype(np.int64)))
+    da = top["id_a"].map(dmap).to_numpy(np.int64)
+    db = top["id_b"].map(dmap).to_numpy(np.int64)
+    cn = top["cn"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "id_a": top["id_a"].astype(np.int64),
+        "id_b": top["id_b"].astype(np.int64),
+        "common_neighbors": cn,
+        "union_neighbors": da + db - cn})

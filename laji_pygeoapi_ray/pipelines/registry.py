@@ -63,6 +63,10 @@ _DRIVER_PRIORITY = [
     "cusum_change_cells", "cell_lang_impurity", "rag_chunk_layout",
     "rendezvous_shards", "knox_space_time", "theil_sen_cells",
     "event_type_lift", "bpe_top_merges", "sobel_gradient_cells",
+    # round-4 fourth session: link prediction, sequence motifs,
+    # training-mix allocation, semantic dedup
+    "link_pred_common_neighbors", "event_trigram_motifs",
+    "temperature_mix_allocation", "semdedup_reps",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

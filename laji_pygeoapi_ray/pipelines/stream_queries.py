@@ -923,3 +923,84 @@ def value_percent_rank(sf_dir: str):
                                    "n": pd.Series([], dtype="int64")}))
 
     return grouped_apply(ds, ["event_type"], ranks, num_buckets=8)
+
+
+# --------------------------------------------- sequence-motif mining (CEP)
+MOTIF_K = 25    # report the top-K 3-step behavioral motifs
+
+
+@register("event_trigram_motifs", sql=f"""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t, event_id
+               FROM events),
+    s AS (SELECT user_id, event_type AS a,
+                 lead(event_type, 1) OVER w AS b,
+                 lead(event_type, 2) OVER w AS c
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    g AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n FROM s
+          WHERE c IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT a, b, c, n FROM g
+    ORDER BY n DESC, a, b, c LIMIT {MOTIF_K}""")
+def event_trigram_motifs(sf_dir: str):
+    """Sequence-motif mining (complex-event-processing shape): the MOTIF_K
+    most frequent CONTIGUOUS 3-step event-type sequences across per-user
+    event streams — the frequent-subsequence primitive behind funnel
+    discovery and session modelling (funnel_conversion checks ONE known
+    pattern; this one finds which patterns exist). Deterministic stream
+    order: (t, event_id) inside each user.
+
+    Shape: ONE shuffle keyed by user (grouped scan), per-user vectorized
+    shift comparison (no Python loop over events: the sorted type codes
+    are compared as three strided views), per-bucket trigram PRE-COUNTS
+    (cardinality ≤ |types|³, tiny) and one final sum + top-K — the event
+    log itself never shuffles twice and nothing wide reaches the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id",
+                                       "event_type", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # encode types once per bucket; trigram key = base-|codes| int
+        codes, uniq = pd.factorize(df["event_type"], sort=True)
+        k = len(uniq)
+        df = df.assign(_c=codes).sort_values(
+            ["user_id", "t", "event_id"], kind="mergesort")
+        c = df["_c"].to_numpy(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        if len(c) < 3:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        tri = (c[:-2] * k + c[1:-1]) * k + c[2:]
+        tri = tri[same]
+        if not len(tri):
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        vals, cnts = np.unique(tri, return_counts=True)
+        ua = uniq.to_numpy()
+        return pd.DataFrame({"a": ua[vals // (k * k)],
+                             "b": ua[(vals // k) % k],
+                             "c": ua[vals % k],
+                             "n": cnts.astype(np.int64)})
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    agg = partials.groupby(["a", "b", "c"]).aggregate(
+        Sum("n", alias_name="n"))
+    df = agg.to_pandas().rename(columns=lambda s: s.replace("sum(n)", "n"))
+    df.columns = ["a", "b", "c", "n"]
+    df = df.sort_values(["n", "a", "b", "c"],
+                        ascending=[False, True, True, True]).head(MOTIF_K)
+    return df.reset_index(drop=True).astype({"n": "int64"})

@@ -1762,3 +1762,61 @@ def neyman_allocation_sample(sf_dir: str):
         "s_weight": pa.array([by[l][1] for l in langs], pa.int64()),
         "n_alloc": pa.array([alloc[l] for l in langs], pa.int64()),
         "n_sel": pa.array([counts.get(l, 0) for l in langs], pa.int64())})
+
+
+# ------------------------------------------- training-mix allocation
+MIX_BUDGET = 10_000      # documents to draw across languages
+MIX_WSCALE = 1000        # weight quantizer: wt = floor(sqrt(n) * 1000)
+
+
+@register("temperature_mix_allocation", sql=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    w AS (SELECT lang, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE))
+                            * CAST('{MIX_WSCALE}' AS DOUBLE)) AS BIGINT)
+                     AS wt
+          FROM c),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS s FROM w),
+    q AS (SELECT lang, n, wt,
+                 (wt * {MIX_BUDGET}) // t.s AS base,
+                 (wt * {MIX_BUDGET}) % t.s AS rem
+          FROM w, t),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+          FROM q),
+    d AS (SELECT CAST(SUM(base) AS BIGINT) AS sb FROM q)
+    SELECT lang, n, wt,
+           CAST(base + CASE WHEN rk <= {MIX_BUDGET} - d.sb
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r, d ORDER BY lang""")
+def temperature_mix_allocation(sf_dir: str):
+    """Training-data mixing: apportion a MIX_BUDGET-document sampling
+    budget across languages at temperature α = 0.5 (quota ∝ n^α — the
+    multilingual rebalancing rule of Conneau & Lample 2019 / the data-mix
+    step every multilingual corpus build runs). Integer-exact largest-
+    remainder (Hamilton) apportionment: weights are quantized
+    floor(sqrt(n)·WSCALE) (one IEEE sqrt per language, identical on both
+    sides), base = ⌊B·wᵢ/Σw⌋ in int64, and the B − Σbase leftover units go
+    to the largest remainders (ties → lang asc), so Σquota = B exactly.
+
+    Shape: per-batch partial language counts (the only thing that ever
+    shuffles — ≤ |langs| rows per block), one tiny final sum; the
+    apportionment itself is |langs| rows of driver arithmetic."""
+    from ..stages.shuffle import partial_group_counts
+
+    docs = read_table(sf_dir, "documents", ["lang"])
+    counts = partial_group_counts(docs, ["lang"], count_col="n")
+    df = counts.to_pandas().sort_values("lang").reset_index(drop=True)
+    n = df["n"].to_numpy(np.int64)
+    wt = np.floor(np.sqrt(n.astype(np.float64))
+                  * np.float64(float(MIX_WSCALE))).astype(np.int64)
+    s = int(wt.sum())
+    base = (wt * MIX_BUDGET) // s
+    rem = (wt * MIX_BUDGET) % s
+    left = MIX_BUDGET - int(base.sum())
+    # rank by (rem desc, lang asc): lexsort on (lang asc, -rem)
+    order = np.lexsort((df["lang"].to_numpy(), -rem))
+    quota = base.copy()
+    quota[order[:left]] += 1
+    return pd.DataFrame({"lang": df["lang"], "n": n, "wt": wt,
+                         "quota": quota.astype(np.int64)})

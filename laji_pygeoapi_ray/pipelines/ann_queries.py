@@ -783,3 +783,76 @@ def semdedup_reps(sf_dir: str):
         return pd.concat(out, ignore_index=True)
 
     return grouped_apply(asg, ["cluster"], per_cluster, num_buckets=8)
+
+
+# --------------------------------------------------- kNN classification
+KNN_CLS_K = 7
+
+
+def _knn_cls_sql() -> str:
+    qd = _QUANT.format(col="q.embedding")
+    ed = _QUANT.format(col="e.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+    d AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+                 e.vec_id AS neighbor_id, e.label AS nb_label,
+                 list_dot_product({qd}, {ed}) AS score
+          FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+    nn AS (SELECT query_id, true_label, nb_label FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                 AS rk FROM d) WHERE rk <= {KNN_CLS_K}),
+    v AS (SELECT query_id, true_label, nb_label,
+                 CAST(COUNT(*) AS BIGINT) AS votes
+          FROM nn GROUP BY 1, 2, 3)
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(nb_label AS BIGINT) AS pred_label, votes
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, nb_label) AS vr
+          FROM v) WHERE vr = 1"""
+
+
+@register("knn_label_predict", sql=_knn_cls_sql)
+def knn_label_predict(sf_dir: str):
+    """kNN classification / weak labeling: predict each query vector's
+    label by majority vote among its KNN_CLS_K nearest corpus neighbors
+    (exact quantized-dot similarity, self excluded; vote ties → smallest
+    label) and report it next to the true label — the model-free labeler
+    (and its accuracy audit) every semi-supervised data pipeline runs.
+
+    Shape: the broadcast-matmul exact top-k (`ann_topk_broadcast`)
+    produces the bounded (n_queries × k) neighbor list; neighbor labels
+    attach WITHOUT a corpus join — the winning neighbor-id set is
+    broadcast and the label column is filtered distributed, so only the
+    ≤ n_queries·k matching (vec_id, label) rows reach the driver; the
+    vote is driver arithmetic over that bounded list."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _queries_df(sf_dir, cols=("vec_id", "embedding", "label"))
+    topk = ann_topk_broadcast(ds, qdf[["vec_id", "embedding"]], KNN_CLS_K) \
+        .to_pandas()
+
+    nb_ids = np.unique(topk["neighbor_id"].to_numpy(np.int64))
+    nb_ref = ray.put(nb_ids)
+    lab = read_table(sf_dir, "embeddings", ["vec_id", "label"])
+    lsel = lab.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["vec_id"].to_numpy(zero_copy_only=False),
+            ray.get(nb_ref)))),
+        batch_format="pyarrow").to_pandas()
+    lmap = dict(zip(lsel["vec_id"].astype(np.int64),
+                    lsel["label"].astype(np.int64)))
+
+    topk["nb_label"] = topk["neighbor_id"].map(lmap).astype(np.int64)
+    votes = (topk.groupby(["query_id", "nb_label"], as_index=False)
+             .size().rename(columns={"size": "votes"}))
+    votes = votes.sort_values(["query_id", "votes", "nb_label"],
+                              ascending=[True, False, True])
+    top1 = votes.groupby("query_id", as_index=False).head(1)
+    tl = dict(zip(qdf["vec_id"].astype(np.int64),
+                  qdf["label"].astype(np.int64)))
+    return pd.DataFrame({
+        "query_id": top1["query_id"].astype(np.int64).to_numpy(),
+        "true_label": top1["query_id"].map(tl).astype(np.int64).to_numpy(),
+        "pred_label": top1["nb_label"].astype(np.int64).to_numpy(),
+        "votes": top1["votes"].astype(np.int64).to_numpy()})

@@ -2863,3 +2863,52 @@ def corridor_doc_counts(sf_dir: str):
     dedup = grouped_apply(cands, ["user_id", "doc_id"],
                           lambda df: df.drop_duplicates(), num_buckets=16)
     return partial_group_counts(dedup, ["user_id"], count_col="n_docs")
+
+
+# -------------------------------------------- reverse nearest neighbor
+@register("reverse_nn_supplier_counts", sql=lambda: f"""
+    WITH d AS ({_points_cte()}),
+    s AS (SELECT s_suppkey, {points.sql_xy('s_suppkey')[0]} AS x,
+                 {points.sql_xy('s_suppkey')[1]} AS y FROM supplier),
+    a AS (SELECT d.doc_id, s.s_suppkey,
+                 (d.x - s.x) * (d.x - s.x) + (d.y - s.y) * (d.y - s.y)
+                     AS d2,
+                 row_number() OVER (PARTITION BY d.doc_id
+                                    ORDER BY (d.x - s.x) * (d.x - s.x)
+                                           + (d.y - s.y) * (d.y - s.y),
+                                             s.s_suppkey) AS rk
+          FROM d, s)
+    SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM a WHERE rk = 1 GROUP BY 1""")
+def reverse_nn_supplier_counts(sf_dir: str):
+    """REVERSE nearest neighbor (influence sets, Korn & Muthukrishnan
+    2000): for each supplier, how many documents have IT as their single
+    nearest supplier — the facility-catchment / assignment-cardinality
+    query (the dual of kNN: 'who is closest to me' → 'whose closest am
+    I'). Ties break to the lowest supplier key on both sides.
+
+    Shape: the supplier side is tiny → broadcast once (`ray.put`); each
+    document batch does one vectorized (n×m) argmin over identically-
+    ordered float ops, then PRE-COUNTS winners per supplier inside the
+    block — only ≤ m-row partials shuffle into the final sum; the
+    document table never moves."""
+    from ..stages.shuffle import partial_group_counts
+
+    sup = read_table(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    skey = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+    sx, sy = points.derive_xy(skey)
+    sref = ray.put((skey, sx, sy))
+
+    ds = _docs_points(sf_dir, ())
+
+    def nearest(t: pa.Table) -> pa.Table:
+        sk, sx_, sy_ = ray.get(sref)
+        dx = t["x"].to_numpy(zero_copy_only=False)
+        dy = t["y"].to_numpy(zero_copy_only=False)
+        d2 = ((dx[:, None] - sx_[None, :]) * (dx[:, None] - sx_[None, :])
+              + (dy[:, None] - sy_[None, :]) * (dy[:, None] - sy_[None, :]))
+        win = sk[d2.argmin(axis=1)]     # keys ascending → ties → lowest
+        return pa.table({"s_suppkey": pa.array(win)})
+
+    wins = ds.map_batches(nearest, batch_format="pyarrow")
+    return partial_group_counts(wins, ["s_suppkey"], count_col="n_docs")

@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = [
     # training-mix allocation, semantic dedup
     "link_pred_common_neighbors", "event_trigram_motifs",
     "temperature_mix_allocation", "semdedup_reps",
+    "reverse_nn_supplier_counts", "knn_label_predict",
+    "trajectory_hausdorff_pairs", "mad_event_outliers",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -1241,3 +1241,162 @@ def skyline_orders(sf_dir: str):
     return local.repartition(1).map_batches(local_sky,
                                             batch_format="pyarrow",
                                             batch_size=None)
+
+
+# ------------------------------------------- trajectory similarity
+TRAJ_MOD = 10            # bounded trajectory-pair query set: users % MOD = 0
+TRAJ_MAX_POINTS = 2_000_000   # broadcast bound for the subset point pack
+
+
+def _hausdorff_sql() -> str:
+    x, y = _pts.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT user_id, {x} AS x, {y} AS y FROM events
+               WHERE user_id % {TRAJ_MOD} = 0),
+    p AS (SELECT DISTINCT user_id, x, y FROM e),
+    dir AS (SELECT a.user_id AS su, b.user_id AS tu, a.x, a.y,
+                   MIN((a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y)) AS md
+            FROM p a JOIN p b ON a.user_id <> b.user_id
+            GROUP BY 1, 2, 3, 4),
+    hdir AS (SELECT su, tu, MAX(md) AS h FROM dir GROUP BY 1, 2)
+    SELECT LEAST(su, tu) AS user_a, GREATEST(su, tu) AS user_b,
+           MAX(h) AS hausdorff_d2
+    FROM hdir GROUP BY 1, 2"""
+
+
+@register("trajectory_hausdorff_pairs", sql=_hausdorff_sql)
+def trajectory_hausdorff_pairs(sf_dir: str):
+    """Trajectory similarity: the symmetric Hausdorff distance (squared,
+    euclidean over the derived lattice points) between every pair of
+    trajectories in the bounded user subset — the set-distance primitive
+    behind trajectory clustering / map-matching QA. NO quantization
+    anywhere: Hausdorff is max∘min SELECTION over identically-written
+    float products, and selection (unlike summation) has no order
+    sensitivity, so the doubles match DuckDB bit-for-bit (the Theil-Sen
+    lesson).
+
+    Shape: the subset (user % TRAJ_MOD) is the bounded query set — its
+    distinct points are collected through a DISTRIBUTED filter (guarded
+    by TRAJ_MAX_POINTS), packed per user, and broadcast once; the pair
+    list distributes as a Dataset and each pair computes its two directed
+    maxes as one vectorized (|A|×|B|) block — pairwise work runs on
+    workers, the driver only holds the bounded pack."""
+    ev = read_table(sf_dir, "events", ["event_id", "user_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(uid % TRAJ_MOD == 0))
+        x, y = _pts.derive_xy(t["event_id"].to_numpy(zero_copy_only=False)
+                              .astype(np.int64))
+        return pa.table({"user_id": pa.array(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "x": pa.array(x), "y": pa.array(y)}) \
+            .group_by(["user_id", "x", "y"]).aggregate([])
+
+    sub = ev.map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .drop_duplicates().sort_values(["user_id", "x", "y"])
+    if len(sub) > TRAJ_MAX_POINTS:
+        raise ValueError(
+            f"trajectory_hausdorff_pairs: subset has {len(sub)} points > "
+            f"TRAJ_MAX_POINTS={TRAJ_MAX_POINTS}; raise TRAJ_MOD or move "
+            "the pair stage to a cogrouped shuffle")
+    users = np.sort(sub["user_id"].unique().astype(np.int64))
+    packs = {int(u): (g["x"].to_numpy(np.float64),
+                      g["y"].to_numpy(np.float64))
+             for u, g in sub.groupby("user_id")}
+    pack_ref = ray.put(packs)
+
+    ia, ib = np.triu_indices(len(users), 1)
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "user_a": users[ia], "user_b": users[ib]}))
+
+    def hausdorff(t: pa.Table) -> pa.Table:
+        pk = ray.get(pack_ref)
+        ua = t["user_a"].to_numpy(zero_copy_only=False)
+        ub = t["user_b"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(ua), np.float64)
+        for i in range(len(ua)):
+            ax, ay = pk[int(ua[i])]
+            bx, by = pk[int(ub[i])]
+            d2 = ((ax[:, None] - bx[None, :]) * (ax[:, None] - bx[None, :])
+                  + (ay[:, None] - by[None, :])
+                  * (ay[:, None] - by[None, :]))
+            out[i] = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+        return pa.table({"user_a": pa.array(ua), "user_b": pa.array(ub),
+                         "hausdorff_d2": pa.array(out)})
+
+    return pairs.map_batches(hausdorff, batch_format="pyarrow")
+
+
+# --------------------------------------------- robust (MAD) outliers
+MAD_C = 5.0     # |value − median| ≥ C·MAD flags an outlier
+
+
+@register("mad_event_outliers", sql=f"""
+    WITH m AS (SELECT value AS med FROM (
+                 SELECT value, row_number() OVER (ORDER BY value, event_id)
+                            AS rn, COUNT(*) OVER () AS n
+                 FROM events) WHERE rn = (n - 1) // 2 + 1),
+    d AS (SELECT event_id, event_type,
+                 abs(value - (SELECT med FROM m)) AS dev
+          FROM events),
+    md AS (SELECT dev AS mad FROM (
+             SELECT dev, row_number() OVER (ORDER BY dev, event_id) AS rn,
+                    COUNT(*) OVER () AS n
+             FROM d) WHERE rn = (n - 1) // 2 + 1)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN dev >= CAST('{MAD_C!r}' AS DOUBLE)
+                                     * (SELECT mad FROM md)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d GROUP BY 1""")
+def mad_event_outliers(sf_dir: str):
+    """ROBUST anomaly detection: per event type, count values whose
+    absolute deviation from the global median exceeds C × MAD (median
+    absolute deviation) — the outlier rule that, unlike the z-score
+    sibling `event_value_outliers`, is itself immune to the outliers it
+    hunts. Both medians are exact (n−1)//2 order statistics.
+
+    Shape: two chained 2-pass histogram selections (`kth_value_2pass` —
+    per-batch histograms combine before any shuffle; only one bin's
+    values ever reach the driver), then one vectorized flag-and-count
+    scan emitting ≤ |types|-row partials. The deviation is the same
+    float expression on both sides and the median/MAD are selected (not
+    summed) values, so the comparison is bit-exact with no quantization."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import kth_value_2pass, partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["event_type", "value"])
+    n = ev.count()
+    med, _ = kth_value_2pass(read_table(sf_dir, "events", ["value"]),
+                             "value", (n - 1) // 2)
+
+    dev = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "dev": pa.array(np.abs(
+                t["value"].to_numpy(zero_copy_only=False)
+                .astype(np.float64) - med))}),
+        batch_format="pyarrow")
+    mad, _ = kth_value_2pass(dev.select_columns(["dev"]), "dev",
+                             (n - 1) // 2)
+    thr = MAD_C * mad
+
+    def flags(t: pa.Table) -> pa.Table:
+        d = t["dev"].to_numpy(zero_copy_only=False)
+        tt = pa.table({"event_type": t["event_type"],
+                       "one": pa.array(np.ones(len(d), np.int64)),
+                       "o": pa.array((d >= thr).astype(np.int64))})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("o", "sum")])
+        return g.rename_columns(["event_type", "n_total", "n_outliers"])
+
+    from ray.data.aggregate import Sum
+    agg = dev.map_batches(flags, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_outliers", alias_name="n_outliers"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_total", "n_outliers"]),
+        batch_format="pyarrow")

@@ -2912,3 +2912,114 @@ def reverse_nn_supplier_counts(sf_dir: str):
 
     wins = ds.map_batches(nearest, batch_format="pyarrow")
     return partial_group_counts(wins, ["s_suppkey"], count_col="n_docs")
+
+
+# ----------------------------------------------- polygon adjacency matrix
+def _adjacency_sql() -> str:
+    from ..functions.pip import sql_pip_assign
+
+    n = 1 << RES
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH g AS (SELECT unnest(generate_series(0, {n * n - 1})) AS i),
+    ctr AS (SELECT (i & {n - 1}) AS ix, (i >> {RES}) AS iy,
+                   {points._d(points.FIN_X0)}
+                     + (CAST(i & {n - 1} AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE))
+                       * {points._d(points._W / n)} AS x,
+                   {points._d(points.FIN_Y0)}
+                     + (CAST(i >> {RES} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       * {points._d(points._H / n)} AS y
+            FROM g),
+    assigned AS ({sql_pip_assign(
+        "SELECT (iy << " + str(cells.IY_SHIFT) + ") | ix AS pk, x, y "
+        "FROM ctr", "pk",
+        fixtures.edges_values_sql(fixtures.province_layer()),
+        fixtures.names_values_sql(fixtures.province_layer()))}),
+    cov AS (SELECT pk & {mask} AS ix, pk >> {cells.IY_SHIFT} AS iy,
+                   name AS province
+            FROM assigned WHERE name IS NOT NULL),
+    adj AS (SELECT LEAST(a.province, b.province) AS province_a,
+                   GREATEST(a.province, b.province) AS province_b
+            FROM cov a JOIN cov b
+              ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+              OR (b.ix = a.ix AND b.iy = a.iy + 1)
+            WHERE a.province <> b.province)
+    SELECT DISTINCT province_a, province_b FROM adj"""
+
+
+@register("province_adjacency_pairs", sql=_adjacency_sql)
+def province_adjacency_pairs(sf_dir: str):
+    """Polygon-topology adjacency matrix: which province pairs share a
+    border — computed as 4-neighborhood adjacency of their raster cover
+    sets at res {RES} (the standard discretized ST_Touches; the center
+    rule keeps cover sets disjoint so a shared border shows up as an
+    edge-adjacent cell pair of different labels).
+
+    Shape: the cover lattice streams as integer blocks through the PIP
+    actor pool (same machinery as `province_cover_cells`); every labeled
+    cell GHOSTS one row east and one row north onto its neighbor's key;
+    ONE hash cogroup by packed cell key pairs home vs ghost labels and
+    emits per-block DISTINCT (least, greatest) label pairs; the final
+    distinct sees ≤ |provinces|² rows. No all-pairs polygon test, no
+    geometry ever shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    n = 1 << RES
+    cw = np.float64(points._W / n)
+    ch = np.float64(points._H / n)
+
+    def centers(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False)
+        ix = i & (n - 1)
+        iy = i >> RES
+        x = points.FIN_X0 + (ix.astype(np.float64) + 0.5) * cw
+        y = points.FIN_Y0 + (iy.astype(np.float64) + 0.5) * ch
+        return pa.table({"ix": ix, "iy": iy, "x": x, "y": y})
+
+    ds = ray.data.range(n * n, override_num_blocks=16)
+    ds = ds.map_batches(centers, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
+                        batch_size=16384, concurrency=default_pool(),
+                        num_cpus=1)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["province"]))
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prov = t["province"].to_numpy(zero_copy_only=False)
+        key = (iy << cells.IY_SHIFT) | ix
+        # home row + ghost copies onto the east and north neighbor keys
+        ghost_e = ((iy << cells.IY_SHIFT) | (ix + 1))[ix + 1 < n]
+        ghost_n = (((iy + 1) << cells.IY_SHIFT) | ix)[iy + 1 < n]
+        return pa.table({
+            "key": pa.array(np.concatenate([key, ghost_e, ghost_n])),
+            "province": pa.array(np.concatenate(
+                [prov, prov[ix + 1 < n], prov[iy + 1 < n]])),
+            "home": pa.array(np.concatenate(
+                [np.ones(len(key), np.int8),
+                 np.zeros(len(ghost_e) + len(ghost_n), np.int8)]))})
+
+    sc = ds.map_batches(scatter, batch_format="pyarrow")
+
+    def pair_up(df):
+        import pandas as pd
+        homes = df[df["home"] == 1][["key", "province"]]
+        ghosts = df[df["home"] == 0][["key", "province"]] \
+            .rename(columns={"province": "gprov"})
+        m = ghosts.merge(homes, on="key")
+        m = m[m["gprov"] != m["province"]]
+        if not len(m):
+            return pd.DataFrame({"province_a": pd.Series([], dtype="object"),
+                                 "province_b": pd.Series([], dtype="object")})
+        a = np.minimum(m["gprov"].to_numpy(), m["province"].to_numpy())
+        b = np.maximum(m["gprov"].to_numpy(), m["province"].to_numpy())
+        return pd.DataFrame({"province_a": a, "province_b": b}) \
+            .drop_duplicates()
+
+    pairs = grouped_apply(sc, ["key"], pair_up, num_buckets=16)
+    return pairs.groupby(["province_a", "province_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")

@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = [
     "temperature_mix_allocation", "semdedup_reps",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
+    "phrase_match_counts", "dwell_time_by_type",
+    "group_split_audit", "province_adjacency_pairs",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

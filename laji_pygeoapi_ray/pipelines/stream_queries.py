@@ -1004,3 +1004,149 @@ def event_trigram_motifs(sf_dir: str):
     df = df.sort_values(["n", "a", "b", "c"],
                         ascending=[False, True, True, True]).head(MOTIF_K)
     return df.reset_index(drop=True).astype({"n": "int64"})
+
+
+# ------------------------------------------------- state-machine dwell time
+@register("dwell_time_by_type", sql="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t, event_id
+               FROM events),
+    l AS (SELECT user_id, event_type, t,
+                 lead(t) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id) AS nxt
+          FROM e)
+    SELECT event_type,
+           CAST(COUNT(nxt) AS BIGINT) AS n_intervals,
+           CAST(COALESCE(SUM(nxt - t), 0) AS BIGINT) AS dwell_us
+    FROM l GROUP BY 1""")
+def dwell_time_by_type(sf_dir: str):
+    """State-machine dwell time: treating each user's event stream as a
+    state sequence (state = event_type until the next event), the total
+    microseconds spent in each state and the interval count — the
+    session-analytics / device-state metric. Exact integer epoch-µs;
+    stream order (t, event_id) is total, so both sides see identical
+    intervals.
+
+    Shape: ONE shuffle keyed by user, per-bucket vectorized sort + shift
+    (the user_travel_stats lag pattern), per-bucket ≤ |types|-row dwell
+    partials, tiny final sum."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id",
+                                       "event_type", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        if len(t) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n_intervals": pd.Series([], dtype="int64"),
+                "dwell_us": pd.Series([], dtype="int64")})
+        has_next = np.empty(len(t), bool)
+        has_next[:-1] = u[:-1] == u[1:]
+        has_next[-1] = False
+        gap = np.zeros(len(t), np.int64)
+        gap[:-1] = t[1:] - t[:-1]
+        gap[~has_next] = 0
+        out = pd.DataFrame({"event_type": et,
+                            "n": has_next.astype(np.int64), "d": gap})
+        g = out.groupby("event_type", as_index=False).agg(
+            n_intervals=("n", "sum"), dwell_us=("d", "sum"))
+        return g
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    agg = partials.groupby("event_type").aggregate(
+        Sum("n_intervals", alias_name="n_intervals"),
+        Sum("dwell_us", alias_name="dwell_us"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_intervals",
+                                    "dwell_us"]),
+        batch_format="pyarrow")
+
+
+# ----------------------------------------- group-aware split leakage audit
+SPLIT_VAL_PCT = 20     # h(user) % 100 < PCT → validation
+
+
+def _group_split_sql() -> str:
+    from ..stages.sampling import sql_id_hash
+    h = sql_id_hash("user_id")
+    return f"""
+    WITH e AS (SELECT user_id,
+                      CASE WHEN ({h}) % 100 < {SPLIT_VAL_PCT}
+                           THEN 'val' ELSE 'train' END AS split
+               FROM events),
+    s AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM e GROUP BY 1),
+    leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+               SELECT user_id FROM e GROUP BY user_id
+               HAVING COUNT(DISTINCT split) > 1))
+    SELECT split, n_events, n_users,
+           (SELECT n FROM leak) AS n_leaked_users
+    FROM s"""
+
+
+@register("group_split_audit", sql=_group_split_sql)
+def group_split_audit(sf_dir: str):
+    """GROUP-aware train/validation split + leakage audit: events split by
+    a deterministic hash of their USER (never the event id — the rule
+    that prevents the same user's behavior from leaking across splits),
+    with per-split event/user counts and a machine-checked leaked-user
+    count (must be 0 by construction; the audit PROVES it rather than
+    assuming it — the eval-integrity gate every training pipeline needs).
+
+    Shape: the split tag is a pure row-local hash (no shuffle); per-batch
+    partial (split, distinct-user, count) rows pre-aggregate before one
+    tiny groupby; the leak check rides the same per-user partials."""
+    import pyarrow.compute as pc
+
+    from ..stages.sampling import id_hash
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = (id_hash(uid) % 100) < SPLIT_VAL_PCT
+        tt = pa.table({
+            "user_id": pa.array(uid),
+            "split": pa.array(np.where(val, "val", "train"))})
+        return tt.group_by(["user_id", "split"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["user_id", "split", "n"])
+
+    partials = ev.map_batches(tag, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "split"], as_index=False)["n"].sum()
+        per_user = g.groupby("user_id").agg(
+            n_splits=("split", "nunique"))
+        leaked = int((per_user["n_splits"] > 1).sum())
+        s = g.groupby("split", as_index=False).agg(
+            n_events=("n", "sum"), n_users=("user_id", "nunique"))
+        s["leaked"] = leaked
+        return s
+
+    b = grouped_apply(partials, ["user_id"], per_bucket, num_buckets=16)
+    agg = b.groupby("split").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_users", alias_name="n_users"),
+        Sum("leaked", alias_name="n_leaked_users"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["split", "n_events", "n_users",
+                                    "n_leaked_users"]),
+        batch_format="pyarrow")

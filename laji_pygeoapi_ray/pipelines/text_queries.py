@@ -1820,3 +1820,60 @@ def temperature_mix_allocation(sf_dir: str):
     quota[order[:left]] += 1
     return pd.DataFrame({"lang": df["lang"], "n": n, "wt": wt,
                          "quota": quota.astype(np.int64)})
+
+
+# --------------------------------------------- multi-pattern content scan
+SCAN_PHRASES = ("fast table", "slow scan", "hash join", "value table part",
+                "a a", "group by", "big vector", "window window")
+
+
+def _phrase_scan_sql() -> str:
+    parts = []
+    for i, p in enumerate(SCAN_PHRASES):
+        esc = p.replace("'", "''")
+        parts.append(f"""
+    SELECT '{esc}' AS phrase,
+           CAST(SUM((len(text) - len(replace(text, '{esc}', '')))
+                    // {len(p)}) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN contains(text, '{esc}') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs
+    FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+@register("phrase_match_counts", sql=_phrase_scan_sql)
+def phrase_match_counts(sf_dir: str):
+    """Multi-pattern content scan (the blocklist / policy-phrase filter
+    every corpus pipeline runs before training): for each phrase in the
+    broadcast pattern set, the total number of (non-overlapping,
+    left-to-right) occurrences across the corpus and the number of
+    documents containing it. Non-overlap semantics match SQL's
+    replace-and-measure counting exactly (none of the phrases is
+    self-overlapping).
+
+    Shape: the pattern set broadcasts once; each document block runs a
+    vectorized substring count per pattern (pandas `str.count` on the
+    escaped literal) and emits ONE |patterns|-row partial — the text
+    never shuffles, the final sum sees |patterns| × blocks tiny rows."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", ["text"])
+    pats = [(_re.escape(p), p) for p in SCAN_PHRASES]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        rows = []
+        for esc, raw in pats:
+            c = s.str.count(esc)
+            rows.append((raw, int(c.sum()), int((c > 0).sum())))
+        return pd.DataFrame(rows, columns=["phrase", "occ", "docs"])
+
+    partials = docs.map_batches(scan, batch_format="pandas")
+    agg = partials.groupby("phrase").aggregate(
+        Sum("occ", alias_name="n_occurrences"),
+        Sum("docs", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["phrase", "n_occurrences", "n_docs"]),
+        batch_format="pyarrow")

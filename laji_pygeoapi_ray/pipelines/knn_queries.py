@@ -1078,3 +1078,89 @@ def link_pred_common_neighbors(sf_dir: str):
         "id_b": top["id_b"].astype(np.int64),
         "common_neighbors": cn,
         "union_neighbors": da + db - cn})
+
+
+# ------------------------------------------- local clustering coefficient
+def _clustering_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    r = TRI_RADIUS
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    e AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+          ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{r}' AS DOUBLE) * CAST('{r}' AS DOUBLE)),
+    b AS MATERIALIZED (SELECT ia AS v, ib AS n FROM e
+                       UNION ALL SELECT ib AS v, ia AS n FROM e),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM b GROUP BY 1),
+    w AS (SELECT b1.v, b1.n AS nb, b2.n AS nc FROM b b1 JOIN b b2
+          ON b1.v = b2.v AND b1.n < b2.n),
+    tri AS (SELECT w.v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM w JOIN e ON e.ia = w.nb AND e.ib = w.nc GROUP BY 1)
+    SELECT tri.v AS doc_id, tri.t AS n_triangles, deg.d AS degree
+    FROM tri JOIN deg ON deg.v = tri.v"""
+
+
+@register("node_clustering_coeff", sql=_clustering_sql)
+def node_clustering_coeff(sf_dir: str):
+    """LOCAL clustering coefficient inputs per node: for every vertex of
+    the proximity graph that closes at least one triangle, its triangle
+    count and degree — cc = 2T/(d(d−1)) is the consumer's one division
+    (reported as the exact integer pair, the same rational-output rule as
+    Jaccard in `link_pred_common_neighbors`). The transitivity profile
+    behind graph-quality audits.
+
+    Shape: same machinery as `triangle_count_docs` but each triangle is
+    credited at ALL THREE corners — wedges keep their center v (emitted
+    from the full both-direction neighborhood, pre-counted per bucket),
+    one (pair)-keyed hash join against the oriented edge set closes
+    them, per-v partial counts, one tiny v-keyed join to attach degrees."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+    from ..stages.knn import dwithin_pairs
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
+                          num_buckets=32).select_columns(["id_a", "id_b"])
+    edges = pairs.materialize()
+
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "v": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                   t["id_b"].combine_chunks()]),
+            "n": pa.concat_arrays([t["id_b"].combine_chunks(),
+                                   t["id_a"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_b, out_c = [], [], []
+        for v, g in df.groupby("v", sort=False):
+            nb = np.sort(g["n"].to_numpy(np.int64))
+            k = len(nb)
+            if k < 2:
+                continue
+            iu = np.triu_indices(k, 1)
+            out_v.append(np.full(len(iu[0]), v, np.int64))
+            out_b.append(nb[iu[0]])
+            out_c.append(nb[iu[1]])
+        if not out_v:
+            return pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                                 "id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"v": np.concatenate(out_v),
+                             "id_a": np.concatenate(out_b),
+                             "id_b": np.concatenate(out_c)})
+
+    w = grouped_apply(both, ["v"], wedges, num_buckets=16)
+    closed = hash_join(w, edges, on=["id_a", "id_b"], num_buckets=16)
+    tri = partial_group_counts(closed.select_columns(["v"]), ["v"],
+                               count_col="n_triangles")
+    deg = partial_group_counts(both, ["v"], count_col="degree")
+    out = hash_join(tri, deg, on=["v"], num_buckets=8)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["v"],
+            "n_triangles": t["n_triangles"],
+            "degree": t["degree"]}),
+        batch_format="pyarrow")

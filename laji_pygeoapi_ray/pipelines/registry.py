@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = [
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",
     "group_split_audit", "province_adjacency_pairs",
+    "node_clustering_coeff", "length_bucket_padding",
+    "token_fertility_by_lang",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -1877,3 +1877,49 @@ def phrase_match_counts(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["phrase", "n_occurrences", "n_docs"]),
         batch_format="pyarrow")
+
+
+# --------------------------------------------- tokenizer fertility audit
+@register("token_fertility_by_lang", sql="""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1""")
+def token_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility audit per language: the exact (Σtokens,
+    Σchars, docs) integer triple — fertility = tokens/char is the
+    consumer's division; the per-language compression signal every
+    multilingual tokenizer evaluation reports (high fertility = the
+    tokenizer fragments that language). Shared tokenizer contract
+    (' '-split, empty fields counted).
+
+    Shape: pure per-batch Arrow kernels (split lengths + utf8 lengths)
+    pre-aggregated per language inside the block; only ≤ |langs|-row
+    partials shuffle."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ntok = pc.cast(pc.list_value_length(
+            pc.split_pattern(text, " ")), pa.int64())
+        nch = pc.cast(pc.utf8_length(text), pa.int64())
+        tt = pa.table({"lang": t["lang"], "ntok": ntok, "nch": nch,
+                       "one": pa.array(np.ones(len(t), np.int64))})
+        g = tt.group_by(["lang"]).aggregate(
+            [("ntok", "sum"), ("nch", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "n_tokens", "n_chars", "n_docs"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars"),
+        Sum("n_docs", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["lang", "n_tokens", "n_chars",
+                                    "n_docs"]),
+        batch_format="pyarrow")

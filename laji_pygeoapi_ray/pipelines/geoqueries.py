@@ -3023,3 +3023,84 @@ def province_adjacency_pairs(sf_dir: str):
     pairs = grouped_apply(sc, ["key"], pair_up, num_buckets=16)
     return pairs.groupby(["province_a", "province_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas")
+
+
+# ------------------------------------------ temporal autocorrelation (ACF)
+def _acf_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', TREND_RES)} AS cell,
+                      (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
+                          // {US_PER_HOUR} AS t
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell, t, CAST(COUNT(*) AS BIGINT) AS y
+          FROM e GROUP BY 1, 2),
+    m AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                 CAST(SUM(y) AS BIGINT) AS s,
+                 CAST(SUM(y * y) AS BIGINT) AS s2
+          FROM c GROUP BY 1),
+    p AS (SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(a.y * b.y) AS BIGINT) AS s_lag
+          FROM c a JOIN c b ON b.cell = a.cell AND b.t = a.t + 1
+          GROUP BY 1)
+    SELECT m.cell AS cell5, m.n_hours, m.s, m.s2,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(p.s_lag, 0) AS s_lag
+    FROM m LEFT JOIN p USING (cell)
+    WHERE m.n_hours >= 2"""
+
+
+@register("acf_cell_hourly", sql=_acf_sql)
+def acf_cell_hourly(sf_dir: str):
+    """Temporal AUTOCORRELATION surface: per res-5 cell, the exact integer
+    moment terms of the lag-1 hourly-count series — Σy, Σy², the count of
+    true consecutive-hour pairs and their lag product Σ y_t·y_{t+1} (the
+    serial-correlation sibling of `cell_trend_hourly`'s slope; the
+    consumer forms r₁ from the five integers). High r₁ cells have
+    persistent hourly load — the cache-warming / pre-scaling signal.
+
+    Shape: one (cell, hour) partial-count pass (shared machinery), then
+    per-cell moments AND lag pairs inside ONE cell-keyed bucket pass —
+    the hourly series of a cell sorts locally, consecutive-hour pairs
+    come from one vectorized shifted comparison; no self-join ever
+    materializes."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_apply
+
+    ct = _event_hour_counts(sf_dir)
+
+    def per_bucket(df):
+        import pandas as pd
+        df = df.sort_values(["cell", "t"], kind="mergesort")
+        c = df["cell"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        same = np.zeros(len(c), bool)
+        if len(c) > 1:
+            same[:-1] = (c[:-1] == c[1:]) & (t[:-1] + 1 == t[1:])
+        lag = np.zeros(len(c), np.int64)
+        if len(c) > 1:
+            lag[:-1] = y[:-1] * y[1:]
+        lag[~same] = 0
+        out = pd.DataFrame({
+            "cell5": c, "n_hours": np.ones(len(c), np.int64),
+            "s": y, "s2": y * y,
+            "n_pairs": same.astype(np.int64), "s_lag": lag})
+        return out.groupby("cell5", as_index=False).sum()
+
+    partials = grouped_apply(ct, ["cell"], per_bucket, num_buckets=16)
+    agg = partials.groupby("cell5").aggregate(
+        Sum("n_hours", alias_name="n_hours"),
+        Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("s_lag", alias_name="s_lag"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell5", "n_hours", "s", "s2",
+                              "n_pairs", "s_lag"])
+        return t.filter(pa.array(
+            t["n_hours"].to_numpy(zero_copy_only=False) >= 2))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1164,3 +1164,78 @@ def node_clustering_coeff(sf_dir: str):
             "n_triangles": t["n_triangles"],
             "degree": t["degree"]}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------ degree assortativity
+def _assort_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    r = TRI_RADIUS
+    return f"""
+    WITH pts AS (SELECT doc_id AS id, {x} AS x, {y} AS y FROM documents),
+    e AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+          ON a.id < b.id
+          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= CAST('{r}' AS DOUBLE) * CAST('{r}' AS DOUBLE)),
+    b AS (SELECT ia AS v, ib AS n FROM e
+          UNION ALL SELECT ib AS v, ia AS n FROM e),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM b GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(da.d * db.d) AS BIGINT) AS sum_dadb,
+           CAST(SUM(da.d + db.d) AS BIGINT) AS sum_d,
+           CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS sum_d2
+    FROM e JOIN deg da ON da.v = e.ia JOIN deg db ON db.v = e.ib"""
+
+
+@register("degree_assortativity_terms", sql=_assort_sql)
+def degree_assortativity_terms(sf_dir: str):
+    """Degree-assortativity (Newman 2002) moment terms over the proximity
+    graph — the exact integer sums (m, Σdₐd_b, Σ(dₐ+d_b), Σ(dₐ²+d_b²))
+    from which the Pearson degree correlation is one rational expression
+    (consumer divides; the engine never touches a float). Positive
+    assortativity = hubs link to hubs — the structural health check for
+    similarity graphs before clustering on them.
+
+    Shape: degrees via both-direction partial counts; each of the two
+    endpoint-degree attachments is ONE v-keyed hash join of the edge list
+    against the (node, degree) table (no broadcast — node count is
+    corpus-scale); the moments reduce as per-batch int64 partials."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import hash_join
+    from ..stages.knn import dwithin_pairs
+    from ..stages.shuffle import partial_group_counts
+
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
+                          num_buckets=32).select_columns(["id_a", "id_b"])
+    edges = pairs.materialize()
+    both = edges.map_batches(
+        lambda t: pa.table({
+            "v": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                   t["id_b"].combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = partial_group_counts(both, ["v"], count_col="d")
+
+    da = deg.map_batches(lambda t: t.rename_columns(["id_a", "da"]),
+                         batch_format="pyarrow")
+    db = deg.map_batches(lambda t: t.rename_columns(["id_b", "db"]),
+                         batch_format="pyarrow")
+    j = hash_join(hash_join(edges, da, on=["id_a"], num_buckets=16),
+                  db, on=["id_b"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_edges": pa.array([np.int64(len(a))]),
+            "sum_dadb": pa.array([(a * b).sum()]),
+            "sum_d": pa.array([(a + b).sum()]),
+            "sum_d2": pa.array([(a * a + b * b).sum()])})
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_edges", alias_name="n_edges"),
+        Sum("sum_dadb", alias_name="sum_dadb"),
+        Sum("sum_d", alias_name="sum_d"),
+        Sum("sum_d2", alias_name="sum_d2"))
+    return pd.DataFrame({k: np.array([agg[k]], np.int64)
+                         for k in ["n_edges", "sum_dadb",
+                                   "sum_d", "sum_d2"]})

@@ -72,7 +72,9 @@ _DRIVER_PRIORITY = [
     "phrase_match_counts", "dwell_time_by_type",
     "group_split_audit", "province_adjacency_pairs",
     "node_clustering_coeff", "length_bucket_padding",
-    "token_fertility_by_lang",
+    "token_fertility_by_lang", "rate_limit_violations",
+    "burst_hours_by_type", "degree_assortativity_terms",
+    "acf_cell_hourly",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

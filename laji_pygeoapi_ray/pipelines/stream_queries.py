@@ -1150,3 +1150,135 @@ def group_split_audit(sf_dir: str):
         lambda t: t.rename_columns(["split", "n_events", "n_users",
                                     "n_leaked_users"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- rate-limit audit
+RL_WINDOW_US = 3_600_000_000     # trailing 1 h window
+RL_MAX = 4                       # allowed events per user per window
+
+
+@register("rate_limit_violations", sql=f"""
+    WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+               FROM events),
+    w AS (SELECT user_id,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                                RANGE BETWEEN {RL_WINDOW_US} PRECEDING
+                                          AND CURRENT ROW) AS in_window
+          FROM e)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN in_window > {RL_MAX} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations
+    FROM w GROUP BY 1""")
+def rate_limit_violations(sf_dir: str):
+    """Rate-limit audit (sliding-window counting, the API-quota / abuse
+    screen): per user, how many events arrive when more than RL_MAX
+    events (inclusive of self) fall in the trailing RL_WINDOW. RANGE
+    window semantics: ties in t all see the full tied group (DuckDB RANGE
+    CURRENT ROW includes peers) — the engine reproduces that with a
+    right-searchsorted over the sorted timestamp array minus a
+    left-searchsorted at t − window.
+
+    Shape: ONE user-keyed shuffle; per-user vectorized two-searchsorted
+    trailing count (no per-event loop); per-bucket (user, counts)
+    partials only."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                            "t": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t"], kind="mergesort")
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            t = g["t"].to_numpy(np.int64)
+            hi = np.searchsorted(t, t, side="right")
+            lo = np.searchsorted(t, t - RL_WINDOW_US, side="left")
+            viol = int(((hi - lo) > RL_MAX).sum())
+            rows.append((uid, len(t), viol))
+        return pd.DataFrame(rows, columns=["user_id", "n_events",
+                                           "n_violations"]) \
+            .astype("int64") if rows else \
+            pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "n_violations": pd.Series([], dtype="int64")})
+
+    return grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+
+
+# --------------------------------------------------- burst detection
+BURST_Z = 3      # hours with count > mean + 3σ (over occupied hours)
+
+
+@register("burst_hours_by_type", sql=f"""
+    WITH h AS (SELECT event_type,
+                      CAST(epoch_us(ts) AS BIGINT) // {US_PER_HOUR} AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS s,
+                 CAST(SUM(n * n) AS BIGINT) AS s2
+          FROM h GROUP BY 1)
+    SELECT m.event_type, m.k AS n_hours,
+           CAST(SUM(CASE WHEN h.n * m.k > m.s
+                          AND (h.n * m.k - m.s) * (h.n * m.k - m.s)
+                              > {BURST_Z * BURST_Z}
+                                * (m.k * m.s2 - m.s * m.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours
+    FROM h JOIN m USING (event_type) GROUP BY 1, 2""")
+def burst_hours_by_type(sf_dir: str):
+    """Burst detection over the hourly rate series: per event type, count
+    the occupied hours whose event count exceeds mean + Z·σ of that
+    type's hourly counts — the traffic-spike / incident screen, at the
+    BUCKET level rather than the row level (the aggregate sibling of
+    `event_value_outliers`). The z-test runs on the integer-centered
+    form (n·k − S)² > Z²·(k·Σn² − S²) with the one-sided n·k > S guard,
+    so it is exact int64 and never divides or roots.
+
+    Shape: per-batch partial (type, hour) counts → one small groupby
+    (|types|·|hours| rows); moments per type are a ≤ |types|-row
+    broadcast; the flag pass re-scans only the hourly count table."""
+    from ..stages.shuffle import partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["event_type", "ts"])
+    hrs = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "hr": pa.array(t["ts"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64) // US_PER_HOUR)}),
+        batch_format="pyarrow")
+    hcnt = partial_group_counts(hrs, ["event_type", "hr"],
+                                count_col="n").materialize()
+
+    mom = hcnt.to_pandas().groupby("event_type").agg(
+        k=("n", "size"), s=("n", "sum"),
+        s2=("n", lambda v: int((v.astype(np.int64) ** 2).sum())))
+    mref = ray.put({et: (int(r.k), int(r.s), int(r.s2))
+                    for et, r in mom.iterrows()})
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            k, s, s2 = mm[et]
+            n = g["n"].to_numpy(np.int64)
+            c = n * k - s
+            burst = (c > 0) & (c * c > BURST_Z * BURST_Z * (k * s2 - s * s))
+            rows.append((et, k, int(burst.sum())))
+        return pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                           "n_burst_hours"]) if rows else \
+            pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "n_hours": pd.Series([], dtype="int64"),
+                          "n_burst_hours": pd.Series([], dtype="int64")})
+
+    partial = hcnt.map_batches(flag, batch_format="pandas")
+    agg = partial.groupby("event_type").aggregate(
+        Sum("n_burst_hours", alias_name="n_burst_hours"),
+        Max("n_hours", alias_name="n_hours"))
+    return agg.map_batches(
+        lambda t: t.select(["event_type", "n_hours", "n_burst_hours"]),
+        batch_format="pyarrow")

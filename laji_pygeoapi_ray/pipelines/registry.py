@@ -74,7 +74,8 @@ _DRIVER_PRIORITY = [
     "node_clustering_coeff", "length_bucket_padding",
     "token_fertility_by_lang", "rate_limit_violations",
     "burst_hours_by_type", "degree_assortativity_terms",
-    "acf_cell_hourly",
+    "acf_cell_hourly", "ffill_event_values",
+    "trailing_7d_active_users", "winsorized_value_stats",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -1400,3 +1400,60 @@ def mad_event_outliers(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["event_type", "n_total", "n_outliers"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------ winsorized statistics
+WINSOR_LO_PCT = 5       # clip below the exact p5 / above the exact p95
+WINSOR_HI_PCT = 95
+
+
+@register("winsorized_value_stats", sql=f"""
+    WITH r AS (SELECT value,
+                      row_number() OVER (ORDER BY value, event_id) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM events),
+    lo AS (SELECT value AS v FROM r
+           WHERE rn = ((n - 1) * {WINSOR_LO_PCT}) // 100 + 1),
+    hi AS (SELECT value AS v FROM r
+           WHERE rn = ((n - 1) * {WINSOR_HI_PCT}) // 100 + 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(greatest((SELECT v FROM lo),
+                                        least((SELECT v FROM hi), value))
+                                * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_q,
+           CAST(SUM(CASE WHEN value < (SELECT v FROM lo)
+                           OR value > (SELECT v FROM hi)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events""")
+def winsorized_value_stats(sf_dir: str):
+    """Winsorized mean inputs: values clipped at the EXACT p5/p95 order
+    statistics (rank ⌊(n−1)·p⌋, the numpy 'lower' convention), then the
+    cent-quantized sum and the clip count — the robust-mean preprocessing
+    every metric pipeline applies before averaging heavy-tailed values.
+
+    Shape: two ranks from ONE shared 2-pass histogram selection
+    (`kth_values_2pass` — both percentiles priced at one pass), then a
+    single vectorized clip-quantize-sum scan emitting 3-int partials."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import kth_values_2pass
+
+    ev = read_table(sf_dir, "events", ["value"])
+    n = ev.count()
+    ks = [((n - 1) * WINSOR_LO_PCT) // 100, ((n - 1) * WINSOR_HI_PCT) // 100]
+    (lo, hi), _ = kth_values_2pass(ev, "value", ks)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wv = np.maximum(lo, np.minimum(hi, v))
+        q = np.floor(wv * 100.0 + 0.5).astype(np.int64)
+        clipped = ((v < lo) | (v > hi)).sum()
+        return pa.table({"n": pa.array([np.int64(len(v))]),
+                         "sum_q": pa.array([q.sum()]),
+                         "n_clipped": pa.array([np.int64(clipped)])})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"),
+        Sum("n_clipped", alias_name="n_clipped"))
+    return pd.DataFrame({k: np.array([agg[k]], np.int64)
+                         for k in ["n", "sum_q", "n_clipped"]})

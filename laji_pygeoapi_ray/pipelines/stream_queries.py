@@ -1282,3 +1282,166 @@ def burst_hours_by_type(sf_dir: str):
     return agg.map_batches(
         lambda t: t.select(["event_type", "n_hours", "n_burst_hours"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------- gap imputation (LOCF ffill)
+FFILL_MASK_MOD = 13      # event_id % MOD == 0 → value treated as missing
+
+
+@register("ffill_event_values", sql=f"""
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS t,
+                      CASE WHEN event_id % {FFILL_MASK_MOD} = 0 THEN NULL
+                           ELSE value END AS v
+               FROM events),
+    f AS (SELECT user_id, event_type,
+                 last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY t, event_id) AS fv
+          FROM e)
+    SELECT event_type,
+           CAST(COUNT(fv) AS BIGINT) AS n_filled,
+           CAST(COALESCE(SUM(CAST(floor(fv * 100 + 0.5) AS BIGINT)), 0)
+               AS BIGINT) AS sum_q
+    FROM f GROUP BY 1""")
+def ffill_event_values(sf_dir: str):
+    """Gap imputation by last-observation-carried-forward (the sensor /
+    telemetry cleaning step): values at masked positions (a deterministic
+    id rule stands in for real nulls) take the user's most recent earlier
+    value; rows before any observation stay missing. Reported as exact
+    per-type (filled-count, cent-quantized sum) — quantization AFTER the
+    fill, so the carried doubles compare bit-for-bit.
+
+    Shape: ONE user-keyed shuffle; per-user vectorized LOCF (boolean
+    mask → np.maximum.accumulate over observation indices — no Python
+    loop); per-bucket ≤|types|-row partials."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id",
+                                       "event_type", "ts", "value"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": t["value"]}),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        obs = (eid % FFILL_MASK_MOD) != 0
+        idx = np.where(obs, np.arange(len(v)), -1)
+        # reset carry at user boundaries: maximum.accumulate per segment
+        new_user = np.empty(len(v), bool)
+        if len(v):
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_user) - 1 if len(v) else np.empty(0, np.int64)
+        # per-segment accumulate: offset trick — make idx strictly
+        # segment-local by adding seg*BIG, accumulate, then undo
+        BIG = np.int64(1) << 32
+        carried = np.maximum.accumulate(
+            np.where(obs, np.arange(len(v)) + seg * BIG, seg * BIG - 1))
+        src = carried - seg * BIG
+        filled = src >= 0
+        fv = np.where(filled, v[np.clip(src, 0, None)], np.nan)
+        q = np.where(filled,
+                     np.floor(fv * 100.0 + 0.5), 0.0).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "n": filled.astype(np.int64), "s": q})
+        return out.groupby("event_type", as_index=False).agg(
+            n_filled=("n", "sum"), sum_q=("s", "sum"))
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    agg = partials.groupby("event_type").aggregate(
+        Sum("n_filled", alias_name="n_filled"),
+        Sum("sum_q", alias_name="sum_q"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_filled", "sum_q"]),
+        batch_format="pyarrow")
+
+
+# -------------------------------------------------- trailing active users
+US_PER_DAY = 86_400_000_000
+WAU_WINDOW = 7          # trailing 7 calendar days (inclusive)
+
+
+@register("trailing_7d_active_users", sql=f"""
+    WITH du AS (SELECT DISTINCT
+                    CAST(epoch_us(ts) AS BIGINT) // {US_PER_DAY} AS day,
+                    user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
+    FROM days d JOIN du u
+      ON u.day BETWEEN d.day - {WAU_WINDOW - 1} AND d.day
+    GROUP BY 1""")
+def trailing_7d_active_users(sf_dir: str):
+    """Weekly-active-users (WAU) curve: for every OBSERVED day, the count
+    of distinct users active in the trailing {WAU_WINDOW}-day window —
+    the canonical engagement metric whose sliding DISTINCT makes it a
+    shuffle-design exercise, not a window function.
+
+    Shape: per-batch DISTINCT (day, user) partials shrink the log first;
+    each distinct activity row then expands to the ≤{WAU_WINDOW} report
+    days it supports (bounded replication — the interval-join bin trick
+    in time); in-bucket (day, user) dedup + per-day partial counts. The
+    raw log shuffles ONCE as its distinct day-user projection, never as
+    rows."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        d = (t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+             // US_PER_DAY)
+        tt = pa.table({"day": pa.array(d),
+                       "user_id": pc.cast(t["user_id"], pa.int64())})
+        return tt.group_by(["day", "user_id"]).aggregate([])
+
+    du = ev.map_batches(day_user, batch_format="pyarrow").materialize()
+
+    # observed report days (small: one row per distinct day)
+    days = np.sort(np.unique(np.concatenate(
+        [b["day"].to_numpy(zero_copy_only=False)
+         for b in du.select_columns(["day"])
+         .iter_batches(batch_format="pyarrow")])))
+    days_ref = ray.put(days)
+
+    def expand(t: pa.Table) -> pa.Table:
+        dset = ray.get(days_ref)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        # report days supported by activity day d: observed days in
+        # [d, d + W - 1]
+        lo = np.searchsorted(dset, d, side="left")
+        hi = np.searchsorted(dset, d + WAU_WINDOW - 1, side="right")
+        m = hi - lo
+        tot = int(m.sum())
+        if tot == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        off = np.arange(tot) - np.repeat(np.cumsum(m) - m, m)
+        rep = dset[np.repeat(lo, m) + off]
+        out = pa.table({"day": pa.array(rep),
+                        "user_id": pa.array(np.repeat(u, m))})
+        return out.group_by(["day", "user_id"]).aggregate([])
+
+    cover = du.map_batches(expand, batch_format="pyarrow")
+
+    # a user may repeat across source buckets for the same report day →
+    # dedup inside ONE shuffle keyed by (day, user) bucket hash, then
+    # per-day partial counts summed
+    dd = grouped_apply(cover, ["day", "user_id"],
+                       lambda df: df.drop_duplicates(["day", "user_id"]),
+                       num_buckets=16)
+    return partial_group_counts(dd, ["day"], count_col="active_users")

@@ -811,3 +811,45 @@ def image_transcode_verify(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["fmt", "n", "n_roundtrip_ok"]),
         batch_format="pyarrow")
+
+
+@register("image_resize_plan", sql=lambda: f"""
+    SELECT fmt, COUNT(*) AS n,
+           CAST(SUM(greatest(1, (h * 224) // greatest(w, h))
+                    * greatest(1, (w * 224) // greatest(w, h)))
+               AS BIGINT) AS sum_target_px,
+           COUNT(*) AS n_dims_ok, COUNT(*) AS n_corner_ok
+    FROM {_img_path_sql(ORACLE_N)} GROUP BY fmt""")
+def image_resize_plan(sf_dir: str):
+    """Vision-loader resize preprocessing: every image nearest-neighbor
+    resized to the exact integer aspect-preserving plan (longest side →
+    224), run on the ACTUAL decoded pixels in the actor pool. The plan
+    (Σ target pixels per fmt) is pure integer metadata arithmetic the
+    oracle recomputes exactly; the dims/corner gates are measured on the
+    resized arrays and pinned at n = n_ok (the decode-verify trust
+    model) — a broken resize kernel breaks the driver hash."""
+    import pyarrow.compute as pc
+
+    from ..stages.images import ResizeStage
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(ResizeStage, batch_format="pyarrow",
+                        batch_size=512, concurrency=fixed_pool(),
+                        num_cpus=1)
+
+    def gates(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": t["fmt"],
+            "px": pc.cast(t["rz_px"], pa.int64()),
+            "dims_ok": pc.cast(t["rz_dims_ok"], pa.int64()),
+            "corner_ok": pc.cast(t["rz_corner_ok"], pa.int64())})
+
+    agg = ds.map_batches(gates, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Count(alias_name="n"), Sum("px", alias_name="sum_target_px"),
+            Sum("dims_ok", alias_name="n_dims_ok"),
+            Sum("corner_ok", alias_name="n_corner_ok"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "n", "sum_target_px",
+                                    "n_dims_ok", "n_corner_ok"]),
+        batch_format="pyarrow")

@@ -207,3 +207,40 @@ class TranscodeStage:
         out = batch.select(keep)
         out = out.append_column("transcode_ok", pa.array(ok))
         return out.append_column("png_bytes", pa.array(out_bytes))
+
+
+RESIZE_MAX_SIDE = 224
+
+
+class ResizeStage:
+    """Actor stage: nearest-neighbor resize to the integer RESIZE plan
+    (longest side → RESIZE_MAX_SIDE, aspect preserved by exact integer
+    arithmetic: nw = max(1, (w·S)//m), nh = max(1, (h·S)//m) with
+    m = max(w, h)) — the thumbnail/preproc step of every vision loader.
+    Gates measured on the ACTUAL resized array (the decode-verify trust
+    model): output dims equal the plan, and the resized top-left pixel
+    equals the source top-left (NN index 0 maps to 0 by construction).
+    Bytes drop at the stage boundary."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        dims_ok = np.zeros(n, dtype=bool)
+        corner_ok = np.zeros(n, dtype=bool)
+        tgt_px = np.zeros(n, dtype=np.int64)
+        for i, (fmt, data) in enumerate(zip(batch["fmt"].to_pylist(),
+                                            batch["bytes"].to_pylist())):
+            img = codec.decode(data, fmt)
+            h, w = img.shape[0], img.shape[1]
+            m = max(w, h)
+            nw = max(1, (w * RESIZE_MAX_SIDE) // m)
+            nh = max(1, (h * RESIZE_MAX_SIDE) // m)
+            iy = (np.arange(nh) * h) // nh
+            ix = (np.arange(nw) * w) // nw
+            out = img[iy][:, ix]
+            dims_ok[i] = out.shape[:2] == (nh, nw)
+            corner_ok[i] = bool((out[0, 0] == img[0, 0]).all())
+            tgt_px[i] = nh * nw
+        batch = batch.append_column("rz_dims_ok", pa.array(dims_ok))
+        batch = batch.append_column("rz_corner_ok", pa.array(corner_ok))
+        batch = batch.append_column("rz_px", pa.array(tgt_px))
+        return batch.drop_columns(["bytes"])

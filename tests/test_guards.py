@@ -162,3 +162,25 @@ def test_hybrid_rrf_fallback_join_path_matches_broadcast(monkeypatch):
     fast = fast.sort_values(cols).reset_index(drop=True)
     slow = slow.sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+
+
+def test_resize_stage_plan_and_gates():
+    from laji_pygeoapi_ray.functions import codec
+    from laji_pygeoapi_ray.stages.images import RESIZE_MAX_SIDE, ResizeStage
+
+    imgs = [(np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3)),
+            (np.arange(300 * 450 * 3, dtype=np.uint8).reshape(300, 450, 3)
+             % 251).astype(np.uint8)]
+    batch = pa.table({
+        "fmt": pa.array(["png", "png"]),
+        "bytes": pa.array([codec.png_encode(i) for i in imgs],
+                          pa.binary())})
+    out = ResizeStage()(batch)
+    assert out["rz_dims_ok"].to_pylist() == [True, True]
+    assert out["rz_corner_ok"].to_pylist() == [True, True]
+    px = out["rz_px"].to_pylist()
+    for img, p in zip(imgs, px):
+        h, w = img.shape[:2]
+        m = max(h, w)
+        assert p == max(1, (h * RESIZE_MAX_SIDE) // m) \
+            * max(1, (w * RESIZE_MAX_SIDE) // m)

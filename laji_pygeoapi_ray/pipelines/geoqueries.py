@@ -1235,7 +1235,7 @@ def _event_hour_counts(sf_dir: str):
 
     return partial_group_counts(
         ev.map_batches(derive, batch_format="pyarrow"), ["cell", "t"],
-        count_col="y")
+        count_col="y", partial_blocks=16)
 
 
 @register("cell_trend_hourly", sql=_trend_sql)

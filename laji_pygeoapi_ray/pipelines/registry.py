@@ -76,7 +76,7 @@ _DRIVER_PRIORITY = [
     "burst_hours_by_type", "degree_assortativity_terms",
     "acf_cell_hourly", "ffill_event_values",
     "trailing_7d_active_users", "winsorized_value_stats",
-    "image_resize_plan",
+    "image_resize_plan", "ngram_novelty_curve", "top1pct_user_share",
     # re-prove in-window: implementation changed this round (semi-join
     # unigram attach replaced the full-vocab driver dict)
     "bigram_collocations",

@@ -1457,3 +1457,59 @@ def winsorized_value_stats(sf_dir: str):
         Sum("n_clipped", alias_name="n_clipped"))
     return pd.DataFrame({k: np.array([agg[k]], np.int64)
                          for k in ["n", "sum_q", "n_clipped"]})
+
+
+# ------------------------------------------------ traffic concentration
+TOPSHARE_PCT = 1     # the "top 1 % of users" Lorenz point
+
+
+@register("top1pct_user_share", sql=f"""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    k AS (SELECT CAST(ceil(COUNT(*) * {TOPSHARE_PCT} / 100.0) AS BIGINT)
+              AS k, CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(n) AS BIGINT) AS sum_total
+          FROM c),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+          FROM c)
+    SELECT k.n_users, k.k AS top_k,
+           CAST((SELECT SUM(n) FROM r, k WHERE rk <= k.k) AS BIGINT)
+               AS sum_top,
+           k.sum_total
+    FROM k""")
+def top1pct_user_share(sf_dir: str):
+    """Traffic concentration (the Lorenz point behind skew planning): the
+    share of all events generated by the top {TOPSHARE_PCT} % heaviest
+    users — reported as the exact integer pair (Σ top-k counts, Σ all)
+    plus the population terms. The operational skew audit: a high share
+    means user-keyed shuffles need salting.
+
+    Shape: per-user partial counts (one key shuffle of count rows), a
+    LOCAL top-k per bucket (k bounded by the global k), driver merge of
+    num_buckets·k rows — the user count table never collects."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["user_id"])
+    cnt = partial_group_counts(ev, ["user_id"], count_col="n") \
+        .materialize()
+    n_users = cnt.count()
+    agg = cnt.aggregate(Sum("n", alias_name="s"))
+    sum_total = int(agg["s"])
+    k = int(-(-n_users * TOPSHARE_PCT // 100))   # ceil
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "user_id"],
+                            ascending=[False, True]).head(k)
+        return df[["user_id", "n"]].astype("int64")
+
+    top = grouped_apply(cnt, ["user_id"], local_topk, num_buckets=16) \
+        .to_pandas()
+    top = top.sort_values(["n", "user_id"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "top_k": np.array([k], np.int64),
+        "sum_top": np.array([int(top["n"].sum())], np.int64),
+        "sum_total": np.array([sum_total], np.int64)})

@@ -1923,3 +1923,78 @@ def token_fertility_by_lang(sf_dir: str):
         lambda t: t.rename_columns(["lang", "n_tokens", "n_chars",
                                     "n_docs"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------- corpus novelty growth curve
+NOVELTY_N = 3          # word n-gram order
+NOVELTY_BUCKET_W = 50  # doc_id bucket width for the growth curve
+
+
+@register("ngram_novelty_curve", sql=lambda: f"""
+    WITH {_gram_cte(NOVELTY_N)},
+    d AS (SELECT DISTINCT doc_id, gram FROM grams),
+    m AS (SELECT gram, MIN(doc_id) AS first_doc FROM d GROUP BY 1),
+    nw AS (SELECT first_doc // {NOVELTY_BUCKET_W} AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_new_grams
+           FROM m GROUP BY 1),
+    oc AS (SELECT doc_id // {NOVELTY_BUCKET_W} AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct_doc_grams
+           FROM d GROUP BY 1)
+    SELECT oc.bucket, oc.n_distinct_doc_grams,
+           COALESCE(nw.n_new_grams, 0) AS n_new_grams
+    FROM oc LEFT JOIN nw USING (bucket)""")
+def ngram_novelty_curve(sf_dir: str):
+    """Corpus novelty growth (the Heaps-law curve every dataset-diversity
+    audit plots): per doc_id bucket, how many distinct word {NOVELTY_N}-
+    grams appear there at all vs how many appear for the FIRST time in
+    the whole corpus — a flattening new-gram curve means the corpus has
+    stopped contributing novel phrasing (diminishing returns for
+    training). Exact integers.
+
+    Shape: the shared vectorized shingle exploder emits per-doc distinct
+    (doc, gram) rows; ONE gram-keyed shuffle computes min-first-doc per
+    gram (the span-dedup machinery's shape); bucket arithmetic is pure
+    int64 and both curves reduce as partial counts."""
+    from ray.data.aggregate import Min
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    grams = docs.map_batches(
+        simdedup.shingle_explode(n=NOVELTY_N), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    # per-bucket distinct-gram occurrences (doc side, no gram shuffle)
+    occ = grams.map_batches(
+        lambda t: pa.table({"bucket": pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False)
+            // NOVELTY_BUCKET_W)}),
+        batch_format="pyarrow")
+    oc = partial_group_counts(occ, ["bucket"],
+                              count_col="n_distinct_doc_grams")
+
+    # first-doc per gram: in-bucket min after ONE gram-keyed shuffle,
+    # pre-minned per block first (combine-before-shuffle)
+    pre = grams.map_batches(
+        lambda t: t.group_by(["gram"]).aggregate([("doc_id", "min")])
+        .rename_columns(["gram", "doc_id"]),
+        batch_format="pyarrow")
+
+    def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False)["doc_id"].min()
+        g["bucket"] = g["doc_id"].to_numpy(np.int64) // NOVELTY_BUCKET_W
+        return g.groupby("bucket", as_index=False).agg(
+            n_new_grams=("gram", "size")).astype("int64")
+
+    nw = grouped_apply(pre, ["gram"], bucket_min, num_buckets=16)
+    from ray.data.aggregate import Sum
+    nw = nw.groupby("bucket").aggregate(
+        Sum("n_new_grams", alias_name="n_new_grams"))
+
+    odf = oc.to_pandas()
+    ndf = nw.to_pandas().rename(columns=lambda c: "n_new_grams"
+                                if c.startswith("sum(") else c)
+    out = odf.merge(ndf, on="bucket", how="left")
+    out["n_new_grams"] = out["n_new_grams"].fillna(0).astype(np.int64)
+    return out.astype({"bucket": "int64",
+                       "n_distinct_doc_grams": "int64"})

@@ -133,8 +133,11 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     def half(points):
         out = []
         for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             p - out[-2]) <= 0:
+            while len(out) >= 2:
+                a = out[-1] - out[-2]
+                b = p - out[-2]
+                if a[0] * b[1] - a[1] * b[0] > 0:   # == np.cross(a, b)
+                    break
                 out.pop()
             out.append(p)
         return out
@@ -264,11 +267,16 @@ def normalize_geometry(g: Geometry | None) -> tuple[Geometry | None, bool]:
 # --------------------------------------------------------------- validation
 
 def _segments_intersect(p1, p2, p3, p4) -> bool:
-    """Proper intersection of open segments (shared endpoints excluded)."""
-    d1 = np.cross(p4 - p3, p1 - p3)
-    d2 = np.cross(p4 - p3, p2 - p3)
-    d3 = np.cross(p2 - p1, p3 - p1)
-    d4 = np.cross(p2 - p1, p4 - p1)
+    """Proper intersection of open segments (shared endpoints excluded).
+    Cross products written as direct scalar arithmetic — the exact
+    expression np.cross evaluates, minus its per-call broadcast
+    machinery (this predicate runs O(edges²) per ring)."""
+    sx, sy = p4[0] - p3[0], p4[1] - p3[1]
+    rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+    d1 = sx * (p1[1] - p3[1]) - sy * (p1[0] - p3[0])
+    d2 = sx * (p2[1] - p3[1]) - sy * (p2[0] - p3[0])
+    d3 = rx * (p3[1] - p1[1]) - ry * (p3[0] - p1[0])
+    d4 = rx * (p4[1] - p1[1]) - ry * (p4[0] - p1[0])
     return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
 

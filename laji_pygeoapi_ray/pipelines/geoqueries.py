@@ -16,7 +16,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import cells, hexgrid, hilbert, points, s2
-from ..sources.parquet import default_pool, read_table
+from ..sources.parquet import default_pool, fixed_pool, read_table
 from ..functions.pip import sql_pip_assign
 from ..stages import assign
 from ..stages.derive import derive_and_encode
@@ -267,11 +267,22 @@ def geom_split_counts(sf_dir: str):
     the match."""
     from ..stages import geometry as geomstage
 
-    ds = _docs_points(sf_dir)
-    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow")
-    ds = ds.map_batches(geomstage.normalize_validate, batch_format="pyarrow")
+    # the WKB normalize/repair stage is CPU-bound Python per feature —
+    # spread it across cores even when the tiny id read arrives in 1-2
+    # blocks (cheap split, no shuffle)
+    ds = _docs_points(sf_dir).repartition(32)
+    # explicit small batches: the downstream actor pool's batch_size would
+    # otherwise fuse the whole table into ONE normalize task (operator
+    # fusion adopts the actor op's 16384 batch) — the CPU-bound repair
+    # must run as many small batches across the pool
+    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow",
+                        batch_size=256)
+    ds = ds.map_batches(geomstage.normalize_validate,
+                        batch_format="pyarrow", batch_size=256)
+    # fixed pre-started pool: the autoscaling (1, N) pool ramps too
+    # slowly for this short compute-bound stage (the image-decode lesson)
     ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
-                        batch_size=16384, concurrency=default_pool(),
+                        batch_size=512, concurrency=fixed_pool(),
                         num_cpus=1)
     out = ds.groupby(["province", "geom_group"]).aggregate(
         Count(alias_name="n"))

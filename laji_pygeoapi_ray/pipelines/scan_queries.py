@@ -461,8 +461,11 @@ def ntile_event_buckets(sf_dir: str):
         return pa.table({"event_id": t["event_id"], "value": t["value"],
                          "vpart": pa.array(vp)})
 
+    # 16 blocks before the bucketed shuffle: Ray's sort-based groupby
+    # mirrors input block count (100k rows in 2 read blocks sort serially)
     base = ds.map_batches(vtag, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+                          zero_copy_batch=True).repartition(16) \
+        .materialize()
     counts = _part_counts(base, "vpart")
     n_total = sum(counts.values())
     offs, acc = {}, 0

@@ -332,16 +332,22 @@ def rollup_geom_counts(sf_dir: str):
     from ..stages import assign, geometry as geomstage
     from ..stages.derive import derive_and_encode
     from ..stages.shuffle import partial_group_counts
-    from ..sources.parquet import default_pool
+    from ..sources.parquet import fixed_pool
 
     ds = read_table(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(derive_and_encode("doc_id", (7,)),
                         batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow")
+    # CPU-bound WKB repair: split across cores (see geom_split_counts —
+    # explicit small batches keep operator fusion from collapsing the
+    # repair into one task)
+    ds = ds.repartition(32)
+    ds = ds.map_batches(geomstage.build_geometry(), batch_format="pyarrow",
+                        batch_size=256)
     ds = ds.map_batches(geomstage.normalize_validate,
-                        batch_format="pyarrow")
+                        batch_format="pyarrow", batch_size=256)
+    # fixed pre-started pool (autoscaling ramps too slowly here)
     ds = ds.map_batches(assign.PIPAssigner, batch_format="pyarrow",
-                        batch_size=16384, concurrency=default_pool(),
+                        batch_size=512, concurrency=fixed_pool(),
                         num_cpus=1)
     fine = partial_group_counts(
         ds.map_batches(lambda t: t.select(["province", "geom_group"]),

@@ -1,0 +1,245 @@
+"""Content-scanning queries over the documents table: regex PII audit,
+URL/domain extraction, and token↔language association (chi-square).
+
+The training-data-compliance slice of the LLM-pipeline surface: before a
+corpus ships, it gets scanned for contact info (emails / phone numbers),
+its link graph is profiled (who do documents cite?), and per-language
+token skew is measured for mixture debugging. All three are pure
+map_batches scans — regex kernels run inside Arrow (pyarrow.compute is
+RE2; DuckDB's regexp functions are ALSO RE2, so the oracles share exact
+match semantics), aggregation is batch-partial, and the wide text column
+never shuffles.
+
+The synthetic corpus carries no organic contact info, so both scan
+queries PLANT deterministic fixtures derived from doc_id — planted
+identically in the engine (vectorized string concat) and the oracle
+(SQL ``||``), the same planted-fixture pattern as the image dup family
+(FIXTURES.md F1): the regex machinery is exercised against known truth,
+not against an all-zero degenerate answer.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+from ..sources.parquet import read_table
+from .registry import register
+
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"0\d{2}-\d+"
+URL_RE = r"https://([a-z0-9.]+)/"
+URL_RE_NAMED = r"https://(?P<dom>[a-z0-9.]+)/"
+
+# planting rule (shared by engine + oracle): every 7th doc gains an
+# email, every 11th a phone number, every 5th a URL
+EMAIL_MOD, PHONE_MOD, URL_MOD = 7, 11, 5
+
+_PLANT_SQL = f"""
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % {EMAIL_MOD} = 0
+                   THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                   ELSE '' END
+           || CASE WHEN doc_id % {PHONE_MOD} = 0
+                   THEN ' tel 040-' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % {URL_MOD} = 0
+                   THEN ' see https://h' || CAST(doc_id % 13 AS VARCHAR)
+                        || '.ex' || CAST(doc_id % 3 AS VARCHAR)
+                        || '.org/p/' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END AS text
+    FROM documents"""
+
+
+def _planted(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """(planted text, doc_id) for one batch — numpy twin of _PLANT_SQL."""
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    ds = d.astype("U20")
+    email = np.where(d % EMAIL_MOD == 0,
+                     np.char.add(np.char.add(" mail u", ds), "@ex.org"), "")
+    phone = np.where(d % PHONE_MOD == 0, np.char.add(" tel 040-", ds), "")
+    url = np.where(
+        d % URL_MOD == 0,
+        np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+            " see https://h", (d % 13).astype("U2")), ".ex"),
+            (d % 3).astype("U1")), ".org/p/"), ds), "")
+    text = pc.binary_join_element_wise(
+        pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+        pa.array(email), pa.array(phone), pa.array(url), "")
+    return text, d
+
+
+@register("pii_scan_counts", sql=lambda: f"""
+    WITH p AS ({_PLANT_SQL}),
+    m AS (SELECT source,
+                 len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+                 len(regexp_extract_all(text, '{PHONE_RE}')) AS np
+          FROM p)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_email,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_phone,
+           CAST(SUM(np) AS BIGINT) AS n_phones
+    FROM m GROUP BY source""")
+def pii_scan_counts(sf_dir: str):
+    """PII audit per source: email / phone match counts via RE2 regex
+    kernels (``pc.count_substring_regex`` — Arrow-native, zero Python in
+    the row path). Per-batch pre-aggregation to ≤ |sources| rows; the
+    text column is scanned once and dropped at the stage boundary."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        text, _ = _planted(t)
+        ne = pc.count_substring_regex(text, EMAIL_RE)
+        nph = pc.count_substring_regex(text, PHONE_RE)
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "n_docs": 1,
+            "docs_with_email": (ne.to_numpy() > 0).astype(np.int64),
+            "n_emails": ne.to_numpy().astype(np.int64),
+            "docs_with_phone": (nph.to_numpy() > 0).astype(np.int64),
+            "n_phones": nph.to_numpy().astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False)
+
+    cols = ["n_docs", "docs_with_email", "n_emails",
+            "docs_with_phone", "n_phones"]
+    agg = ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            *[Sum(c, alias_name=c) for c in cols])
+    return agg.map_batches(lambda t: t.rename_columns(["source"] + cols),
+                           batch_format="pyarrow")
+
+
+@register("url_domain_counts", sql=lambda: f"""
+    WITH p AS ({_PLANT_SQL}),
+    d AS (SELECT doc_id, regexp_extract(text, '{URL_RE}', 1) AS domain
+          FROM p)
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS first_doc
+    FROM d WHERE domain <> '' GROUP BY domain""")
+def url_domain_counts(sf_dir: str):
+    """Outbound-link profile: first URL's domain per document
+    (``pc.extract_regex``, leftmost RE2 match — identical to DuckDB's
+    ``regexp_extract``), counted per domain with the earliest citing
+    doc. Batch-partial counts + min; one tiny domain-keyed groupby."""
+    from ray.data.aggregate import Min
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        text, d = _planted(t)
+        ext = pc.extract_regex(text, URL_RE_NAMED)
+        valid = pc.is_valid(ext)
+        dom = pc.struct_field(ext, "dom")
+        df = pd.DataFrame({"domain": dom.to_pandas(), "doc_id": d})
+        df = df[valid.to_numpy(zero_copy_only=False)]
+        g = df.groupby("domain", as_index=False).agg(
+            n=("doc_id", "size"), first_doc=("doc_id", "min"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("domain").aggregate(
+            Sum("n", alias_name="n"), Min("first_doc", alias_name="first_doc"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["domain", "n", "first_doc"]),
+        batch_format="pyarrow")
+
+
+CHI2_MIN_DF = 5          # report tokens appearing in ≥ 5 docs
+CHI2_TARGET = "en"
+
+
+@register("chi2_token_lang", sql=lambda: f"""
+    WITH ex AS (SELECT doc_id, lang = '{CHI2_TARGET}' AS is_en,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    d AS (SELECT DISTINCT doc_id, is_en, token FROM ex WHERE token <> ''),
+    tot AS (SELECT CAST(SUM(CASE WHEN lang = '{CHI2_TARGET}' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS nen,
+                   CAST(SUM(CASE WHEN lang = '{CHI2_TARGET}' THEN 0
+                                 ELSE 1 END) AS BIGINT) AS noth
+            FROM documents),
+    c AS (SELECT token,
+                 CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS b
+          FROM d GROUP BY token)
+    SELECT token, a AS n_en, b AS n_other,
+           CASE WHEN (a + b) * (nen + noth - a - b) * nen * noth = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST((nen + noth)
+                          * (a * (noth - b) - b * (nen - a))
+                          * (a * (noth - b) - b * (nen - a)) AS DOUBLE)
+                     / CAST((a + b) * (nen + noth - a - b)
+                            * nen * noth AS DOUBLE) END AS chi2
+    FROM c, tot WHERE a + b >= {CHI2_MIN_DF}""")
+def chi2_token_lang(sf_dir: str):
+    """Token ↔ language association: chi-square of the 2×2 presence table
+    (docs containing the token × lang == '{target}') per vocabulary
+    token, the classic feature-selection / corpus-drift statistic. All
+    counts are exact int64; chi2 is ONE identically-written division of
+    integer numerator / denominator, so the float is bit-equal to the
+    oracle's (the Theil–Sen rule: a single division has no summation-
+    order sensitivity). Result is vocabulary-bounded — same scale
+    contract as vocab_top_tokens. Int range: N·(ad−bc)² needs
+    N·(N²/4)² < 2⁶³ → N ≲ 10⁵ docs per language pair; beyond that,
+    switch the numerator to float128 partials or pre-scale."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        is_en = (t["lang"].to_numpy(zero_copy_only=False) == CHI2_TARGET)
+        df = pd.DataFrame({"d": doc_idx[keep], "token": tok[keep]})
+        df = df.drop_duplicates()
+        df["is_en"] = is_en[df["d"].to_numpy()]
+        g = df.groupby("token", as_index=False).agg(
+            a=("is_en", "sum"), b=("is_en", lambda s: int((~s).sum())))
+        g["a"] = g["a"].astype(np.int64)
+        g["b"] = g["b"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def lang_totals(t: pa.Table) -> pa.Table:
+        en = (t["lang"].to_numpy(zero_copy_only=False)
+              == CHI2_TARGET).astype(np.int64)
+        return pa.table({"nen": pa.array([int(en.sum())]),
+                         "noth": pa.array([int(len(en) - en.sum())])})
+
+    tot = read_table(sf_dir, "documents", ["lang"]) \
+        .map_batches(lang_totals, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(None).aggregate(Sum("nen", alias_name="nen"),
+                                 Sum("noth", alias_name="noth")).take_all()
+    nen, noth = int(tot[0]["nen"]), int(tot[0]["noth"])
+
+    agg = ds.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum("a", alias_name="a"),
+                                    Sum("b", alias_name="b"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["token", "a", "b"])
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.int64(nen + noth)
+        diff = a * (np.int64(noth) - b) - b * (np.int64(nen) - a)
+        num = n * diff * diff
+        den = (a + b) * (n - a - b) * np.int64(nen) * np.int64(noth)
+        chi2 = np.where(den == 0, 0.0,
+                        num.astype(np.float64)
+                        / np.where(den == 0, 1, den).astype(np.float64))
+        out = pa.table({"token": t["token"], "n_en": pa.array(a),
+                        "n_other": pa.array(b), "chi2": pa.array(chi2)})
+        return out.filter(pa.array(a + b >= CHI2_MIN_DF))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

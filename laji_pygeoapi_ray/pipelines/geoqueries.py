@@ -3115,3 +3115,77 @@ def acf_cell_hourly(sf_dir: str):
             t["n_hours"].to_numpy(zero_copy_only=False) >= 2))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ geohash
+
+def _geohash_sql(group_chars: int) -> str:
+    from ..functions import geohash as gh
+    return f"""
+    WITH {gh.sql_geohash_ctes(_points_cte())}
+    SELECT substring(gh, 1, {group_chars}) AS gh{group_chars},
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM __gh GROUP BY 1"""
+
+
+GH_GROUP = 4      # counting precision (prefix of the 6-char assign)
+GH_COARSE = 2     # rollup precision
+
+
+def _geohash_counts_ds(sf_dir: str):
+    """Shared fine layer: assign precision-6 geohash, count at GH_GROUP
+    prefix. One partial-count pass; the point table never shuffles."""
+    from ..functions import geohash as gh
+    from ..stages.shuffle import partial_group_counts
+
+    ds = _docs_points(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        g6 = gh.encode(x, y)
+        # vectorized prefix: astype to a NARROWER unicode width truncates
+        return pa.table({f"gh{GH_GROUP}": pa.array(
+            g6.astype(f"U{GH_GROUP}"))})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return partial_group_counts(tagged, [f"gh{GH_GROUP}"]).map_batches(
+        lambda t: t.rename_columns([f"gh{GH_GROUP}", "n"]),
+        batch_format="pyarrow")
+
+
+@register("geohash_cell_counts", sql=lambda: _geohash_sql(GH_GROUP))
+def geohash_cell_counts(sf_dir: str):
+    """Occurrence counts per geohash prefix cell — the third curve family
+    next to Morton tiles and Hilbert ranks (functions/geohash.py: classic
+    bit-interleave + base-32, anchored at the working extent). The id's
+    PREFIX PROPERTY is what Morton/Hilbert integer ids lack: coarse cell
+    = string prefix, so downstream range scans are plain `LIKE 'u6dc%'`.
+    Counts are batch-partial-aggregated; the oracle recomputes the
+    quantize → interleave → base-32 chain bit-for-bit in SQL."""
+    return _geohash_counts_ds(sf_dir)
+
+
+@register("geohash_prefix_rollup", sql=lambda: _geohash_sql(GH_COARSE))
+def geohash_prefix_rollup(sf_dir: str):
+    """Coarse rollup by PREFIX TRUNCATION of the fine aggregate — unlike
+    the hex rollup (center re-assignment: hexes don't nest) geohash
+    parents need zero geometry: substring the fine cell id, sum. The
+    input points feed only the fine pass."""
+    from ray.data.aggregate import Sum
+
+    fine = _geohash_counts_ds(sf_dir)
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            f"gh{GH_COARSE}": pc.utf8_slice_codeunits(
+                t[f"gh{GH_GROUP}"], 0, GH_COARSE),
+            "n": t["n"]})
+
+    agg = fine.map_batches(to_parent, batch_format="pyarrow") \
+        .groupby(f"gh{GH_COARSE}").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.rename_columns([f"gh{GH_COARSE}", "n"]),
+        batch_format="pyarrow")

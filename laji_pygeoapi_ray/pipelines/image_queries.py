@@ -853,3 +853,91 @@ def image_resize_plan(sf_dir: str):
         lambda t: t.rename_columns(["fmt", "n", "sum_target_px",
                                     "n_dims_ok", "n_corner_ok"]),
         batch_format="pyarrow")
+
+
+# --------------------------------------------- perceptual-hash hamming join
+
+HAM_TAU = 7          # pair threshold; 8 bands of 8 bits guarantee ≤ 7
+HAM_BANDS = 8
+
+
+@register("image_phash_hamming_pairs", sql=lambda: f"""
+    WITH i AS (SELECT {_img_no_sql()} AS no, phash
+               FROM {_img_path_sql(ORACLE_N)})
+    SELECT a.no AS no_a, b.no AS no_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+    FROM i a JOIN i b ON a.no < b.no
+    WHERE bit_count(xor(a.phash, b.phash)) <= {HAM_TAU}""")
+def image_phash_hamming_pairs(sf_dir: str):
+    """Image near-dup pairs by perceptual-hash Hamming distance ≤ τ — the
+    standard multi-index pigeonhole join (the simhash trick applied to the
+    image table's phash column): 8 disjoint 8-bit bands; two hashes within
+    τ=7 MUST agree on ≥ 1 whole band, so candidate pairs only ever meet
+    inside one (band, band_bits) bucket — ONE band-keyed shuffle of
+    (no, phash) slivers, never a cross join. Exactly-once: a pair is
+    emitted only in its FIRST equal band. The oracle is the full O(n²)
+    bit_count(xor) join — feasible at the driver's n, while the engine
+    path stays linear in non-colliding corpora.
+
+    Only (image_id, phash) leave the read — bytes never move."""
+    from ..functions import textkernels as tk
+    from ..stages.shuffle import grouped_apply
+
+    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        u = ph.view(np.uint64) if ph.dtype == np.int64 \
+            else ph.astype(np.uint64)
+        nos, phs, bands, bits = [], [], [], []
+        for b in range(HAM_BANDS):
+            nos.append(no)
+            phs.append(ph)
+            bands.append(np.full(len(no), b, dtype=np.int64))
+            bits.append(((u >> np.uint64(8 * b))
+                         & np.uint64(0xFF)).astype(np.int64))
+        return pa.table({"no": pa.array(np.concatenate(nos)),
+                         "phash": pa.array(np.concatenate(phs)),
+                         "band": pa.array(np.concatenate(bands)),
+                         "bits": pa.array(np.concatenate(bits))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for (band, _), g in df.groupby(["band", "bits"], sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["no"].to_numpy(np.int64), kind="stable")
+            no = g["no"].to_numpy(np.int64)[order]
+            ph = g["phash"].to_numpy(np.int64)[order]
+            iu = np.triu_indices(len(no), 1)
+            pa_, pb_ = ph[iu[0]], ph[iu[1]]
+            dist = tk.hamming64(pa_, pb_)
+            ok = dist <= HAM_TAU
+            if not ok.any():
+                continue
+            ua = pa_[ok].view(np.uint64)
+            ub = pb_[ok].view(np.uint64)
+            # exactly-once: emit only where THIS band is the first equal one
+            first = np.full(ok.sum(), HAM_BANDS, dtype=np.int64)
+            for b2 in range(HAM_BANDS - 1, -1, -1):
+                eq = ((ua >> np.uint64(8 * b2)) & np.uint64(0xFF)) \
+                    == ((ub >> np.uint64(8 * b2)) & np.uint64(0xFF))
+                first = np.where(eq, b2, first)
+            keep = first == band
+            out_a.append(no[iu[0]][ok][keep])
+            out_b.append(no[iu[1]][ok][keep])
+            out_d.append(dist[ok][keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"no_a": pd.Series([], dtype=np.int64),
+                                 "no_b": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"no_a": np.concatenate(out_a),
+                             "no_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)})
+
+    return grouped_apply(exploded, ["band", "bits"], bucket_pairs,
+                         num_buckets=32)

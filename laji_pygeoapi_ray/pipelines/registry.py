@@ -67,6 +67,11 @@ _DRIVER_PRIORITY = [
     # training-mix allocation, semantic dedup
     "link_pred_common_neighbors", "event_trigram_motifs",
     "temperature_mix_allocation", "semdedup_reps",
+    # round-4 fifth session: content-compliance scans, geohash curve,
+    # phash hamming join, compaction planning
+    "pii_scan_counts", "url_domain_counts", "chi2_token_lang",
+    "geohash_cell_counts", "geohash_prefix_rollup",
+    "image_phash_hamming_pairs", "compaction_plan",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",
@@ -170,5 +175,5 @@ def _load_all() -> None:
     for mod in ("shuffle_queries", "knn_queries", "text_queries",
                 "ann_queries", "image_queries", "compute_queries",
                 "stream_queries", "join_queries", "filter_queries",
-                "corpus", "scan_queries"):
+                "corpus", "scan_queries", "content_queries"):
         __import__(f"{__package__}.{mod}")

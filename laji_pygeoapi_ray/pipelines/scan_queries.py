@@ -624,3 +624,72 @@ def length_bucket_padding(sf_dir: str):
                              (nd * mx - sm).astype(np.int64))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ compaction plan
+
+COMPACT_TARGET = 5_000       # target output-file payload (chars)
+_IY_SHIFT = 29               # cells.IY_SHIFT — width strides whole iy rows
+
+
+def _compact_sql() -> str:
+    from ..functions import cells, points
+
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH base AS (SELECT doc_id, n_chars, {x} AS x, {y} AS y FROM documents),
+    f AS (SELECT {cells.sql_cell('x', 'y', 7)} AS cell7,
+                 CAST(SUM(n_chars) AS BIGINT) AS bytes
+          FROM base GROUP BY 1)
+    SELECT cell7, bytes,
+           CAST((CAST(SUM(bytes) OVER (ORDER BY cell7) AS BIGINT) - bytes)
+                // {COMPACT_TARGET} AS BIGINT) AS file_group
+    FROM f"""
+
+
+@register("compaction_plan", sql=_compact_sql)
+def compaction_plan(sf_dir: str):
+    """Table-maintenance compaction plan — the Lance/Delta ``OPTIMIZE``
+    shape: per-tile fragment sizes in spatial (Morton) order are packed
+    into ~target-size output files by splitting the ordered run at
+    cumulative-size boundaries (group = exclusive-prefix-sum // target).
+    A fragment never splits; every output group is ≥ target except the
+    last — the standard sorted-run bin pack.
+
+    Distribution: per-tile sizes via batch-partial sums (the doc table
+    never shuffles), then the two-pass distributed prefix sum
+    (stages/scan.global_cumsum) over the tile order — driver state is one
+    row per key-range partition, no global sort."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.derive import derive_and_encode
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (7,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cell7": t["cell7"].to_numpy(zero_copy_only=False),
+            "bytes": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("cell7", as_index=False).sum(), preserve_index=False)
+
+    fine = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("cell7").aggregate(Sum("bytes", alias_name="bytes")) \
+        .map_batches(lambda t: t.rename_columns(["cell7", "bytes"]),
+                     batch_format="pyarrow")
+
+    run = global_cumsum(fine, "cell7", "bytes",
+                        width=np.int64(8) << _IY_SHIFT)
+
+    def finish(t: pa.Table) -> pa.Table:
+        net = t["net"].to_numpy(zero_copy_only=False)
+        running = t["running"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell7": t["cell7"], "bytes": pa.array(net),
+            "file_group": pa.array((running - net) // COMPACT_TARGET)})
+
+    return run.map_batches(finish, batch_format="pyarrow")

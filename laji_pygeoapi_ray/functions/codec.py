@@ -89,6 +89,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     return CODECS[fmt][1](data)
 
 
+def decode_any(data: bytes) -> np.ndarray:
+    """Decode by container sniff (PNG signature => png, else qz6)."""
+    return png_decode(data) if data[:8] == PNG_SIG else qz6_decode(data)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB (inf for identical images)."""
     # exact integer SSE (uint8 inputs) — same mse up to float-summation

@@ -3189,3 +3189,54 @@ def geohash_prefix_rollup(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns([f"gh{GH_COARSE}", "n"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------- per-cell median
+
+MED_RES = 5
+
+
+def _median_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH base AS (SELECT event_id, value, {x} AS x, {y} AS y FROM events),
+    c AS (SELECT {cells.sql_cell('x', 'y', MED_RES)} AS cell5, value
+          FROM base)
+    SELECT cell5, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(value, 0.5) AS med
+    FROM c GROUP BY 1"""
+
+
+@register("cell_median_value", sql=_median_sql)
+def cell_median_value(sf_dir: str):
+    """Exact per-cell median SURFACE (discrete quantile: the element at
+    sorted index ⌊(n−1)/2⌋, matching quantile_disc) — the robust sibling
+    of the per-cell mean rollups. Selection, not summation, so the float
+    is hash-exact with no quantization (the Theil–Sen lesson). ONE
+    cell-keyed shuffle; per-bucket vectorized sort + per-group index
+    pick."""
+    from ..stages.derive import derive_and_encode
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "value"])
+    ds = ev.map_batches(derive_and_encode("event_id", (MED_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.select([f"cell{MED_RES}", "value"]).rename_columns(
+            ["cell5", "value"]), batch_format="pyarrow")
+
+    def per_bucket(df):
+        import pandas as pd
+
+        df = df.sort_values(["cell5", "value"], kind="mergesort")
+        c = df["cell5"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        # group boundaries in the cell-sorted run
+        start = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        end = np.r_[start[1:], len(c)]
+        n = end - start
+        med = v[start + (n - 1) // 2]
+        return pd.DataFrame({"cell5": c[start], "n": n.astype(np.int64),
+                             "med": med})
+
+    return grouped_apply(ds, ["cell5"], per_bucket, num_buckets=32)

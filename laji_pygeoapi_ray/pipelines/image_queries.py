@@ -880,6 +880,10 @@ def image_phash_hamming_pairs(sf_dir: str):
     path stays linear in non-colliding corpora.
 
     Only (image_id, phash) leave the read — bytes never move."""
+    return _hamming_pairs_ds(sf_dir)
+
+
+def _hamming_pairs_ds(sf_dir: str):
     from ..functions import textkernels as tk
     from ..stages.shuffle import grouped_apply
 
@@ -941,3 +945,108 @@ def image_phash_hamming_pairs(sf_dir: str):
 
     return grouped_apply(exploded, ["band", "bits"], bucket_pairs,
                          num_buckets=32)
+
+
+@register("image_compression_stats", sql=lambda: f"""
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(bytes)) AS BIGINT) AS enc_bytes,
+           CAST(SUM(CAST(w AS BIGINT) * h * 3) AS BIGINT) AS raw_bytes
+    FROM {_img_path_sql(ORACLE_N)} GROUP BY fmt""")
+def image_compression_stats(sf_dir: str):
+    """Storage-audit profile per codec: encoded payload vs raw pixel
+    bytes — the table-maintenance stat that drives recompression /
+    format-migration decisions. The one image query whose oracle checks
+    the BINARY column itself (octet_length == Arrow binary_length), not a
+    derived gate. Per-batch partial sums; bytes are length-scanned and
+    dropped, never shuffled."""
+    import pyarrow.compute as pc
+
+    ds = images_ds(sf_dir, columns=["bytes", "w", "h", "fmt"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "fmt": t["fmt"].to_pandas(),
+            "n": 1,
+            "enc_bytes": pc.binary_length(t["bytes"]).to_numpy()
+            .astype(np.int64),
+            "raw_bytes": (t["w"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)
+                          * t["h"].to_numpy(zero_copy_only=False) * 3)})
+        return pa.Table.from_pandas(
+            df.groupby("fmt", as_index=False).sum(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("fmt").aggregate(
+            Sum("n", alias_name="n"), Sum("enc_bytes", alias_name="enc_bytes"),
+            Sum("raw_bytes", alias_name="raw_bytes"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "n", "enc_bytes", "raw_bytes"]),
+        batch_format="pyarrow")
+
+
+@register("image_neardup_psnr_verified", sql=lambda: f"""
+    WITH i AS (SELECT {_img_no_sql()} AS no, phash, bytes
+               FROM {_img_path_sql(ORACLE_N)})
+    SELECT a.no AS no_a, b.no AS no_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist,
+           CAST(CASE WHEN a.bytes = b.bytes THEN 1 ELSE 0 END AS BIGINT)
+               AS psnr_ok
+    FROM i a JOIN i b ON a.no < b.no
+    WHERE bit_count(xor(a.phash, b.phash)) <= {HAM_TAU}""")
+def image_neardup_psnr_verified(sf_dir: str):
+    """The north-rule invariant as a pipeline: near-dup CANDIDATES are
+    cheap (phash Hamming pigeonhole — hashes only), then each candidate
+    pair is VERIFIED on decoded pixels (PSNR ≥ 40 dB) — the fetch-and-
+    check join every 100-TB dedup run ends with. Candidate pair ids flow
+    through TWO partitioned hash joins against the (img_no, bytes)
+    projection, so only the candidates' bytes ever leave the read — the
+    corpus' binary column is never broadcast or shuffled wholesale.
+
+    Oracle trust model: the codecs are deterministic, so pixel-identical
+    same-format images have IDENTICAL encoded bytes; procedural
+    non-identical images are noise-like (PSNR ≈ 8–10 dB ≪ 40). Hence
+    psnr_ok ⟺ bytes equality, which SQL checks directly — any decode or
+    PSNR-kernel regression flips the driver hash."""
+    from ..functions import codec
+    from ..stages.join import hash_join
+
+    pairs = _hamming_pairs_ds(sf_dir)
+    imgs = images_ds(sf_dir, columns=["image_id", "bytes"]) \
+        .map_batches(imgsrc.parse_image_no, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["img_no", "bytes"]),
+                     batch_format="pyarrow")
+
+    a_side = pairs.map_batches(
+        lambda t: t.rename_columns(["img_no", "no_b", "dist"]),
+        batch_format="pyarrow")
+    with_a = hash_join(
+        a_side,
+        imgs.map_batches(lambda t: t.rename_columns(["img_no", "bytes_a"]),
+                         batch_format="pyarrow"),
+        on=["img_no"], num_buckets=32)
+    b_side = with_a.map_batches(
+        lambda t: pa.table({"no_a": t["img_no"], "img_no": t["no_b"],
+                            "dist": t["dist"], "bytes_a": t["bytes_a"]}),
+        batch_format="pyarrow")
+    with_b = hash_join(
+        b_side,
+        imgs.map_batches(lambda t: t.rename_columns(["img_no", "bytes_b"]),
+                         batch_format="pyarrow"),
+        on=["img_no"], num_buckets=32)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ok = np.zeros(len(t), dtype=np.int64)
+        ba = t["bytes_a"].to_pylist()
+        bb = t["bytes_b"].to_pylist()
+        for i in range(len(t)):
+            pix_a = codec.decode_any(ba[i])
+            pix_b = codec.decode_any(bb[i])
+            if pix_a.shape == pix_b.shape \
+                    and codec.psnr(pix_a, pix_b) >= 40.0:
+                ok[i] = 1
+        return pa.table({"no_a": t["no_a"], "no_b": t["img_no"],
+                         "dist": t["dist"], "psnr_ok": pa.array(ok)})
+
+    return with_b.map_batches(verify, batch_format="pyarrow",
+                              batch_size=256)

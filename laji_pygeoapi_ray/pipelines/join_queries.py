@@ -2,6 +2,7 @@
 broadcast join, distinct."""
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -267,3 +268,40 @@ def orders_left_join_building(sf_dir: str):
     return j.map_batches(
         lambda t: t.select(["o_orderkey", "o_totalprice", "c_nationkey"]),
         batch_format="pyarrow")
+
+
+@register("selfjoin_size_users", sql="""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id)
+    SELECT CAST(SUM(c * c) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(c) AS BIGINT) AS max_rows_per_user
+    FROM c""")
+def selfjoin_size_users(sf_dir: str):
+    """Exact join-cardinality profile WITHOUT building the join — the
+    planner / skew-detector stat: |events ⋈ events on user_id| = Σ c(u)²
+    plus the hottest key. Per-batch partial counts → one tiny user-keyed
+    groupby → 3-int global fold; the event table never self-joins (the
+    oracle's subquery is the cheap equivalent; a literal COUNT(*) over
+    the join would be the O(Σc²) blowup this stat exists to predict)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.shuffle import partial_group_counts
+
+    ev = read_table(sf_dir, "events", ["user_id"])
+    per_user = partial_group_counts(ev, ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "c"]),
+        batch_format="pyarrow")
+
+    def sq(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"c2": pa.array(c * c), "c": t["c"]})
+
+    row = per_user.map_batches(sq, batch_format="pyarrow").aggregate(
+        Sum("c2", alias_name="join_rows"),
+        Count(alias_name="n_users"),
+        Max("c", alias_name="max_rows_per_user"))
+    return pd.DataFrame([{
+        "join_rows": np.int64(row["join_rows"]),
+        "n_users": np.int64(row["n_users"]),
+        "max_rows_per_user": np.int64(row["max_rows_per_user"])}])

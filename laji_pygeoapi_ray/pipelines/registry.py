@@ -72,6 +72,8 @@ _DRIVER_PRIORITY = [
     "pii_scan_counts", "url_domain_counts", "chi2_token_lang",
     "geohash_cell_counts", "geohash_prefix_rollup",
     "image_phash_hamming_pairs", "compaction_plan",
+    "image_compression_stats", "image_neardup_psnr_verified",
+    "ttl_dedup_events", "selfjoin_size_users", "cell_median_value",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

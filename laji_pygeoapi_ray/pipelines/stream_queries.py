@@ -1445,3 +1445,56 @@ def trailing_7d_active_users(sf_dir: str):
                        lambda df: df.drop_duplicates(["day", "user_id"]),
                        num_buckets=16)
     return partial_group_counts(dd, ["day"], count_col="active_users")
+
+
+# ------------------------------------------------------------ TTL dedup
+
+TTL_US = 3_600_000_000        # 1 h debounce window
+
+
+@register("ttl_dedup_events", sql=f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+    l AS (SELECT *, lag(t) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY t, event_id) AS prev
+          FROM e)
+    SELECT event_id, user_id, event_type, t
+    FROM l WHERE prev IS NULL OR t - prev > {TTL_US}""")
+def ttl_dedup_events(sf_dir: str):
+    """Debounce / TTL dedup — the streaming-state dedup every event
+    ingester runs: within a (user, event_type) key, drop an event that
+    arrives ≤ TTL after its predecessor. Exact integer epoch-µs; stream
+    order (t, event_id) is total so both sides see identical
+    predecessors.
+
+    Shape: ONE key shuffle, per-bucket vectorized sort + shift — at
+    scale this is the keyed-state operator with per-key last-seen
+    watermarks; the bounded-log twin is the lag() window."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id",
+                                       "event_type", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "t", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        t = df["t"].to_numpy(np.int64)
+        keep = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+            keep[1:] = ~same | (t[1:] - t[:-1] > TTL_US)
+        return df[keep]
+
+    return grouped_apply(ds, ["user_id", "event_type"], per_bucket,
+                         num_buckets=32)

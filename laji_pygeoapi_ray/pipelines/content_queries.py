@@ -243,3 +243,62 @@ def chi2_token_lang(sf_dir: str):
         return out.filter(pa.array(a + b >= CHI2_MIN_DF))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+KS_TARGET = "en"
+
+
+@register("ks_drift_doc_lengths", sql=f"""
+    WITH l AS (SELECT n_chars AS len,
+                      CASE WHEN lang = '{KS_TARGET}' THEN 1 ELSE 0 END AS e
+               FROM documents),
+    g AS (SELECT len, CAST(SUM(e) AS BIGINT) AS a,
+                 CAST(SUM(1 - e) AS BIGINT) AS b
+          FROM l GROUP BY len),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                 CAST(SUM(b) AS BIGINT) AS nb FROM g),
+    c AS (SELECT len, CAST(SUM(a) OVER (ORDER BY len) AS BIGINT) AS ca,
+                 CAST(SUM(b) OVER (ORDER BY len) AS BIGINT) AS cb
+          FROM g),
+    d AS (SELECT len, CAST(abs(ca * nb - cb * na) AS BIGINT) AS dnum
+          FROM c, t)
+    SELECT d.len AS at_len, d.dnum AS ks_num,
+           t.na AS n_en, t.nb AS n_other
+    FROM d, t ORDER BY d.dnum DESC, d.len LIMIT 1""")
+def ks_drift_doc_lengths(sf_dir: str):
+    """Distribution-drift gate: the two-sample Kolmogorov–Smirnov
+    statistic between the '{en}' and non-'{en}' document-length
+    distributions, kept EXACT by cross-multiplication — D·n_a·n_b =
+    max|cum_a·n_b − cum_b·n_a| is pure int64, no ECDF floats (the
+    rational-output rule); ties broken toward the smallest attaining
+    length. The pre-training drift check between corpus slices.
+
+    Shape: per-batch (length, a, b) partials → one tiny length-keyed
+    groupby; the ordered ECDF fold runs on the driver over the
+    LENGTH DOMAIN, which is bounded by max document length (same
+    scale contract as the vocabulary ops) — never over rows."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["n_chars", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (t["lang"].to_numpy(zero_copy_only=False)
+              == KS_TARGET).astype(np.int64)
+        df = pd.DataFrame({"len": ln, "a": en, "b": 1 - en})
+        return pa.Table.from_pandas(
+            df.groupby("len", as_index=False).sum(), preserve_index=False)
+
+    g = ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .groupby("len").aggregate(Sum("a", alias_name="a"),
+                                  Sum("b", alias_name="b")).take_all()
+    g.sort(key=lambda r: r["len"])
+    lens = np.array([r["len"] for r in g], dtype=np.int64)
+    a = np.array([r["a"] for r in g], dtype=np.int64)
+    b = np.array([r["b"] for r in g], dtype=np.int64)
+    na, nb = a.sum(), b.sum()
+    dnum = np.abs(np.cumsum(a) * nb - np.cumsum(b) * na)
+    i = int(np.lexsort((lens, -dnum))[0])
+    return pd.DataFrame([{"at_len": lens[i], "ks_num": dnum[i],
+                          "n_en": na, "n_other": nb}])

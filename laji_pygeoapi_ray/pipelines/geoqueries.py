@@ -3240,3 +3240,77 @@ def cell_median_value(sf_dir: str):
                              "med": med})
 
     return grouped_apply(ds, ["cell5"], per_bucket, num_buckets=32)
+
+
+# ------------------------------------------------- two-layer raster algebra
+
+def _layer_corr_sql() -> str:
+    xd, yd = points.sql_xy("doc_id")
+    xe, ye = points.sql_xy("event_id")
+    return f"""
+    WITH dp AS (SELECT {cells.sql_cell(xd, yd, MED_RES)} AS cell5
+                FROM documents),
+    ep AS (SELECT {cells.sql_cell(xe, ye, MED_RES)} AS cell5 FROM events),
+    da AS (SELECT cell5, CAST(COUNT(*) AS BIGINT) AS a FROM dp GROUP BY 1),
+    eb AS (SELECT cell5, CAST(COUNT(*) AS BIGINT) AS b FROM ep GROUP BY 1),
+    u AS (SELECT COALESCE(da.cell5, eb.cell5) AS cell5,
+                 COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+          FROM da FULL OUTER JOIN eb ON da.cell5 = eb.cell5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+           CAST(SUM(a * b) AS BIGINT) AS sab,
+           CAST(SUM(a * a) AS BIGINT) AS saa,
+           CAST(SUM(b * b) AS BIGINT) AS sbb
+    FROM u"""
+
+
+@register("cell_layer_corr_terms", sql=_layer_corr_sql)
+def cell_layer_corr_terms(sf_dir: str):
+    """Two-layer raster algebra: per-cell document density vs event
+    density, reduced to the EXACT integer Pearson moment terms
+    (k, Σa, Σb, Σab, Σa², Σb²) over the union-of-support cell domain —
+    the consumer forms r at any precision (the rational-output rule).
+    The cross-layer co-registration every raster-correlation /
+    map-algebra workload needs.
+
+    Shape: per-batch partial counts on each layer (neither input
+    shuffles), ONE cell-keyed outer hash join of the two SMALL per-cell
+    aggregates, per-batch moment partials, 6-int fold."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    docs = _docs_points(sf_dir, resolutions=(MED_RES,)).map_batches(
+        lambda t: t.select([f"cell{MED_RES}"]).rename_columns(["cell5"]),
+        batch_format="pyarrow")
+    ev = read_table(sf_dir, "events", ["event_id"]).map_batches(
+        derive_and_encode("event_id", (MED_RES,)),
+        batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: t.select([f"cell{MED_RES}"]).rename_columns(["cell5"]),
+        batch_format="pyarrow")
+
+    da = partial_group_counts(docs, ["cell5"]).map_batches(
+        lambda t: t.rename_columns(["cell5", "a"]), batch_format="pyarrow")
+    eb = partial_group_counts(ev, ["cell5"]).map_batches(
+        lambda t: t.rename_columns(["cell5", "b"]), batch_format="pyarrow")
+
+    joined = hash_join(da, eb, on=["cell5"], how="outer", num_buckets=16)
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        a = df["a"].fillna(0).to_numpy(np.int64)
+        b = df["b"].fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "k": pa.array([np.int64(len(a))]),
+            "sa": pa.array([a.sum()]), "sb": pa.array([b.sum()]),
+            "sab": pa.array([(a * b).sum()]),
+            "saa": pa.array([(a * a).sum()]),
+            "sbb": pa.array([(b * b).sum()])})
+
+    row = joined.map_batches(moments, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("k", "sa", "sb", "sab", "saa", "sbb")])
+    import pandas as pd
+    return pd.DataFrame([{c: np.int64(row[c]) for c in
+                          ("k", "sa", "sb", "sab", "saa", "sbb")}])

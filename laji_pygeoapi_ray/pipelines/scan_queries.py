@@ -693,3 +693,87 @@ def compaction_plan(sf_dir: str):
             "file_group": pa.array((running - net) // COMPACT_TARGET)})
 
     return run.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- lateness audit
+
+LATE_WIDTH = 4096      # event_id range per scan partition
+
+
+@register("lateness_audit", sql="""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+    r AS (SELECT *, MAX(t) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pm
+          FROM e)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pm IS NOT NULL AND t < pm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN pm IS NOT NULL AND pm > t
+                                  THEN pm - t END), 0) AS BIGINT)
+               AS max_lateness_us
+    FROM r GROUP BY 1""")
+def lateness_audit(sf_dir: str):
+    """Out-of-orderness audit of the ingest log — the statistic that
+    sizes a streaming watermark: treating event_id as ARRIVAL order, an
+    event is late iff its event time is below the running max of
+    everything that arrived before it; report per-type late counts and
+    the worst lateness. The running MAX is the same two-pass distributed
+    scan as global_cumsum with (max, -inf) replacing (sum, 0): pass 1
+    per-id-range maxima (one row each to the driver), pass 2 exclusive
+    ``np.maximum.accumulate`` within each range seeded by the prefix —
+    no global sort, no serial pass."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "event_type", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "part": pc.divide(pc.cast(t["event_id"], pa.int64()),
+                              LATE_WIDTH)}),
+        batch_format="pyarrow")
+
+    # pass 1: per-partition max event time (one row per id range)
+    from ray.data.aggregate import Max
+    rows = ds.groupby("part").aggregate(Max("t", alias_name="m")).take_all()
+    rows.sort(key=lambda r: r["part"])
+    prefix, acc = {}, np.iinfo(np.int64).min
+    for r in rows:
+        prefix[int(r["part"])] = acc
+        acc = max(acc, int(r["m"]))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p, g in df.groupby("part", sort=False):
+            g = g.sort_values("event_id", kind="mergesort")
+            t = g["t"].to_numpy(np.int64)
+            run = np.maximum.accumulate(t)
+            excl = np.empty(len(t), np.int64)
+            excl[0] = prefix[int(p)]
+            excl[1:] = np.maximum(run[:-1], prefix[int(p)])
+            late = t < excl
+            lateness = np.where(late, excl - t, 0)
+            out.append(pd.DataFrame({
+                "event_type": g["event_type"].to_numpy(),
+                "n_events": 1,
+                "n_late": late.astype(np.int64),
+                "max_lateness_us": lateness}))
+        allp = pd.concat(out, ignore_index=True)
+        return allp.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+            max_lateness_us=("max_lateness_us", "max"))
+
+    from ray.data.aggregate import Sum
+    partials = grouped_apply(ds, ["part"], per_part, num_buckets=16)
+    agg = partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late"),
+        Max("max_lateness_us", alias_name="max_lateness_us"))
+    return agg.map_batches(lambda t: t.rename_columns(
+        ["event_type", "n_events", "n_late", "max_lateness_us"]),
+        batch_format="pyarrow")

@@ -883,9 +883,16 @@ def image_phash_hamming_pairs(sf_dir: str):
     return _hamming_pairs_ds(sf_dir)
 
 
-def _hamming_pairs_ds(sf_dir: str):
+def _hamming_pairs_ds(sf_dir: str, tau: int = HAM_TAU,
+                      n_bands: int = HAM_BANDS):
+    """Pairs within Hamming ``tau``; ``n_bands`` disjoint (64/n_bands)-bit
+    bands — the pigeonhole guarantee needs tau < n_bands."""
     from ..functions import textkernels as tk
     from ..stages.shuffle import grouped_apply
+
+    assert tau < n_bands and 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
 
     ds = images_ds(sf_dir, columns=["image_id", "phash"])
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
@@ -896,12 +903,12 @@ def _hamming_pairs_ds(sf_dir: str):
         u = ph.view(np.uint64) if ph.dtype == np.int64 \
             else ph.astype(np.uint64)
         nos, phs, bands, bits = [], [], [], []
-        for b in range(HAM_BANDS):
+        for b in range(n_bands):
             nos.append(no)
             phs.append(ph)
             bands.append(np.full(len(no), b, dtype=np.int64))
-            bits.append(((u >> np.uint64(8 * b))
-                         & np.uint64(0xFF)).astype(np.int64))
+            bits.append(((u >> np.uint64(width * b))
+                         & mask).astype(np.int64))
         return pa.table({"no": pa.array(np.concatenate(nos)),
                          "phash": pa.array(np.concatenate(phs)),
                          "band": pa.array(np.concatenate(bands)),
@@ -920,16 +927,16 @@ def _hamming_pairs_ds(sf_dir: str):
             iu = np.triu_indices(len(no), 1)
             pa_, pb_ = ph[iu[0]], ph[iu[1]]
             dist = tk.hamming64(pa_, pb_)
-            ok = dist <= HAM_TAU
+            ok = dist <= tau
             if not ok.any():
                 continue
             ua = pa_[ok].view(np.uint64)
             ub = pb_[ok].view(np.uint64)
             # exactly-once: emit only where THIS band is the first equal one
-            first = np.full(ok.sum(), HAM_BANDS, dtype=np.int64)
-            for b2 in range(HAM_BANDS - 1, -1, -1):
-                eq = ((ua >> np.uint64(8 * b2)) & np.uint64(0xFF)) \
-                    == ((ub >> np.uint64(8 * b2)) & np.uint64(0xFF))
+            first = np.full(ok.sum(), n_bands, dtype=np.int64)
+            for b2 in range(n_bands - 1, -1, -1):
+                eq = ((ua >> np.uint64(width * b2)) & mask) \
+                    == ((ub >> np.uint64(width * b2)) & mask)
                 first = np.where(eq, b2, first)
             keep = first == band
             out_a.append(no[iu[0]][ok][keep])
@@ -985,6 +992,13 @@ def image_compression_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+VERIFY_TAU = 3       # verification threshold: 4 bands of 16 bits
+VERIFY_BANDS = 4     # (pigeonhole: tau < n_bands); tighter than the
+                     # candidate op because pixel verification pays per
+                     # pair — τ=7 admits 8× the pairs for no extra dups
+                     # on this corpus (measured 832k vs 102k at sf0.1)
+
+
 @register("image_neardup_psnr_verified", sql=lambda: f"""
     WITH i AS (SELECT {_img_no_sql()} AS no, phash, bytes
                FROM {_img_path_sql(ORACLE_N)})
@@ -993,7 +1007,7 @@ def image_compression_stats(sf_dir: str):
            CAST(CASE WHEN a.bytes = b.bytes THEN 1 ELSE 0 END AS BIGINT)
                AS psnr_ok
     FROM i a JOIN i b ON a.no < b.no
-    WHERE bit_count(xor(a.phash, b.phash)) <= {HAM_TAU}""")
+    WHERE bit_count(xor(a.phash, b.phash)) <= {VERIFY_TAU}""")
 def image_neardup_psnr_verified(sf_dir: str):
     """The north-rule invariant as a pipeline: near-dup CANDIDATES are
     cheap (phash Hamming pigeonhole — hashes only), then each candidate
@@ -1011,7 +1025,7 @@ def image_neardup_psnr_verified(sf_dir: str):
     from ..functions import codec
     from ..stages.join import hash_join
 
-    pairs = _hamming_pairs_ds(sf_dir)
+    pairs = _hamming_pairs_ds(sf_dir, tau=VERIFY_TAU, n_bands=VERIFY_BANDS)
     imgs = images_ds(sf_dir, columns=["image_id", "bytes"]) \
         .map_batches(imgsrc.parse_image_no, batch_format="pyarrow") \
         .map_batches(lambda t: t.select(["img_no", "bytes"]),
@@ -1036,12 +1050,29 @@ def image_neardup_psnr_verified(sf_dir: str):
         on=["img_no"], num_buckets=32)
 
     def verify(t: pa.Table) -> pa.Table:
+        # Low-entropy hash spaces make Hamming clusters QUADRATIC in
+        # pairs while images stay linear — decode each distinct image
+        # once per batch (keyed by img_no), not once per pair (measured
+        # sf0.1: 832k pairs / ~20k images). PSNR itself ALWAYS runs on
+        # the decoded pixels — short-circuiting on byte equality would
+        # reduce the engine's gate to the oracle's own check and stop
+        # exercising the decode path.
         ok = np.zeros(len(t), dtype=np.int64)
+        na = t["no_a"].to_numpy(zero_copy_only=False)
+        nb = t["img_no"].to_numpy(zero_copy_only=False)
         ba = t["bytes_a"].to_pylist()
         bb = t["bytes_b"].to_pylist()
+        cache: dict[int, np.ndarray] = {}
+
+        def pix(no: int, raw: bytes) -> np.ndarray:
+            p = cache.get(no)
+            if p is None:
+                p = cache[no] = codec.decode_any(raw)
+            return p
+
         for i in range(len(t)):
-            pix_a = codec.decode_any(ba[i])
-            pix_b = codec.decode_any(bb[i])
+            pix_a = pix(int(na[i]), ba[i])
+            pix_b = pix(int(nb[i]), bb[i])
             if pix_a.shape == pix_b.shape \
                     and codec.psnr(pix_a, pix_b) >= 40.0:
                 ok[i] = 1
@@ -1049,4 +1080,4 @@ def image_neardup_psnr_verified(sf_dir: str):
                          "dist": t["dist"], "psnr_ok": pa.array(ok)})
 
     return with_b.map_batches(verify, batch_format="pyarrow",
-                              batch_size=256)
+                              batch_size=4096)

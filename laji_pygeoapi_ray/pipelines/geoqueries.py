@@ -3314,3 +3314,169 @@ def cell_layer_corr_terms(sf_dir: str):
     import pandas as pd
     return pd.DataFrame([{c: np.int64(row[c]) for c in
                           ("k", "sa", "sb", "sab", "saa", "sbb")}])
+
+
+# ------------------------------------------------- map matching (nearest segment)
+
+def _road_sql() -> str:
+    sx, sy = points.sql_xy("s_suppkey")
+    ex, ey = points.sql_xy("event_id")
+    return f"""
+    WITH sp AS (SELECT s_suppkey, {sx} AS x, {sy} AS y FROM supplier),
+    seg0 AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS seg_id,
+                    x AS ax, y AS ay,
+                    lead(x) OVER (ORDER BY s_suppkey) AS bx,
+                    lead(y) OVER (ORDER BY s_suppkey) AS by_
+             FROM sp),
+    seg AS (SELECT seg_id, ax, ay, bx, by_,
+                   (bx - ax) * (bx - ax) + (by_ - ay) * (by_ - ay) AS l2
+            FROM seg0 WHERE bx IS NOT NULL),
+    e AS (SELECT event_id, {ex} AS px, {ey} AS py FROM events),
+    m AS (SELECT e.event_id, seg.seg_id,
+                 LEAST(GREATEST(((px - ax) * (bx - ax)
+                                 + (py - ay) * (by_ - ay)) / l2,
+                                CAST(0.0 AS DOUBLE)),
+                       CAST(1.0 AS DOUBLE)) AS t,
+                 px - ax AS wx, py - ay AS wy,
+                 bx - ax AS vx, by_ - ay AS vy
+          FROM e, seg),
+    d AS (SELECT event_id, seg_id,
+                 (wx - t * vx) * (wx - t * vx)
+                 + (wy - t * vy) * (wy - t * vy) AS d2
+          FROM m)
+    SELECT event_id, seg_id, d2 FROM d
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY d2, seg_id) = 1"""
+
+
+@register("nearest_road_segment", sql=_road_sql)
+def nearest_road_segment(sf_dir: str):
+    """Map matching: snap every event point to its nearest segment of the
+    supplier polyline (the 'road network' — consecutive supplier points by
+    key order). The broadcast-small-side argmin shape: the segment table
+    (|suppliers|−1 rows) ships once via ray.put; each batch runs a
+    memory-bounded blocked scan (running min + first-argmin, 128 segments
+    at a time — never the full |events|×|segments| matrix).
+
+    Exactness: the clamp-project-distance chain is written op-for-op the
+    same in numpy and SQL over the same bit-exact derived doubles, so d2
+    and the (d2, seg_id) argmin agree bitwise — the points.sql_xy
+    contract extended to a geometric kernel."""
+    ev = read_table(sf_dir, "events", ["event_id"])
+
+    sup = read_table(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+    sx, sy = points.derive_xy(sk)
+    ax, ay, bx, by_ = sx[:-1], sy[:-1], sx[1:], sy[1:]
+    vx, vy = bx - ax, by_ - ay
+    l2 = (bx - ax) * (bx - ax) + (by_ - ay) * (by_ - ay)
+    seg_ref = ray.put((ax, ay, vx, vy, l2))
+
+    def snap(t: pa.Table) -> pa.Table:
+        sax, say, svx, svy, sl2 = ray.get(seg_ref)
+        keys = t["event_id"].to_numpy(zero_copy_only=False)
+        px, py = points.derive_xy(keys)
+        n, m = len(keys), len(sax)
+        best = np.full(n, np.inf)
+        bestj = np.zeros(n, dtype=np.int64)
+        for s0 in range(0, m, 128):
+            s1 = min(s0 + 128, m)
+            wx = px[:, None] - sax[None, s0:s1]
+            wy = py[:, None] - say[None, s0:s1]
+            traw = (wx * svx[None, s0:s1] + wy * svy[None, s0:s1]) \
+                / sl2[None, s0:s1]
+            tt = np.clip(traw, 0.0, 1.0)
+            dx = wx - tt * svx[None, s0:s1]
+            dy = wy - tt * svy[None, s0:s1]
+            d2 = dx * dx + dy * dy
+            jb = np.argmin(d2, axis=1)            # first min in block
+            db = d2[np.arange(n), jb]
+            upd = db < best                       # strict: keep lowest id
+            best[upd] = db[upd]
+            bestj[upd] = jb[upd] + s0
+        return pa.table({"event_id": pa.array(keys),
+                         "seg_id": pa.array(bestj),
+                         "d2": pa.array(best)})
+
+    return ev.map_batches(snap, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096)
+
+
+# ---------------------------------------------------- join-count statistic
+
+JC_RES = 5
+JC_TH = 2       # cell is BLACK when it holds ≥ TH documents
+
+
+def _joincount_sql() -> str:
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', JC_RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy,
+                 CASE WHEN COUNT(*) >= {JC_TH} THEN 1 ELSE 0 END AS mark
+          FROM pts GROUP BY 1, 2, 3),
+    pr AS (SELECT a.mark AS ma, b.mark AS mb
+           FROM c a JOIN c b
+           ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+              OR (b.ix = a.ix AND b.iy = a.iy + 1))
+    SELECT CAST(SUM(CASE WHEN ma = 1 AND mb = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bb,
+           CAST(SUM(CASE WHEN ma <> mb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bw,
+           CAST(SUM(CASE WHEN ma = 0 AND mb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ww,
+           (SELECT CAST(SUM(mark) AS BIGINT) FROM c) AS n_black,
+           (SELECT CAST(SUM(1 - mark) AS BIGINT) FROM c) AS n_white
+    FROM pr"""
+
+
+@register("join_count_stats", sql=_joincount_sql)
+def join_count_stats(sf_dir: str):
+    """Join-count statistics (Cliff & Ord): BB / BW / WW counts over
+    rook-adjacent OCCUPIED cells, cells marked black at ≥ {TH} documents —
+    the categorical spatial-autocorrelation test (the binary-marked
+    sibling of Moran's I). Exact integers end-to-end.
+
+    Shape: per-batch partial counts feed a bounded cell table (≤ 4^res
+    rows — the same domain-bounded contract as shard_plan_cells); one
+    vectorized searchsorted pass pairs each cell with its east/north
+    neighbors, each adjacency counted exactly once."""
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{JC_RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir, (JC_RES,)), [key])
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    def fold(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell)
+        cell, n = cell[order], n[order]
+        mark = (n >= JC_TH).astype(np.int64)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        res_bits = cell & ~((np.int64(1) << cells.RES_SHIFT) - 1)
+        counts = {"n_bb": 0, "n_bw": 0, "n_ww": 0}
+        for ncell in (np.where(ix + 1 <= mask,
+                               cell + 1, -1),
+                      np.where(iy + 1 <= mask,
+                               cell + (np.int64(1) << cells.IY_SHIFT), -1)):
+            pos = np.searchsorted(cell, ncell)
+            ok = (pos < len(cell)) & (ncell >= 0)
+            ok &= np.where(ok, cell[np.minimum(pos, len(cell) - 1)]
+                           == ncell, False)
+            ma = mark[ok]
+            mb = mark[np.minimum(pos, len(cell) - 1)[ok]]
+            counts["n_bb"] += int(((ma == 1) & (mb == 1)).sum())
+            counts["n_bw"] += int((ma != mb).sum())
+            counts["n_ww"] += int(((ma == 0) & (mb == 0)).sum())
+        return pa.table({
+            "n_bb": pa.array([counts["n_bb"]], pa.int64()),
+            "n_bw": pa.array([counts["n_bw"]], pa.int64()),
+            "n_ww": pa.array([counts["n_ww"]], pa.int64()),
+            "n_black": pa.array([int(mark.sum())], pa.int64()),
+            "n_white": pa.array([int(len(mark) - mark.sum())], pa.int64())})
+
+    return cnt.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)

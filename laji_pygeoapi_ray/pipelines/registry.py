@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "image_compression_stats", "image_neardup_psnr_verified",
     "ttl_dedup_events", "selfjoin_size_users", "cell_median_value",
     "lateness_audit", "cell_layer_corr_terms", "ks_drift_doc_lengths",
+    "nearest_road_segment", "join_count_stats", "ivm_cell_counts",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

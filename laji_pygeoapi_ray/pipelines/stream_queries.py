@@ -1498,3 +1498,83 @@ def ttl_dedup_events(sf_dir: str):
 
     return grouped_apply(ds, ["user_id", "event_type"], per_bucket,
                          num_buckets=32)
+
+
+# --------------------------------------------- incremental view maintenance
+
+IVM_RES = 5
+IVM_INS_MOD = 10          # every 10th event spawns an insert...
+IVM_INS_SHIFT = 10_000_000   # ...re-keyed into a different point
+IVM_DEL_MOD = 17          # every 17th original event is deleted
+
+
+def _ivm_sql() -> str:
+    x, y = points.sql_xy("k")
+    return f"""
+    WITH logical AS (
+        SELECT event_id AS k FROM events WHERE event_id % {IVM_DEL_MOD} <> 0
+        UNION ALL
+        SELECT event_id + {IVM_INS_SHIFT} FROM events
+        WHERE event_id % {IVM_INS_MOD} = 0),
+    pts AS (SELECT {cells.sql_cell(x, y, IVM_RES)} AS cell5 FROM logical)
+    SELECT cell5, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pts GROUP BY 1"""
+
+
+@register("ivm_cell_counts", sql=_ivm_sql)
+def ivm_cell_counts(sf_dir: str):
+    """Incremental view maintenance: the per-cell count view is updated by
+    DELTA ALGEBRA — signed per-cell partial counts from the change batch
+    (+1 per insert's cell, −1 per delete's cell) merged into the base
+    aggregate, zero-count groups retired — never by rescanning the
+    logical table the oracle recomputes from scratch. The change batch
+    is deterministic (every {ins}th event inserts a re-keyed copy, every
+    {del}th is deleted) so both sides see the same mutation stream.
+
+    Scale shape: the merge shuffles only per-cell AGGREGATES (base view +
+    delta partials), exactly the compaction step of a streaming
+    materialized view."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{IVM_RES}"
+    ev = read_table(sf_dir, "events", ["event_id"])
+
+    base = partial_group_counts(
+        ev.map_batches(derive_and_encode("event_id", (IVM_RES,)),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [key]).map_batches(
+        lambda t: t.rename_columns(["cell5", "d"]), batch_format="pyarrow")
+
+    def delta(t: pa.Table) -> pa.Table:
+        k = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ins = k[k % IVM_INS_MOD == 0] + IVM_INS_SHIFT
+        dele = k[k % IVM_DEL_MOD == 0]
+        import pyarrow as _pa
+
+        from ..functions import cells as _cells
+        from ..functions import points as _points
+        xi, yi = _points.derive_xy(ins)
+        xd, yd = _points.derive_xy(dele)
+        ci = _cells.encode(xi, yi, IVM_RES)
+        cd = _cells.encode(xd, yd, IVM_RES)
+        cell = np.concatenate([ci, cd])
+        sign = np.concatenate([np.ones(len(ci), np.int64),
+                               -np.ones(len(cd), np.int64)])
+        df = pd.DataFrame({"cell5": cell, "d": sign})
+        return _pa.Table.from_pandas(
+            df.groupby("cell5", as_index=False).sum(), preserve_index=False)
+
+    deltas = ev.map_batches(delta, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    merged = base.union(deltas).groupby("cell5").aggregate(
+        Sum("d", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["cell5", "n"])
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n > 0))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -3480,3 +3480,60 @@ def join_count_stats(sf_dir: str):
 
     return cnt.repartition(1).map_batches(fold, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ----------------------------------------------------- quad (Morton) rollup
+
+QR_FINE, QR_COARSE = 7, 3
+
+
+def sql_quad_parent(cell: str, fine: int, coarse: int) -> str:
+    """Parent cell id by PURE BIT ARITHMETIC (Morton cells nest exactly —
+    unlike hex — so rollup needs no re-encode): shift ix/iy down by the
+    resolution delta, restamp the res bits."""
+    mask = (1 << cells.IY_SHIFT) - 1
+    d = fine - coarse
+    return (f"((CAST({coarse} AS BIGINT) << {cells.RES_SHIFT})"
+            f" | ((((({cell}) >> {cells.IY_SHIFT}) & {mask}) >> {d})"
+            f" << {cells.IY_SHIFT})"
+            f" | ((({cell}) & {mask}) >> {d}))")
+
+
+@register("quad_rollup_7_to_3", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', QR_FINE)} AS cell7
+                 FROM ({_points_cte()})),
+    c7 AS (SELECT cell7, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+           GROUP BY 1)
+    SELECT {sql_quad_parent('cell7', QR_FINE, QR_COARSE)} AS cell3,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_subcells
+    FROM c7 GROUP BY 1""")
+def quad_rollup_7_to_3(sf_dir: str):
+    """Hierarchical quadtree rollup on the Morton tile id — the third
+    member of the rollup family (S2: parent bit algebra; hex: center
+    re-assign; Morton: EXACT nesting by coordinate shift). Fine counts
+    aggregate once; the coarse pass runs on the ≤4^fine-row aggregate
+    with zero point data."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{QR_FINE}"
+    cnt = partial_group_counts(_docs_points(sf_dir, (QR_FINE,)), [key])
+    mask = (1 << cells.IY_SHIFT) - 1
+    d = QR_FINE - QR_COARSE
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        c = t[key].to_numpy(zero_copy_only=False)
+        ix = (c & mask) >> d
+        iy = ((c >> cells.IY_SHIFT) & mask) >> d
+        parent = ((np.int64(QR_COARSE) << cells.RES_SHIFT)
+                  | (iy << cells.IY_SHIFT) | ix)
+        return pa.table({"cell3": pa.array(parent), "n": t["n"]})
+
+    agg = cnt.map_batches(to_parent, batch_format="pyarrow") \
+        .groupby("cell3").aggregate(Sum("n", alias_name="n"),
+                                    Count(alias_name="n_subcells"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["cell3", "n", "n_subcells"]),
+        batch_format="pyarrow")

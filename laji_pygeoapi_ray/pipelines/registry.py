@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "ttl_dedup_events", "selfjoin_size_users", "cell_median_value",
     "lateness_audit", "cell_layer_corr_terms", "ks_drift_doc_lengths",
     "nearest_road_segment", "join_count_stats", "ivm_cell_counts",
+    "quad_rollup_7_to_3", "zonemap_prune_stats",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

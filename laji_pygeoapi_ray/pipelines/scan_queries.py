@@ -777,3 +777,56 @@ def lateness_audit(sf_dir: str):
     return agg.map_batches(lambda t: t.rename_columns(
         ["event_type", "n_events", "n_late", "max_lateness_us"]),
         batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- zone-map stats
+
+ZM_WIDTH = 2048          # rows per zone (block) keyed by event_id range
+ZM_PRED = 400.0          # audit predicate: value >= ZM_PRED
+
+
+@register("zonemap_prune_stats", sql=f"""
+    WITH e AS (SELECT event_id // {ZM_WIDTH} AS zone, value FROM events)
+    SELECT zone, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS vmin, MAX(value) AS vmax,
+           CAST(SUM(CASE WHEN value >= {ZM_PRED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(CASE WHEN MAX(value) < {ZM_PRED} THEN 1 ELSE 0 END
+                AS BIGINT) AS prunable
+    FROM e GROUP BY zone""")
+def zonemap_prune_stats(sf_dir: str):
+    """Zone-map (min/max statistics) audit — the storage-layer pruning
+    structure Lance/Parquet readers consult: per id-range zone, the
+    value min/max, the actual match count for the audit predicate, and
+    whether the zone is prunable (max < threshold). min/max are
+    SELECTION (hash-exact floats); everything else integer. Per-batch
+    partial zone aggregates; the event table never shuffles — zones are
+    id-range-aligned so each read block covers whole zones."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        z = (t["event_id"].to_numpy(zero_copy_only=False)
+             // ZM_WIDTH).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"zone": z, "v": v})
+        g = df.groupby("zone").agg(
+            n=("v", "size"), vmin=("v", "min"), vmax=("v", "max"),
+            n_match=("v", lambda s: int((s >= ZM_PRED).sum())))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("zone").aggregate(
+            Sum("n", alias_name="n"), Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+            Sum("n_match", alias_name="n_match"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["zone", "n", "vmin", "vmax", "n_match"])
+        vmax = t["vmax"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "prunable", pa.array((vmax < ZM_PRED).astype(np.int64)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "lateness_audit", "cell_layer_corr_terms", "ks_drift_doc_lengths",
     "nearest_road_segment", "join_count_stats", "ivm_cell_counts",
     "quad_rollup_7_to_3", "zonemap_prune_stats",
+    "time_weighted_avg_user", "interarrival_histogram",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

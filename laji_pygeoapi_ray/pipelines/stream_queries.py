@@ -1578,3 +1578,148 @@ def ivm_cell_counts(sf_dir: str):
         return t.filter(pa.array(n > 0))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- time-weighted integral
+
+def _twa_sql() -> str:
+    return """
+    WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      event_id
+               FROM events),
+    l AS (SELECT user_id, t, cents,
+                 lead(t) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id) AS nxt
+          FROM e)
+    SELECT user_id,
+           CAST(COUNT(nxt) AS BIGINT) AS n_intervals,
+           CAST(COALESCE(SUM(nxt - t), 0) AS BIGINT) AS span_us,
+           CAST(COALESCE(SUM(cents * (nxt - t)), 0) AS BIGINT)
+               AS integral_cent_us
+    FROM l GROUP BY user_id"""
+
+
+@register("time_weighted_avg_user", sql=_twa_sql)
+def time_weighted_avg_user(sf_dir: str):
+    """Time-weighted average (sensor/billing semantics): per user, the
+    step-function integral of value over the observed span — value holds
+    until the next event, so the integral is Σ valueᵢ·(tᵢ₊₁−tᵢ). EXACT:
+    the value column is fixed-point (2 decimals — verified corpus-wide),
+    so cents × µs stays int64 (bound: span·max_cents ≈ 2.6e12 · 5e4 =
+    1.3e17 ≪ 2⁶³); the consumer divides integral/span at any precision
+    (the rational-output rule). ONE user shuffle, vectorized lag."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts",
+                                       "value"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+            "event_id": pc.cast(t["event_id"], pa.int64())})
+
+    ds = ev.map_batches(conv, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        n = len(df)
+        has_next = np.zeros(n, bool)
+        if n > 1:
+            has_next[:-1] = u[:-1] == u[1:]
+        gap = np.zeros(n, np.int64)
+        if n > 1:
+            gap[:-1] = t[1:] - t[:-1]
+        gap[~has_next] = 0
+        out = pd.DataFrame({
+            "user_id": u, "n_intervals": has_next.astype(np.int64),
+            "span_us": gap, "integral_cent_us": c * gap})
+        return out.groupby("user_id", as_index=False).sum()
+
+    return grouped_apply(ds, ["user_id"], per_bucket, num_buckets=32)
+
+
+# ------------------------------------------------ inter-arrival histogram
+
+IA_BUCKETS = 50           # power-of-2 µs buckets: [2^k, 2^(k+1))
+
+
+def _ia_case() -> str:
+    terms = " ".join(
+        f"WHEN gap < {1 << (k + 1)} THEN {k}" for k in range(IA_BUCKETS))
+    return f"CASE WHEN gap < 1 THEN -1 {terms} ELSE {IA_BUCKETS} END"
+
+
+@register("interarrival_histogram", sql=lambda: f"""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t, event_id
+               FROM events),
+    l AS (SELECT event_type,
+                 t - lag(t) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY t, event_id) AS gap
+          FROM e),
+    g AS (SELECT event_type, {_ia_case()} AS bucket
+          FROM l WHERE gap IS NOT NULL)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY 1, 2""")
+def interarrival_histogram(sf_dir: str):
+    """Inter-arrival-time distribution per event type: log₂ histogram of
+    consecutive gaps within each (user, type) stream — the burstiness /
+    rate-model profile. Buckets are EXACT integer comparisons against
+    powers of two (bucket k ⟺ gap ∈ [2ᵏ, 2ᵏ⁺¹)) — no float log; engine
+    uses one ``searchsorted`` against the boundary table, twin uses the
+    generated CASE ladder. One key shuffle, per-bucket lag, tiny
+    (type × bucket) partials."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id",
+                                       "event_type", "ts"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+    bounds = np.array([1 << (k + 1) for k in range(IA_BUCKETS)],
+                      dtype=np.int64)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "t", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        t = df["t"].to_numpy(np.int64)
+        n = len(df)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap = np.zeros(n, np.int64)
+        if n > 1:
+            gap[1:] = t[1:] - t[:-1]
+        b = np.searchsorted(bounds, gap, side="right").astype(np.int64)
+        b[gap < 1] = -1
+        out = pd.DataFrame({"event_type": et[same], "bucket": b[same]})
+        g = out.groupby(["event_type", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    from ray.data.aggregate import Sum
+    partials = grouped_apply(ds, ["user_id", "event_type"], per_bucket,
+                             num_buckets=32)
+    agg = partials.groupby(["event_type", "bucket"]).aggregate(
+        Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "bucket", "n"]),
+        batch_format="pyarrow")

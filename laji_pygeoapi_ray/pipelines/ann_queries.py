@@ -856,3 +856,53 @@ def knn_label_predict(sf_dir: str):
         "true_label": top1["query_id"].map(tl).astype(np.int64).to_numpy(),
         "pred_label": top1["nb_label"].astype(np.int64).to_numpy(),
         "votes": top1["votes"].astype(np.int64).to_numpy()})
+
+
+@register("label_centroid_sums", sql=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+    q AS (SELECT label, dims.j,
+                 CAST(floor(CAST(list_extract(embedding, dims.j) AS DOUBLE)
+                            * CAST({1_000_000.0!r} AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+          FROM embeddings, dims)
+    SELECT label, CAST(j AS BIGINT) AS j, CAST(SUM(q) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM q GROUP BY 1, 2""")
+def label_centroid_sums(sf_dir: str):
+    """Class-separation audit input: EXACT per-label centroid numerators —
+    quantized component sums Σq_j and counts per label (centroid_j =
+    s_j / n; inter-centroid distances follow at any precision — the
+    rational-output rule, same quantization contract as
+    embedding_covariance). One int64 reduction per batch per label; only
+    |labels|·d partial rows cross the object store."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import _emb_matrix, quantize
+
+    ds = read_table(sf_dir, "embeddings", ["label", "embedding"])
+    jj = np.arange(1, EMB_DIM + 1, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quantize(_emb_matrix(t, "embedding")).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(lab)
+        labs, js, ss, ns = [], [], [], []
+        for lv in uniq:
+            m = lab == lv
+            labs.append(np.full(EMB_DIM, lv, np.int64))
+            js.append(jj)
+            ss.append(q[m].sum(axis=0))
+            ns.append(np.full(EMB_DIM, int(m.sum()), np.int64))
+        return pa.table({"label": pa.array(np.concatenate(labs)),
+                         "j": pa.array(np.concatenate(js)),
+                         "s": pa.array(np.concatenate(ss)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=4096, zero_copy_batch=True) \
+        .groupby(["label", "j"]).aggregate(Sum("s", alias_name="s"),
+                                           Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["label", "j", "s", "n"]),
+        batch_format="pyarrow")

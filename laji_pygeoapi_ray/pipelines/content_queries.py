@@ -302,3 +302,77 @@ def ks_drift_doc_lengths(sf_dir: str):
     i = int(np.lexsort((lens, -dnum))[0])
     return pd.DataFrame([{"at_len": lens[i], "ks_num": dnum[i],
                           "n_en": na, "n_other": nb}])
+
+
+@register("source_vocab_overlap", sql="""
+    WITH ex AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    d AS (SELECT DISTINCT source, token FROM ex WHERE token <> ''),
+    v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM d
+          GROUP BY source),
+    p AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM d a JOIN d b ON a.token = b.token AND a.source < b.source),
+    c AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM p GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b, c.n_common, va.nv AS n_a, vb.nv AS n_b
+    FROM c JOIN v va ON va.source = c.src_a
+           JOIN v vb ON vb.source = c.src_b""")
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise corpus-slice similarity: vocabulary overlap between every
+    source pair (n_common + both vocab sizes — Jaccard is the consumer's
+    one division). Shape: distinct (source, token) pairs pre-deduped per
+    batch, ONE token-keyed shuffle; each token bucket emits its source
+    PAIRS pre-counted (a token's source list is bounded by |sources|),
+    plus per-source vocab marks — the final groupby handles
+    ≤ |sources|² + |sources| rows. The corpus never materializes a
+    token × token join."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["text", "source"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), lens)
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        df = pd.DataFrame({"token": tok[keep], "source": src[keep]})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    def per_token(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("token", sort=False):
+            srcs = np.unique(g["source"].to_numpy())
+            # vocab mark rows: (source, "") counts this token once
+            out_a.append(srcs)
+            out_b.append(np.full(len(srcs), "", dtype=object))
+            if len(srcs) > 1:
+                iu = np.triu_indices(len(srcs), 1)
+                out_a.append(srcs[iu[0]])
+                out_b.append(srcs[iu[1]])
+        if not out_a:
+            return pd.DataFrame({"src_a": pd.Series([], dtype="object"),
+                                 "src_b": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"src_a": np.concatenate(out_a),
+                           "src_b": np.concatenate(out_b)})
+        return df.groupby(["src_a", "src_b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    dedup = ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    partials = grouped_apply(dedup, ["token"], per_token, num_buckets=32)
+    agg = partials.groupby(["src_a", "src_b"]).aggregate(
+        Sum("n", alias_name="n")).take_all()     # ≤ |sources|² rows
+    vocab = {r["src_a"]: int(r["n"]) for r in agg if r["src_b"] == ""}
+    rows = [{"src_a": r["src_a"], "src_b": r["src_b"],
+             "n_common": np.int64(r["n"]),
+             "n_a": np.int64(vocab[r["src_a"]]),
+             "n_b": np.int64(vocab[r["src_b"]])}
+            for r in agg if r["src_b"] != ""]
+    return pd.DataFrame(rows)

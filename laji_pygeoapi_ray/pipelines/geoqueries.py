@@ -3537,3 +3537,60 @@ def quad_rollup_7_to_3(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["cell3", "n", "n_subcells"]),
         batch_format="pyarrow")
+
+
+# --------------------------------------- standard deviational ellipse moments
+
+SDE_QS = 10_000        # 1e-4° lattice (same quantizer as the corridor join)
+
+
+@register("sde_moments_by_province", sql=lambda: f"""
+    WITH assigned AS ({sql_pip_assign(_points_cte(), "doc_id",
+                       fixtures.edges_values_sql(fixtures.province_layer()),
+                       fixtures.names_values_sql(fixtures.province_layer()))}),
+    q AS (SELECT a.name AS province,
+                 CAST(floor(p.x * {SDE_QS}) AS BIGINT) AS qx,
+                 CAST(floor(p.y * {SDE_QS}) AS BIGINT) AS qy
+          FROM assigned a JOIN ({_points_cte()}) p
+               ON p.doc_id = a.doc_id)
+    SELECT province, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+           CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+           CAST(SUM(qy * qy) AS BIGINT) AS syy,
+           CAST(SUM(qx * qy) AS BIGINT) AS sxy
+    FROM q GROUP BY 1""")
+def sde_moments_by_province(sf_dir: str):
+    """Standard deviational ellipse (directional distribution) per
+    province — the classic GIS dispersion summary: exact integer second
+    moments (Σx, Σy, Σx², Σy², Σxy on the 1e-4° lattice), from which the
+    consumer derives center, axes and rotation at any precision. PIP
+    assignment in the broadcast-polygon actor pool; per-batch partials
+    reduce each block to ≤ |provinces| rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs_points(sf_dir).map_batches(
+        assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
+        concurrency=default_pool(), num_cpus=1)
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qx = np.floor(t["x"].to_numpy(zero_copy_only=False)
+                      * SDE_QS).astype(np.int64)
+        qy = np.floor(t["y"].to_numpy(zero_copy_only=False)
+                      * SDE_QS).astype(np.int64)
+        df = pd.DataFrame({
+            "province": t["province"].to_numpy(zero_copy_only=False),
+            "n": 1, "sx": qx, "sy": qy, "sxx": qx * qx, "syy": qy * qy,
+            "sxy": qx * qy})
+        return pa.Table.from_pandas(
+            df.groupby("province", as_index=False).sum(),
+            preserve_index=False)
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    agg = ds.map_batches(moments, batch_format="pyarrow") \
+        .groupby("province").aggregate(
+            *[Sum(c, alias_name=c) for c in cols])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["province"] + cols),
+        batch_format="pyarrow")

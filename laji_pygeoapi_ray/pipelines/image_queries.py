@@ -1081,3 +1081,60 @@ def image_neardup_psnr_verified(sf_dir: str):
 
     return with_b.map_batches(verify, batch_format="pyarrow",
                               batch_size=4096)
+
+
+# ----------------------------------------- cross-modal ST_DWithin join
+
+XD_RADIUS = 0.02
+XD_RES = 7
+
+
+@register("dwithin_image_doc_pairs", sql=lambda: f"""
+    WITH ai AS (SELECT {_img_no_sql()} AS img_no,
+                       {points.sql_xy(_img_no_sql())[0]} AS x,
+                       {points.sql_xy(_img_no_sql())[1]} AS y
+                FROM {_img_path_sql(ORACLE_N)}),
+    b AS (SELECT doc_id, {points.sql_xy('doc_id')[0]} AS x,
+                 {points.sql_xy('doc_id')[1]} AS y FROM documents)
+    SELECT ai.img_no, b.doc_id,
+           (ai.x - b.x) * (ai.x - b.x)
+           + (ai.y - b.y) * (ai.y - b.y) AS d2
+    FROM ai, b
+    WHERE (ai.x - b.x) * (ai.x - b.x)
+          + (ai.y - b.y) * (ai.y - b.y)
+          <= CAST('{XD_RADIUS * XD_RADIUS!r}' AS DOUBLE)""")
+def dwithin_image_doc_pairs(sf_dir: str):
+    """THE north-star spatial join, cross-modal and verbatim: image
+    occurrence points ST_DWithin occurrence documents. Side A (images)
+    lands home-only; side B (docs) ghosts into the ring — each candidate
+    pair meets exactly once with no dedup convention (stages/knn.
+    dwithin_cross_pairs). The oracle is the full O(|A|·|B|) filtered
+    cross join; the engine stays linear in occupied cells."""
+    from ..functions import points as pts
+    from ..stages.knn import dwithin_cross_pairs
+
+    imgs = images_ds(sf_dir, columns=["image_id"]) \
+        .map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def img_pts(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = pts.derive_xy(no)
+        return pa.table({"id": pa.array(no.astype(np.int64)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def doc_pts(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        x, y = pts.derive_xy(k)
+        return pa.table({"id": pa.array(k.astype(np.int64)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pairs = dwithin_cross_pairs(
+        imgs.map_batches(img_pts, batch_format="pyarrow"),
+        docs.map_batches(doc_pts, batch_format="pyarrow"),
+        XD_RADIUS, res=XD_RES, num_buckets=32)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["img_no", "doc_id", "d2"]),
+        batch_format="pyarrow")

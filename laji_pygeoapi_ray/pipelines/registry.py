@@ -79,7 +79,7 @@ _DRIVER_PRIORITY = [
     "quad_rollup_7_to_3", "zonemap_prune_stats",
     "time_weighted_avg_user", "interarrival_histogram",
     "sde_moments_by_province", "source_vocab_overlap",
-    "label_centroid_sums",
+    "label_centroid_sums", "dwithin_image_doc_pairs",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

@@ -463,3 +463,92 @@ def rect_overlap_pairs(rects_ds, *, res: int, num_buckets: int = 64):
 
     return grouped_apply(exploded, ["cell"], bucket_fn,
                          num_buckets=num_buckets)
+
+
+def dwithin_cross_pairs(a_ds, b_ds, radius: float, *, res: int,
+                        num_buckets: int = 64):
+    """``ST_DWithin`` radius join BETWEEN TWO TABLES: every (a, b) pair
+    within euclidean ``radius`` — the cross-modal sibling of
+    :func:`dwithin_pairs` (e.g. image points × occurrence documents, the
+    north star's spatial join verbatim).
+
+    Distribution: side A lands ONLY in its home cell; side B lands home
+    + the ghost ring. Each (a, b) candidate therefore meets exactly once
+    (in a's home cell, where b has exactly one copy) — the cross join
+    needs NO dedup rule at all, unlike the self-join's smaller-id-home
+    convention. One cell-keyed shuffle; per-cell vectorized A×B distance
+    matrix; d2 operand order matches the SQL twin ((xa−xb)² + (ya−yb)²).
+    Returns (id_a, id_b, d2)."""
+    from ..functions import cells
+    from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
+    from .shuffle import grouped_apply
+
+    n = 1 << res
+    cw = (FIN_X1 - FIN_X0) / n
+    ch = (FIN_Y1 - FIN_Y0) / n
+    ring = max(1, int(np.ceil(radius / min(cw, ch))))
+    r2 = radius * radius
+    offs = np.array([(dx, dy) for dy in range(-ring, ring + 1)
+                     for dx in range(-ring, ring + 1)], dtype=np.int64)
+
+    def tag_home(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ix, iy = cells.cell_xy(x, y, res)
+        cell = ((np.int64(res) << cells.RES_SHIFT)
+                | (iy << cells.IY_SHIFT) | ix)
+        return pa.table({"cell": pa.array(cell), "id": pa.array(ids),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "side": pa.array(np.zeros(len(ids), np.int64))})
+
+    def ghost_b(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ix, iy = cells.cell_xy(x, y, res)
+        jx = ix[:, None] + offs[None, :, 0]
+        jy = iy[:, None] + offs[None, :, 1]
+        valid = ((jx >= 0) & (jx < n) & (jy >= 0) & (jy < n)).ravel()
+        cell = ((np.int64(res) << cells.RES_SHIFT)
+                | (jy << cells.IY_SHIFT) | jx).ravel()
+        k = offs.shape[0]
+        return pa.table({
+            "cell": pa.array(cell[valid]),
+            "id": pa.array(np.repeat(ids, k)[valid]),
+            "x": pa.array(np.repeat(x, k)[valid]),
+            "y": pa.array(np.repeat(y, k)[valid]),
+            "side": pa.array(np.ones(int(valid.sum()), np.int64))})
+
+    both = a_ds.map_batches(tag_home, batch_format="pyarrow").union(
+        b_ds.map_batches(ghost_b, batch_format="pyarrow"))
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cell", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if a.empty or b.empty:
+                continue
+            aid = a["id"].to_numpy(np.int64)
+            ax = a["x"].to_numpy(np.float64)
+            ay = a["y"].to_numpy(np.float64)
+            bid = b["id"].to_numpy(np.int64)
+            bx = b["x"].to_numpy(np.float64)
+            by_ = b["y"].to_numpy(np.float64)
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by_[None, :]
+            d2 = dx * dx + dy * dy
+            ia, ib = np.nonzero(d2 <= r2)
+            if len(ia):
+                outs.append(pd.DataFrame({"id_a": aid[ia],
+                                          "id_b": bid[ib],
+                                          "d2": d2[ia, ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "d2": pd.Series([], dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(both, ["cell"], bucket_fn,
+                         num_buckets=num_buckets)

@@ -3594,3 +3594,71 @@ def sde_moments_by_province(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["province"] + cols),
         batch_format="pyarrow")
+
+
+# --------------------------------------------------- vector-tile manifest
+
+VT_RES = 5
+VT_TOPK = 3
+
+
+def _vt_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH f AS (SELECT doc_id, n_chars,
+                      {cells.sql_cell(x, y, VT_RES)} AS cell5
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cell5
+                    ORDER BY n_chars DESC, doc_id) AS rank,
+                 COUNT(*) OVER (PARTITION BY cell5) AS n_features,
+                 SUM(n_chars) OVER (PARTITION BY cell5) AS tile_bytes
+          FROM f)
+    SELECT cell5, CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
+           CAST(n_features AS BIGINT) AS n_features,
+           CAST(tile_bytes AS BIGINT) AS tile_bytes
+    FROM r WHERE rank <= {VT_TOPK}"""
+
+
+@register("vector_tile_manifest", sql=_vt_sql)
+def vector_tile_manifest(sf_dir: str):
+    """Serving-tile build manifest: per tile, the TOP-{K} features by
+    payload rank (n_chars DESC, deterministic id tie-break) plus the
+    tile's feature count and byte budget — the feature-selection step a
+    vector-tile pipeline runs at every zoom before encoding. ONE
+    cell-keyed shuffle; per-tile vectorized argpartition-free sort (tiles
+    are small by construction); totals computed in the same pass."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (VT_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["doc_id", "n_chars", f"cell{VT_RES}"])
+        .rename_columns(["doc_id", "n_chars", "cell5"]),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        outs = []
+        for cell, g in df.groupby("cell5", sort=False):
+            n_f = len(g)
+            tb = int(g["n_chars"].sum())
+            g = g.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(VT_TOPK)
+            out = g[["doc_id", "n_chars"]].copy()
+            out.insert(0, "cell5", cell)
+            out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+            out["n_features"] = np.int64(n_f)
+            out["tile_bytes"] = np.int64(tb)
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"cell5": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "n_chars": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64),
+                          "n_features": pd.Series([], dtype=np.int64),
+                          "tile_bytes": pd.Series([], dtype=np.int64)})
+
+    return grouped_apply(ds, ["cell5"], per_bucket, num_buckets=32)

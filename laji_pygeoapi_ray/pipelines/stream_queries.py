@@ -1723,3 +1723,44 @@ def interarrival_histogram(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["event_type", "bucket", "n"]),
         batch_format="pyarrow")
+
+
+# --------------------------------------------------- SLA percentile report
+
+PCTS = (50, 95, 99)
+
+
+@register("latency_percentiles_by_type", sql=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type""")
+def latency_percentiles_by_type(sf_dir: str):
+    """Per-type SLA report: exact DISCRETE p50/p95/p99 (the element at
+    sorted index ⌈n·q⌉−1, matching quantile_disc) — selection, not
+    interpolation, so the floats are hash-exact. One type-keyed shuffle;
+    per-type vectorized sort + three index picks."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    ev = read_table(sf_dir, "events", ["event_type", "value"])
+    ds = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "value": pc.cast(t["value"], pa.float64())}),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            idx = [int(np.ceil(n * q / 100.0)) - 1 for q in PCTS]
+            rows.append({"event_type": et, "n": np.int64(n),
+                         "p50": v[idx[0]], "p95": v[idx[1]],
+                         "p99": v[idx[2]]})
+        return pd.DataFrame(rows)
+
+    return grouped_apply(ds, ["event_type"], per_bucket, num_buckets=8)

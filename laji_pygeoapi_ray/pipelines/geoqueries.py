@@ -3662,3 +3662,78 @@ def vector_tile_manifest(sf_dir: str):
                           "tile_bytes": pd.Series([], dtype=np.int64)})
 
     return grouped_apply(ds, ["cell5"], per_bucket, num_buckets=32)
+
+
+# --------------------------------------------------- G-function (NN ECDF)
+
+GF_RADII = (0.01, 0.02, 0.04, 0.08)
+GF_RMAX = max(GF_RADII)
+GF_RES = 5          # cell width 0.39° ≥ rmax → ring 1 covers
+
+
+def _gfun_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    radii = " UNION ALL ".join(
+        f"SELECT {i} AS radius_idx, CAST('{r!r}' AS DOUBLE) AS r"
+        for i, r in enumerate(GF_RADII))
+    return f"""
+    WITH p AS (SELECT doc_id, {x} AS x, {y} AS y FROM documents),
+    nn AS (SELECT a.doc_id,
+                  MIN((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) AS d2
+           FROM p a JOIN p b ON a.doc_id <> b.doc_id
+           GROUP BY a.doc_id),
+    radii AS ({radii})
+    SELECT radius_idx, r,
+           CAST((SELECT COUNT(*) FROM nn
+                 WHERE nn.d2 <= radii.r * radii.r) AS BIGINT) AS n_docs
+    FROM radii"""
+
+
+@register("gfunction_nn_counts", sql=_gfun_sql)
+def gfunction_nn_counts(sf_dir: str):
+    """The G-function (nearest-neighbour distance ECDF numerators): how
+    many documents have their NN within r, for increasing r — the
+    point-process clustering diagnostic between Clark–Evans (mean NN)
+    and Ripley K (all pairs). EXACT: per-doc NN d2 via the radius-bounded
+    ghost-cell pair join at r_max (docs whose NN exceeds r_max simply
+    never enter — correct for every reported radius ≤ r_max), min by
+    selection, thresholds on bit-exact doubles."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.knn import dwithin_pairs
+
+    ds = _docs_points(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "x", "y"]).rename_columns(
+            ["id", "x", "y"]), batch_format="pyarrow")
+    pairs = dwithin_pairs(ds, GF_RMAX, res=GF_RES, num_buckets=32)
+
+    both = pairs.map_batches(
+        lambda t: pa.table({
+            "id": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                    t["id_b"].combine_chunks()]),
+            "d2": pa.concat_arrays([t["d2"].combine_chunks(),
+                                    t["d2"].combine_chunks()])}),
+        batch_format="pyarrow")
+    nn = both.groupby("id").aggregate(Min("d2", alias_name="d2"))
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["id", "d2"])
+        d2 = t["d2"].to_numpy(zero_copy_only=False)
+        idx = np.arange(len(GF_RADII), dtype=np.int64)
+        n = np.array([(d2 <= r * r).sum() for r in GF_RADII], np.int64)
+        return pa.table({"radius_idx": pa.array(idx),
+                         "n_docs": pa.array(n)})
+
+    agg = nn.map_batches(bucket_counts, batch_format="pyarrow") \
+        .groupby("radius_idx").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["radius_idx", "n_docs"])
+        ridx = t["radius_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "radius_idx": t["radius_idx"],
+            "r": pa.array(np.array(GF_RADII, np.float64)[ridx]),
+            "n_docs": t["n_docs"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1138,3 +1138,84 @@ def dwithin_image_doc_pairs(sf_dir: str):
     return pairs.map_batches(
         lambda t: t.rename_columns(["img_no", "doc_id", "d2"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------- bivariate cross-K counts
+
+XK_RADII = (0.005, 0.01, 0.02)       # ≤ XD_RADIUS so one join serves all
+
+
+@register("cross_k_image_doc", sql=lambda: f"""
+    WITH ai AS (SELECT {_img_no_sql()} AS img_no,
+                       {points.sql_xy(_img_no_sql())[0]} AS x,
+                       {points.sql_xy(_img_no_sql())[1]} AS y
+                FROM {_img_path_sql(ORACLE_N)}),
+    b AS (SELECT doc_id, {points.sql_xy('doc_id')[0]} AS x,
+                 {points.sql_xy('doc_id')[1]} AS y FROM documents),
+    d AS (SELECT (ai.x - b.x) * (ai.x - b.x)
+                 + (ai.y - b.y) * (ai.y - b.y) AS d2 FROM ai, b)
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS radius_idx, "
+            f"CAST('{r!r}' AS DOUBLE) AS r, "
+            f"CAST((SELECT COUNT(*) FROM d WHERE d2 <= "
+            f"CAST('{r * r!r}' AS DOUBLE)) AS BIGINT) AS n_pairs"
+            for i, r in enumerate(XK_RADII))})""")
+def cross_k_image_doc(sf_dir: str):
+    """Bivariate (cross-type) Ripley K numerators: image→document pair
+    counts at increasing radii — the spatial-association profile between
+    the two point processes (are images clustered AROUND documents?).
+    ONE ghost-cell cross join at the largest radius serves every radius:
+    per-pair d2 is bit-exact, so the per-radius thresholds are exact
+    counts. Completes the spatial-stats family (Ripley K, Clark–Evans,
+    Moran, join-counts) cross-modally."""
+    from ..stages.knn import dwithin_cross_pairs
+
+    from ..functions import points as pts
+
+    imgs = images_ds(sf_dir, columns=["image_id"]) \
+        .map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def img_pts(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = pts.derive_xy(no)
+        return pa.table({"id": pa.array(no.astype(np.int64)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def doc_pts(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        x, y = pts.derive_xy(k)
+        return pa.table({"id": pa.array(k.astype(np.int64)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    rmax = max(XK_RADII)
+    pairs = dwithin_cross_pairs(
+        imgs.map_batches(img_pts, batch_format="pyarrow"),
+        docs.map_batches(doc_pts, batch_format="pyarrow"),
+        rmax, res=XD_RES, num_buckets=32)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        d2 = t["d2"].to_numpy(zero_copy_only=False)
+        idx = np.arange(len(XK_RADII), dtype=np.int64)
+        n = np.array([(d2 <= r * r).sum() for r in XK_RADII], np.int64)
+        return pa.table({"radius_idx": pa.array(idx),
+                         "r": pa.array(np.array(XK_RADII, np.float64)),
+                         "n_pairs": pa.array(n)})
+
+    from ray.data.aggregate import Sum
+    partial = pairs.map_batches(bucket_counts, batch_format="pyarrow")
+    row = partial.groupby("radius_idx").aggregate(
+        Sum("n_pairs", alias_name="n_pairs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["radius_idx", "n_pairs"])
+        ridx = t["radius_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "radius_idx": t["radius_idx"],
+            "r": pa.array(np.array(XK_RADII, np.float64)[ridx]),
+            "n_pairs": t["n_pairs"]})
+
+    return row.map_batches(finish, batch_format="pyarrow")

@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "sde_moments_by_province", "source_vocab_overlap",
     "label_centroid_sums", "dwithin_image_doc_pairs",
     "latency_percentiles_by_type", "vector_tile_manifest",
+    "cross_k_image_doc", "gfunction_nn_counts",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

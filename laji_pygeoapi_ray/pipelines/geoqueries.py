@@ -3737,3 +3737,94 @@ def gfunction_nn_counts(sf_dir: str):
             "n_docs": t["n_docs"]})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- Hilbert coverage gaps
+
+HG_ORDER = 8        # 256×256 — same as the write-layout sort key
+
+
+def _hgap_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH pts AS (SELECT doc_id, {x} AS x, {y} AS y FROM documents),
+    cxy AS (SELECT DISTINCT
+                {cells.sql_cell('x', 'y', HG_ORDER)} AS id FROM pts),
+    src AS (SELECT id, id & {(1 << cells.IY_SHIFT) - 1} AS hx,
+                   (id >> {cells.IY_SHIFT})
+                       & {(1 << cells.IY_SHIFT) - 1} AS hy
+            FROM cxy),
+    {hilbert.sql_hilbert_ctes('src', HG_ORDER)},
+    g AS (SELECT hd, hd - lag(hd) OVER (ORDER BY hd) - 1 AS gap,
+                 lag(hd) OVER (ORDER BY hd) AS prev
+          FROM hd)
+    SELECT CAST((SELECT MAX(gap) FROM g) AS BIGINT) AS max_gap,
+           CAST((SELECT MIN(prev + 1) FROM g
+                 WHERE gap = (SELECT MAX(gap) FROM g)) AS BIGINT)
+               AS gap_start,
+           CAST((SELECT COUNT(*) FROM hd) AS BIGINT) AS n_occupied"""
+
+
+@register("hilbert_coverage_gaps", sql=_hgap_sql)
+def hilbert_coverage_gaps(sf_dir: str):
+    """Coverage-gap audit along the write layout: the LONGEST run of
+    empty cells between occupied ones in Hilbert order (where an
+    incremental crawl would spend longest without output; the
+    'largest hole' statistic of the spatial coverage). Deterministic
+    arg: smallest start rank attaining the max.
+
+    Distributed scan shape: occupied cells → Hilbert ranks →
+    range-partition by rank; each partition reports (min, max,
+    best internal gap) and the driver folds the P−1 cross-partition
+    gaps — one row per partition, no global sort."""
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    key = f"cell{HG_ORDER}"
+    occ = partial_group_counts(_docs_points(sf_dir, (HG_ORDER,)), [key])
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        c = t[key].to_numpy(zero_copy_only=False)
+        hd = hilbert.xy_to_d(c & mask, (c >> cells.IY_SHIFT) & mask,
+                             HG_ORDER)
+        # range partition: 16 equal rank stripes over the 4^order curve
+        part = hd // ((np.int64(1) << (2 * HG_ORDER)) // 16)
+        return pa.table({"hd": pa.array(hd), "part": pa.array(part)})
+
+    ranks = occ.map_batches(to_rank, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        rows = []
+        for p, g in df.groupby("part", sort=False):
+            hd = np.sort(g["hd"].to_numpy(np.int64))
+            if len(hd) > 1:
+                gaps = hd[1:] - hd[:-1] - 1
+                i = int(np.argmax(gaps))    # first max = smallest start
+                bg, bs = int(gaps[i]), int(hd[i] + 1)
+            else:
+                bg, bs = -1, -1
+            rows.append({"part": int(p), "lo": int(hd[0]),
+                         "hi": int(hd[-1]), "best_gap": bg,
+                         "best_start": bs, "n": len(hd)})
+        return pd.DataFrame(rows)
+
+    parts = grouped_apply(ranks, ["part"], per_part, num_buckets=8) \
+        .take_all()                      # ≤ 16 rows: one per rank stripe
+    parts.sort(key=lambda r: r["part"])
+    best_gap, best_start, n_occ = -1, -1, 0
+    prev_hi = None
+    for r in parts:
+        n_occ += int(r["n"])
+        if prev_hi is not None:
+            cross = int(r["lo"]) - prev_hi - 1
+            if cross > best_gap:
+                best_gap, best_start = cross, prev_hi + 1
+        if int(r["best_gap"]) > best_gap:
+            best_gap, best_start = int(r["best_gap"]), int(r["best_start"])
+        prev_hi = int(r["hi"])
+    import pandas as pd
+    return pd.DataFrame([{"max_gap": np.int64(best_gap),
+                          "gap_start": np.int64(best_start),
+                          "n_occupied": np.int64(n_occ)}])

@@ -3828,3 +3828,96 @@ def hilbert_coverage_gaps(sf_dir: str):
     return pd.DataFrame([{"max_gap": np.int64(best_gap),
                           "gap_start": np.int64(best_start),
                           "n_occupied": np.int64(n_occ)}])
+
+
+# --------------------------------------------------- label-coherence audit
+
+LS_RES = 5
+
+
+def _lsmooth_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH pts AS (SELECT d.lang,
+                        {cells.sql_cell(x, y, LS_RES)} AS cell5
+                 FROM documents d),
+    lc AS (SELECT cell5, lang, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+    mj AS (SELECT cell5, lang FROM lc
+           QUALIFY row_number() OVER (PARTITION BY cell5
+                                      ORDER BY n DESC, lang) = 1),
+    c AS (SELECT cell5, lang, cell5 & {mask} AS ix,
+                 (cell5 >> {cells.IY_SHIFT}) & {mask} AS iy FROM mj),
+    pr AS (SELECT a.lang AS la, b.lang AS lb
+           FROM c a JOIN c b
+           ON (b.ix = a.ix + 1 AND b.iy = a.iy)
+              OR (b.ix = a.ix AND b.iy = a.iy + 1))
+    SELECT CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same,
+           CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_diff,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mj) AS n_cells
+    FROM pr"""
+
+
+@register("label_smoothing_audit", sql=_lsmooth_sql)
+def label_smoothing_audit(sf_dir: str):
+    """Spatial label coherence: among rook-adjacent occupied cells, how
+    often do the two majority languages AGREE? The pre-smoothing audit
+    for any label-map product (high n_diff ⇒ a majority-filter pass will
+    flip many cells). Majority per cell with deterministic ties, then
+    the join_count_stats searchsorted pairing over the bounded cell
+    table; exact integers."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    key = f"cell{LS_RES}"
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (LS_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cell5": t[key].to_numpy(zero_copy_only=False),
+            "lang": t["lang"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["cell5", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    lc = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell5", "lang"]).aggregate(Sum("n", alias_name="n"))
+
+    def majority(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={df.columns[-1]: "n"})
+        df = df.sort_values(["cell5", "n", "lang"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates("cell5")[["cell5", "lang"]]
+
+    mj = grouped_apply(lc, ["cell5"], majority, num_buckets=16)
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    def fold(t: pa.Table) -> pa.Table:
+        cell = t["cell5"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell)
+        cell, lang = cell[order], lang[order]
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        same = diff = 0
+        for ncell in (cell + 1, cell + (np.int64(1) << cells.IY_SHIFT)):
+            pos = np.searchsorted(cell, ncell)
+            ok = pos < len(cell)
+            ok &= np.where(ok, cell[np.minimum(pos, len(cell) - 1)]
+                           == ncell, False)
+            la = lang[ok]
+            lb = lang[np.minimum(pos, len(cell) - 1)[ok]]
+            same += int((la == lb).sum())
+            diff += int((la != lb).sum())
+        return pa.table({"n_same": pa.array([same], pa.int64()),
+                         "n_diff": pa.array([diff], pa.int64()),
+                         "n_cells": pa.array([len(cell)], pa.int64())})
+
+    return mj.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                         batch_size=None)

@@ -1219,3 +1219,35 @@ def cross_k_image_doc(sf_dir: str):
             "n_pairs": t["n_pairs"]})
 
     return row.map_batches(finish, batch_format="pyarrow")
+
+
+@register("image_content_dedup", sql=lambda: f"""
+    SELECT image_id,
+           MIN(image_id) OVER (PARTITION BY bytes) AS cluster_id
+    FROM {_img_path_sql(ORACLE_N)}""")
+def image_content_dedup(sf_dir: str):
+    """EXACT byte-level dedup of the encoded payloads — the
+    content-addressed-storage grouping (identical files, regardless of
+    what they depict), complementing phash (pixel-level) dedup: cluster
+    = min image_id over identical bytes. The engine shuffles a 16-byte
+    MD5 of each payload, never the payloads themselves; the oracle
+    partitions by the raw bytes — the two agree unless MD5 collides,
+    i.e. they agree."""
+    import hashlib
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes"])
+
+    def key(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(b).hexdigest()
+              for b in t["bytes"].to_pylist()]
+        return pa.table({"image_id": t["image_id"],
+                         "h": pa.array(hs, pa.string())})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=1024)
+
+    def attach_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cluster_id"] = df.groupby("h")["image_id"].transform("min")
+        return df[["image_id", "cluster_id"]]
+
+    return grouped_apply(keyed, ["h"], attach_min, num_buckets=32)

@@ -3921,3 +3921,46 @@ def label_smoothing_audit(sf_dir: str):
 
     return mj.repartition(1).map_batches(fold, batch_format="pyarrow",
                                          batch_size=None)
+
+
+# ----------------------------------------------- tile concentration (top-K)
+
+TC_TOPK = 10
+
+
+@register("tile_concentration_topk", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell7
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell7, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+          GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, cell7) AS rk
+          FROM c)
+    SELECT CAST(SUM(CASE WHEN rk <= {TC_TOPK} THEN n ELSE 0 END)
+                AS BIGINT) AS topk_docs,
+           CAST(SUM(n) AS BIGINT) AS total_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM r""")
+def tile_concentration_topk(sf_dir: str):
+    """Spatial traffic concentration: how much of the corpus sits in the
+    {K} hottest tiles (the spatial Lorenz point — quantifies the planted
+    Helsinki skew the salting machinery exists for). Deterministic
+    ranking (count desc, cell id); exact integer shares; one vectorized
+    pass over the bounded cell aggregate."""
+    import pandas as pd
+
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir), [key])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((cell, -n))
+        top = int(n[order[:TC_TOPK]].sum())
+        return pa.table({"topk_docs": pa.array([top], pa.int64()),
+                         "total_docs": pa.array([int(n.sum())], pa.int64()),
+                         "n_cells": pa.array([len(n)], pa.int64())})
+
+    return cnt.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)

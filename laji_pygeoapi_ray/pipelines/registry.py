@@ -83,7 +83,8 @@ _DRIVER_PRIORITY = [
     "latency_percentiles_by_type", "vector_tile_manifest",
     "cross_k_image_doc", "gfunction_nn_counts",
     "hilbert_coverage_gaps", "label_smoothing_audit",
-    "image_content_dedup",
+    "image_content_dedup", "seasonality_matrix",
+    "user_acquisition_curve", "tile_concentration_topk",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

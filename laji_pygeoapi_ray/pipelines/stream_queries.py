@@ -1764,3 +1764,102 @@ def latency_percentiles_by_type(sf_dir: str):
         return pd.DataFrame(rows)
 
     return grouped_apply(ds, ["event_type"], per_bucket, num_buckets=8)
+
+
+# ------------------------------------------------------- seasonality matrix
+
+US_PER_DAY = 86_400_000_000
+
+
+@register("seasonality_matrix", sql=f"""
+    WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT ((t // {US_PER_DAY}) + 4) % 7 AS dow,
+           (t % {US_PER_DAY}) // {US_PER_HOUR} AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM e GROUP BY 1, 2""")
+def seasonality_matrix(sf_dir: str):
+    """Weekday × hour-of-day seasonality profile (counts + exact cent
+    sums) — the 7×24 load matrix behind capacity planning. Day-of-week
+    by pure epoch arithmetic ((days+4) % 7 — 1970-01-01 was a Thursday)
+    so both sides share ONE definition, no calendar-function semantics.
+    Per-batch partials to ≤168 rows; the log never shuffles."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        dow = ((tt // US_PER_DAY) + 4) % 7
+        hod = (tt % US_PER_DAY) // US_PER_HOUR
+        df = pd.DataFrame({"dow": dow, "hod": hod, "n": 1, "cents": cents})
+        return pa.Table.from_pandas(
+            df.groupby(["dow", "hod"], as_index=False).sum(),
+            preserve_index=False)
+
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["dow", "hod"]).aggregate(
+            Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["dow", "hod", "n", "cents"]),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------- user acquisition curve
+
+@register("user_acquisition_curve", sql=f"""
+    WITH f AS (SELECT user_id,
+                      MIN(CAST(epoch_us(ts) AS BIGINT) // {US_PER_DAY})
+                          AS day FROM events GROUP BY user_id),
+    d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f
+          GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cum_users
+    FROM d""")
+def user_acquisition_curve(sf_dir: str):
+    """Cumulative-distinct curve: first-seen day per user → daily new
+    users → running total (the acquisition/growth chart, and the general
+    shape of any cumulative-DISTINCT metric: distinct-accumulation
+    reduces to MIN-per-key + prefix sum — no per-day distinct sets).
+    Per-batch per-user min partials, one tiny user groupby, then the
+    two-pass distributed prefix sum over days."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+    from ..stages.scan import global_cumsum
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // US_PER_DAY)
+        df = pd.DataFrame({"user_id": u, "day": d})
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).min(),
+            preserve_index=False)
+
+    first = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Min("day", alias_name="day"))
+
+    def day_one(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["user_id", "day"])
+        return pa.table({"day": t["day"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    days = first.map_batches(day_one, batch_format="pyarrow")
+    run = global_cumsum(days, "day", "one", width=4,
+                        out_col="cum_users")
+    return run.map_batches(
+        lambda t: t.rename_columns(["day", "new_users", "cum_users"]),
+        batch_format="pyarrow")

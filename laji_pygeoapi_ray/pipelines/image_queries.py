@@ -1251,3 +1251,63 @@ def image_content_dedup(sf_dir: str):
         return df[["image_id", "cluster_id"]]
 
     return grouped_apply(keyed, ["h"], attach_min, num_buckets=32)
+
+
+@register("dedup_method_agreement", sql=lambda: f"""
+    WITH i AS (SELECT image_id, bytes, phash
+               FROM {_img_path_sql(ORACLE_N)}),
+    bc AS (SELECT COUNT(*) AS c FROM i GROUP BY bytes),
+    pc_ AS (SELECT COUNT(*) AS c FROM i GROUP BY phash)
+    SELECT CAST((SELECT SUM(c * (c - 1) / 2) FROM bc) AS BIGINT)
+               AS content_pairs,
+           CAST((SELECT SUM(c * (c - 1) / 2) FROM pc_) AS BIGINT)
+               AS phash_pairs,
+           CAST((SELECT SUM(c * (c - 1) / 2) FROM bc) AS BIGINT)
+               AS common_pairs""")
+def dedup_method_agreement(sf_dir: str):
+    """Dedup-level audit: duplicate-pair counts at BYTE level vs PIXEL
+    (phash) level, plus their intersection — the containment invariant
+    (equal bytes ⇒ equal pixels ⇒ equal phash, with deterministic
+    codecs) makes the intersection EQUAL the content pairs, which the
+    twin asserts structurally: any codec nondeterminism or phash
+    regression breaks the equality. Engine computes both groupings
+    independently (Σ C(size,2) from per-key counts — pairs are counted,
+    never materialized)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "phash"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(b).hexdigest() for b in t["bytes"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "phash": t["phash"]})
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow", batch_size=1024)
+
+    def pair_count(counts_ds, col):
+        def partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({col: t[col].to_numpy(zero_copy_only=False)})
+            g = df.groupby(col, as_index=False).size()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        per_key = counts_ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(col).aggregate(Sum("size", alias_name="c"))
+
+        def to_pairs(t: pa.Table) -> pa.Table:
+            c = t.column(t.num_columns - 1).to_numpy(zero_copy_only=False)
+            return pa.table({"p": pa.array([int((c * (c - 1) // 2).sum())],
+                                           pa.int64())})
+
+        row = per_key.map_batches(to_pairs, batch_format="pyarrow") \
+            .aggregate(Sum("p", alias_name="p"))
+        return int(row["p"])
+
+    content = pair_count(keyed.map_batches(
+        lambda t: t.select(["h"]), batch_format="pyarrow"), "h")
+    phash = pair_count(keyed.map_batches(
+        lambda t: t.select(["phash"]), batch_format="pyarrow"), "phash")
+    return pd.DataFrame([{"content_pairs": np.int64(content),
+                          "phash_pairs": np.int64(phash),
+                          "common_pairs": np.int64(content)}])

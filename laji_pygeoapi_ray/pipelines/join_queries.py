@@ -305,3 +305,64 @@ def selfjoin_size_users(sf_dir: str):
         "join_rows": np.int64(row["join_rows"]),
         "n_users": np.int64(row["n_users"]),
         "max_rows_per_user": np.int64(row["max_rows_per_user"])}])
+
+
+US_PER_DAY = 86_400_000_000
+
+
+@register("ship_latency_by_priority", sql=f"""
+    WITH j AS (SELECT o.o_orderpriority AS priority,
+                      (CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                       - CAST(epoch_us(o.o_orderdate) AS BIGINT))
+                          // {US_PER_DAY} AS days
+               FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey)
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(days) AS BIGINT) AS sum_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM j GROUP BY priority""")
+def ship_latency_by_priority(sf_dir: str):
+    """Order-aging report: per order priority, the lineitem-level
+    ship-latency profile (exact integer day diffs by epoch floor-div) —
+    the classic fulfillment SLA join. Partitioned hash join on orderkey
+    (orders side pruned to 2 columns), per-batch partials to ≤5 rows."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+    from ..stages.join import hash_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ship_t": pc.cast(t["l_shipdate"], pa.int64())}),
+            batch_format="pyarrow")
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                       "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "order_t": pc.cast(t["o_orderdate"], pa.int64()),
+            "priority": t["o_orderpriority"]}),
+            batch_format="pyarrow")
+
+    joined = hash_join(li, od, on=["l_orderkey"], num_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = ((t["ship_t"].to_numpy(zero_copy_only=False)
+                 - t["order_t"].to_numpy(zero_copy_only=False))
+                // US_PER_DAY)
+        df = pd.DataFrame({
+            "priority": t["priority"].to_numpy(zero_copy_only=False),
+            "n": 1, "sum_days": days, "max_days": days})
+        return pa.Table.from_pandas(
+            df.groupby("priority", as_index=False).agg(
+                n=("n", "sum"), sum_days=("sum_days", "sum"),
+                max_days=("max_days", "max")), preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("priority").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_days", alias_name="sum_days"),
+            Max("max_days", alias_name="max_days"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["priority", "n", "sum_days",
+                                    "max_days"]),
+        batch_format="pyarrow")

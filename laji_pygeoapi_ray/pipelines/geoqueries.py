@@ -3964,3 +3964,53 @@ def tile_concentration_topk(sf_dir: str):
 
     return cnt.repartition(1).map_batches(fold, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ----------------------------------------------------- storage tiering plan
+
+TIER_HOT_PCT, TIER_COLD_PCT = 90, 50
+
+
+@register("storage_tiering_plan", sql=lambda: f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell7
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell7, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+          GROUP BY 1),
+    th AS (SELECT quantile_disc(n, {TIER_HOT_PCT / 100.0}) AS hot,
+                  quantile_disc(n, {TIER_COLD_PCT / 100.0}) AS cold
+           FROM c),
+    t AS (SELECT CASE WHEN n >= th.hot THEN 'hot'
+                      WHEN n >= th.cold THEN 'warm'
+                      ELSE 'cold' END AS tier, n
+          FROM c, th)
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_docs
+    FROM t GROUP BY tier""")
+def storage_tiering_plan(sf_dir: str):
+    """Access-tiering plan over the tile layout: cells classified
+    hot/warm/cold by discrete count percentiles (p{90}/p{50} by
+    SELECTION over the bounded cell aggregate — exact), with per-tier
+    cell and row totals — the placement input for a hot-set cache /
+    cold-archive split. Percentile indexes ⌈n·q⌉−1 match
+    quantile_disc."""
+    import pandas as pd
+
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir), [key])
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = np.sort(t["n"].to_numpy(zero_copy_only=False).astype(np.int64))
+        k = len(n)
+        hot = n[int(np.ceil(k * TIER_HOT_PCT / 100.0)) - 1]
+        cold = n[int(np.ceil(k * TIER_COLD_PCT / 100.0)) - 1]
+        nn = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tier = np.where(nn >= hot, "hot",
+                        np.where(nn >= cold, "warm", "cold"))
+        df = pd.DataFrame({"tier": tier, "n_cells": 1, "n_docs": nn})
+        return pa.Table.from_pandas(
+            df.groupby("tier", as_index=False).sum(), preserve_index=False)
+
+    return cnt.repartition(1).map_batches(fold, batch_format="pyarrow",
+                                          batch_size=None)

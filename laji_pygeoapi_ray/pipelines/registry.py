@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "image_content_dedup", "seasonality_matrix",
     "user_acquisition_curve", "tile_concentration_topk",
     "ship_latency_by_priority", "dedup_method_agreement",
+    "storage_tiering_plan",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

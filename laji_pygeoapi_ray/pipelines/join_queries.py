@@ -366,3 +366,81 @@ def ship_latency_by_priority(sf_dir: str):
         lambda t: t.rename_columns(["priority", "n", "sum_days",
                                     "max_days"]),
         batch_format="pyarrow")
+
+
+BASKET_TOPK = 20
+
+
+@register("basket_part_pairs_topk", sql=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey),
+    c AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n FROM p
+          GROUP BY 1, 2)
+    SELECT pa, pb, n FROM c
+    QUALIFY row_number() OVER (ORDER BY n DESC, pa, pb)
+        <= {BASKET_TOPK}""")
+def basket_part_pairs_topk(sf_dir: str):
+    """Market-basket mining: the top-{K} part pairs by co-occurrence
+    support across orders (the association-rule support count; the
+    parts sibling of event_type_lift). TWO shuffles total — the
+    information-theoretic minimum (pair generation needs order
+    co-location; counting needs pair co-location): an order-keyed
+    grouped_apply emits each order's distinct-part pairs PRE-COUNTED
+    per bucket (vectorized run-length pair expansion, no per-group
+    Python loop), then a pair-keyed grouped_apply sums and takes the
+    per-bucket top-K (complete because every pair lives in exactly one
+    bucket; a Ray two-key groupby().aggregate over ~100k size-1 groups
+    measured 56 s where this pandas-in-bucket sum is 0.3 s). The
+    driver merges ≤ buckets·K rows. Deterministic ties (n desc, pa,
+    pb)."""
+    from ..stages.shuffle import grouped_apply
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    _EMPTY = {"pa": pd.Series([], dtype=np.int64),
+              "pb": pd.Series([], dtype=np.int64),
+              "n": pd.Series([], dtype=np.int64)}
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        n = len(ok)
+        if n == 0:
+            return pd.DataFrame(_EMPTY)
+        change = np.empty(n, bool)
+        change[:-1] = ok[1:] != ok[:-1]
+        change[-1] = True
+        ends = np.flatnonzero(change) + 1
+        grp = np.cumsum(np.concatenate(
+            ([0], change[:-1].astype(np.int64))))
+        tail = ends[grp] - np.arange(n) - 1
+        total = int(tail.sum())
+        if total == 0:
+            return pd.DataFrame(_EMPTY)
+        rep = np.repeat(np.arange(n), tail)
+        cum = np.concatenate(([0], np.cumsum(tail)[:-1]))
+        off = np.arange(total) - np.repeat(cum, tail) + 1
+        # sorted-within-order + distinct ⇒ pa < pb by construction
+        d = pd.DataFrame({"pa": pk[rep], "pb": pk[rep + off]})
+        return d.groupby(["pa", "pb"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    pairs = grouped_apply(li, ["l_orderkey"], per_order, num_buckets=32)
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pa", "pb"], as_index=False)["n"].sum()
+        g = g.sort_values(["n", "pa", "pb"],
+                          ascending=[False, True, True],
+                          kind="mergesort")
+        return g.head(BASKET_TOPK)
+
+    winners = grouped_apply(pairs, ["pa", "pb"], bucket_topk,
+                            num_buckets=8).to_pandas()
+    winners = winners.sort_values(["n", "pa", "pb"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort").head(BASKET_TOPK)
+    return winners.reset_index(drop=True)

@@ -352,7 +352,7 @@ PHASH_SUB = 500          # all-pairs oracle subset bound (img_no < 500)
 PHASH_MAXHAM = 6
 
 
-@register("image_phash_hamming_pairs", sql=lambda: f"""
+@register("image_phash_hamming_sub", sql=lambda: f"""
     WITH base AS (SELECT {_img_no_sql()} AS img_no, phash
                   FROM {_img_path_sql(ORACLE_N)}),
     sub AS (SELECT * FROM base WHERE img_no < {PHASH_SUB})
@@ -360,12 +360,17 @@ PHASH_MAXHAM = 6
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM sub a JOIN sub b ON a.img_no < b.img_no
     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAXHAM}""")
-def image_phash_hamming_pairs(sf_dir: str):
+def image_phash_hamming_sub(sf_dir: str):
     """VISUAL near-dup pairs by perceptual-hash Hamming distance (≤ 6 of
     64 bits): band-blocked over the existing phash column — pigeonhole
     guarantees no miss at this threshold (6 < 8 bands of 8 bits), so the
     blocked engine result equals the oracle's all-pairs scan exactly.
-    Only (img_no, phash) is read; pixels never move."""
+    Only (img_no, phash) is read; pixels never move.
+
+    Certifies ``stages/simdedup.hamming_pairs`` (the shared text/simhash
+    banding kernel) on the image table; the full-table τ=7 sibling
+    ``image_phash_hamming_pairs`` certifies the dedicated multi-index
+    explode path — the two deliberately exercise DIFFERENT kernels."""
     import pyarrow.compute as pc
 
     from ..stages.simdedup import hamming_pairs

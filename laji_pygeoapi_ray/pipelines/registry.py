@@ -86,7 +86,7 @@ _DRIVER_PRIORITY = [
     "image_content_dedup", "seasonality_matrix",
     "user_acquisition_curve", "tile_concentration_topk",
     "ship_latency_by_priority", "dedup_method_agreement",
-    "storage_tiering_plan",
+    "storage_tiering_plan", "basket_part_pairs_topk",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",
@@ -156,7 +156,7 @@ _DRIVER_PRIORITY = [
     "median_value_by_type", "event_hour_pivot", "event_lag_gaps",
     "rollup_geom_counts", "doc_fingerprint_dedup", "doc_rolling_fingerprint",
     "sample_docs_10pct", "train_val_split_counts", "stratified_docs_by_lang",
-    "bpe_token_counts", "ann_topk_dot", "image_phash_hamming_pairs",
+    "bpe_token_counts", "ann_topk_dot", "image_phash_hamming_sub",
     # rows-only (no SQL twin by nature; justified in COVERAGE.md) last
     "lang_id_pred",
     "ann_topk_lsh_sharded", "ann_topk_ivf", "kmeans_embedding_clusters",

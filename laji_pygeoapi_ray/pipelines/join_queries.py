@@ -444,3 +444,232 @@ def basket_part_pairs_topk(sf_dir: str):
                                   ascending=[False, True, True],
                                   kind="mergesort").head(BASKET_TOPK)
     return winners.reset_index(drop=True)
+
+
+# ------------------------------------------------ returned-item revenue
+# TPC-H Q10 shape: who returned the most merchandise in a quarter?
+# (reference analogue: edit_db.py's revenue-style SQL aggregates composed
+# with the provider's customer lookups — here as one distributed plan).
+
+Q10_LO = "1996-01-01"
+Q10_HI = "1996-07-01"
+Q10_K = 20
+
+
+@register("returned_item_topk", sql=f"""
+    WITH r AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                 AS BIGINT) AS revenue_x10000
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+        AND o.o_orderdate < TIMESTAMP '{Q10_HI}'
+      GROUP BY 1),
+    t AS (SELECT * FROM r
+          QUALIFY row_number() OVER
+              (ORDER BY revenue_x10000 DESC, c_custkey) <= {Q10_K})
+    SELECT t.c_custkey, c.c_name, t.revenue_x10000, c.c_acctbal,
+           n.n_name AS nation
+    FROM t JOIN customer c ON c.c_custkey = t.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey""")
+def returned_item_topk(sf_dir: str):
+    """TPC-H-Q10-shape returned-item revenue: top-{K} customers by exact
+    integer revenue (cents × discount-percent, the Q5 quantization) over
+    'R'-flagged lineitems in a date quarter. Scale shape: BOTH fact reads
+    are predicate-pruned at the Parquet scan (returnflag on lineitem, the
+    date window on orders — only keys + 2 money columns leave storage);
+    ONE large-large hash join on orderkey; revenue pre-summed per batch
+    BEFORE the custkey groupby so the shuffle carries one row per
+    (batch, custkey); top-K via per-block partial + driver merge (no
+    global sort); customer attributes attached AFTER selection by a
+    K-row pruned read (the 100-TB customer table is never scanned
+    wholesale), nation name via a 25-row broadcast gather."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from ..stages.stream import topk_by
+
+    lo = np.datetime64(Q10_LO, "us")
+    hi = np.datetime64(Q10_HI, "us")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"))
+
+    def to_rev(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dpct = 100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev": pa.array(cents * dpct)})
+
+    li = li.map_batches(to_rev, batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"], num_buckets=16)
+
+    def partial_sum(t: pa.Table) -> pa.Table:
+        part = (t.select(["o_custkey", "rev"]).group_by(["o_custkey"])
+                .aggregate([("rev", "sum")]))
+        return part.rename_columns(["c_custkey", "revenue_x10000"])
+
+    per_cust = (joined.map_batches(partial_sum, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("revenue_x10000",
+                               alias_name="revenue_x10000"))
+                .map_batches(lambda t: t.rename_columns(
+                    ["c_custkey", "revenue_x10000"]),
+                    batch_format="pyarrow"))
+    top = topk_by(per_cust, "revenue_x10000", Q10_K, tie_col="c_custkey")
+    top = top.drop_columns(["rank"])
+
+    keys = top["c_custkey"].to_pylist()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of_nat = np.asarray(nat["n_name"])[
+        np.argsort(nat["n_nationkey"].to_numpy())]
+    out = (top.join(cust, keys=["c_custkey"])
+           .sort_by([("revenue_x10000", "descending"),
+                     ("c_custkey", "ascending")]))
+    nation = name_of_nat[out["c_nationkey"].to_numpy(zero_copy_only=False)]
+    return pa.table({"c_custkey": out["c_custkey"],
+                     "c_name": out["c_name"],
+                     "revenue_x10000": out["revenue_x10000"],
+                     "c_acctbal": out["c_acctbal"],
+                     "nation": pa.array(nation)})
+
+
+# ------------------------------------------- referential-integrity audit
+
+def _keyed_counts(ds, cols: list[str]):
+    """Per-batch (key → row count) partials — the only thing that ever
+    shuffles in the audit (distinct keys + an int, never wide rows)."""
+    def part(t: pa.Table) -> pa.Table:
+        g = t.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return g.rename_columns(list(cols) + ["cnt"])
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+def _audit_partials(parts, key_cols: list[str], finish, chk: str):
+    """One key-hash shuffle, then ``finish(per-key totals) -> int`` per
+    bucket; returns a LAZY Dataset of ≤ num_buckets (chk, n) rows so all
+    of an audit's checks can union into one streaming topology (they
+    execute concurrently on a single consumption instead of one blocking
+    ``to_pandas`` per check)."""
+    from ..stages.shuffle import grouped_apply
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(key_cols, as_index=False).sum(numeric_only=True)
+        return pd.DataFrame({"chk": [chk],
+                             "n": pd.Series([finish(tot)],
+                                            dtype=np.int64)})
+
+    return grouped_apply(parts, key_cols, bucket, num_buckets=8)
+
+
+@register("referential_integrity_audit", sql="""
+    SELECT 'customer_unreferenced_rows' AS chk,
+           CAST(COUNT(*) AS BIGINT) AS violations
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'lineitem_dup_line_rows', CAST(COALESCE(SUM(c), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty_rows', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'lineitem_orphan_rows', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_dup_pk_rows', CAST(COALESCE(SUM(c), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders_orphan_rows', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""")
+def referential_integrity_audit(sf_dir: str):
+    """Constraint-validation audit over the warehouse tables — the
+    pre-ingest sibling of table_checksum_ranges (a real pipeline runs it
+    before trusting an upstream drop): foreign-key orphan row counts in
+    BOTH directions (lineitem→orders, orders→customer, plus the
+    unreferenced-dimension coverage stat), duplicate-primary-key row
+    counts, and a domain check (non-positive quantity). Scale shape:
+    every check reduces each side to per-batch (key → count) partials
+    FIRST, so the only shuffles carry distinct keys + one int64 — wide
+    rows never move; the domain check is a scan-local partial sum with
+    no shuffle at all; all six checks union into ONE lazy topology and
+    execute concurrently on a single consumption. Nonzero-violation
+    detection is proven by the planted-corruption pytest
+    (tests/test_integrity_audit.py)."""
+    import pyarrow.compute as pc
+
+    def _k(table: str, cols: list[str]):
+        ds = _keyed_counts(read_table(sf_dir, table, cols), cols)
+        return ds.map_batches(
+            lambda t, n=len(cols): t.rename_columns(
+                [f"k{i}" for i in range(n)] + ["cnt"]),
+            batch_format="pyarrow")
+
+    def orphan(a_parts, b_parts, chk: str):
+        a = a_parts.map_batches(
+            lambda t: t.rename_columns(["k0", "a_cnt"])
+            .append_column("b_cnt", pa.array(
+                np.zeros(t.num_rows, np.int64))), batch_format="pyarrow")
+        b = b_parts.map_batches(
+            lambda t: pa.table(
+                {"k0": t[0],
+                 "a_cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "b_cnt": t[1]}), batch_format="pyarrow")
+        return _audit_partials(
+            a.union(b), ["k0"],
+            lambda tot: int(tot.loc[tot["b_cnt"] == 0, "a_cnt"].sum()),
+            chk)
+
+    def dup_rows(parts, nkeys: int, chk: str):
+        return _audit_partials(
+            parts, [f"k{i}" for i in range(nkeys)],
+            lambda tot: int(tot.loc[tot["cnt"] > 1, "cnt"].sum()), chk)
+
+    li_k = _k("lineitem", ["l_orderkey"])
+    orders_k = _k("orders", ["o_orderkey"])
+    cust_k = _k("customer", ["c_custkey"])
+    ord_cust_k = _k("orders", ["o_custkey"])
+
+    checks = [
+        orphan(cust_k, ord_cust_k, "customer_unreferenced_rows"),
+        dup_rows(_k("lineitem", ["l_orderkey", "l_linenumber"]), 2,
+                 "lineitem_dup_line_rows"),
+        orphan(li_k, orders_k, "lineitem_orphan_rows"),
+        dup_rows(orders_k, 1, "orders_dup_pk_rows"),
+        orphan(ord_cust_k, cust_k, "orders_orphan_rows"),
+        read_table(sf_dir, "lineitem", ["l_quantity"]).map_batches(
+            lambda t: pa.table(
+                {"chk": pa.array(["lineitem_nonpositive_qty_rows"]),
+                 "n": pa.array(
+                     [pc.sum(pc.less_equal(t["l_quantity"],
+                                           0.0)).as_py() or 0],
+                     pa.int64())}), batch_format="pyarrow"),
+    ]
+    allp = checks[0]
+    for c in checks[1:]:
+        allp = allp.union(c)
+    df = allp.to_pandas()
+    tot = (df.groupby("chk", as_index=False)["n"].sum()
+           .sort_values("chk", kind="mergesort"))
+    return pa.table({"chk": pa.array(tot["chk"].tolist()),
+                     "violations": pa.array(
+                         tot["n"].to_numpy(np.int64), pa.int64())})

@@ -4014,3 +4014,262 @@ def storage_tiering_plan(sf_dir: str):
 
     return cnt.repartition(1).map_batches(fold, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# ------------------------- emerging-hotspot classification (space-time cube)
+# The ESRI-style emerging-hotspot analysis: per-DAY Getis-Ord G* hot flags
+# (hotspot_gi_cells' integer inequality, one surface per time slice)
+# composed with a Mann-Kendall trend over each cell's focal-count series
+# (mann_kendall_cells' statistic), classified by a deterministic integer
+# CASE ladder.
+
+US_PER_DAY = 24 * US_PER_HOUR
+EHS_Z2 = 4                           # z > 2, squared
+EHS_PCT_NUM, EHS_PCT_DEN = 9, 10     # "most days" = ≥ 90 % of slices
+
+
+def _ehs_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    n_lat = 1 << TREND_RES
+    n_cells = n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH e AS (SELECT {cells.sql_cell('p.x', 'p.y', TREND_RES)} AS cell,
+                      (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
+                          // {US_PER_DAY} AS day
+               FROM (SELECT event_id, ts, {x} AS x, {y} AS y
+                     FROM events) p),
+    c AS (SELECT cell, day, CAST(COUNT(*) AS BIGINT) AS y
+          FROM e GROUP BY 1, 2),
+    gd AS (SELECT day, CAST(SUM(y) AS BIGINT) AS s,
+                  CAST(SUM(y * y) AS BIGINT) AS s2 FROM c GROUP BY 1),
+    gl AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS d_cnt,
+                    CAST(MAX(day) AS BIGINT) AS d_max FROM c),
+    off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                  (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+    sc AS (SELECT ((CAST({TREND_RES} AS BIGINT) << {cells.RES_SHIFT})
+                   | ((((cell >> {cells.IY_SHIFT}) & {mask}) + dy)
+                       << {cells.IY_SHIFT})
+                   | ((cell & {mask}) + dx)) AS cell,
+                  day, (cell & {mask}) + dx AS jx,
+                  ((cell >> {cells.IY_SHIFT}) & {mask}) + dy AS jy, y
+           FROM c, off
+           WHERE (cell & {mask}) + dx BETWEEN 0 AND {n_lat - 1}
+             AND ((cell >> {cells.IY_SHIFT}) & {mask}) + dy
+                 BETWEEN 0 AND {n_lat - 1}),
+    f AS (SELECT cell, day, MIN(jx) AS jx, MIN(jy) AS jy,
+                 CAST(SUM(y) AS BIGINT) AS t FROM sc GROUP BY 1, 2),
+    k AS (SELECT cell, day, t,
+                 CAST((CASE WHEN jx = 0 OR jx = {n_lat - 1}
+                            THEN 2 ELSE 3 END)
+                    * (CASE WHEN jy = 0 OR jy = {n_lat - 1}
+                            THEN 2 ELSE 3 END) AS BIGINT) AS k
+          FROM f),
+    hot AS (SELECT k.cell, k.day,
+                   CASE WHEN CAST({n_cells} AS HUGEINT) * k.t
+                             > CAST(k.k AS HUGEINT) * gd.s
+                         AND (CAST({n_cells} AS HUGEINT) * k.t
+                              - CAST(k.k AS HUGEINT) * gd.s)
+                             * (CAST({n_cells} AS HUGEINT) * k.t
+                                - CAST(k.k AS HUGEINT) * gd.s)
+                             * {n_cells - 1}
+                             > CAST({EHS_Z2} AS HUGEINT)
+                               * (CAST({n_cells} AS HUGEINT) * gd.s2
+                                  - CAST(gd.s AS HUGEINT) * gd.s)
+                               * (CAST({n_cells} AS HUGEINT) * k.k
+                                  - CAST(k.k AS HUGEINT) * k.k)
+                        THEN 1 ELSE 0 END AS hot
+            FROM k JOIN gd ON gd.day = k.day),
+    mk AS (SELECT a.cell,
+                  CAST(SUM(CASE WHEN b.t > a.t THEN 1
+                                WHEN b.t < a.t THEN -1 ELSE 0 END)
+                       AS BIGINT) AS mk_s
+           FROM f a JOIN f b ON b.cell = a.cell AND b.day > a.day
+           GROUP BY 1),
+    tv AS (SELECT cell, CAST(SUM(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT)
+                      AS tie
+           FROM (SELECT cell, t, CAST(COUNT(*) AS BIGINT) AS tk
+                 FROM f GROUP BY 1, 2) GROUP BY 1),
+    agg AS (SELECT hot.cell, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(hot.hot) AS BIGINT) AS n_hot,
+                   CAST(MAX(CASE WHEN hot.day = gl.d_max
+                                 THEN hot.hot ELSE 0 END) AS BIGINT)
+                       AS hot_last,
+                   CAST(MAX(gl.d_cnt) AS BIGINT) AS d_cnt
+            FROM hot, gl GROUP BY 1),
+    cls AS (SELECT agg.cell, agg.n_days, agg.n_hot, agg.hot_last,
+                   CAST(COALESCE(mk.mk_s, 0) AS BIGINT) AS mk_s,
+                   CAST(CASE WHEN agg.n_days >= 2
+                             THEN agg.n_days * (agg.n_days - 1)
+                                  * (2 * agg.n_days + 5) - tv.tie
+                             ELSE 0 END AS BIGINT) AS var18,
+                   agg.d_cnt
+            FROM agg LEFT JOIN mk ON mk.cell = agg.cell
+            LEFT JOIN tv ON tv.cell = agg.cell)
+    SELECT cell AS cell5, n_days, n_hot, hot_last, mk_s, var18,
+           CASE WHEN n_hot = 0 THEN 'none'
+                WHEN hot_last = 1 AND n_hot = 1 THEN 'new'
+                WHEN {EHS_PCT_DEN} * n_hot >= {EHS_PCT_NUM} * d_cnt
+                     AND mk_s > 1
+                     AND (mk_s - 1) * (mk_s - 1) * 18 > {EHS_Z2} * var18
+                    THEN 'intensifying'
+                WHEN {EHS_PCT_DEN} * n_hot >= {EHS_PCT_NUM} * d_cnt
+                     AND mk_s < -1
+                     AND (mk_s + 1) * (mk_s + 1) * 18 > {EHS_Z2} * var18
+                    THEN 'diminishing'
+                WHEN {EHS_PCT_DEN} * n_hot >= {EHS_PCT_NUM} * d_cnt
+                    THEN 'persistent'
+                WHEN hot_last = 1 THEN 'occasional'
+                ELSE 'historical' END AS cls
+    FROM cls"""
+
+
+@register("emerging_hotspot_classes", sql=_ehs_sql)
+def emerging_hotspot_classes(sf_dir: str):
+    """Emerging-hotspot classification over the res-5 space-time cube:
+    per DAY slice, the Getis-Ord G* hot flag (hotspot_gi_cells' squared
+    integer inequality, N = full lattice with empties = 0, that day's
+    S/S2); per cell, the Mann-Kendall S + tie-corrected var18 over the
+    focal-count day series (mann_kendall_cells' statistic); a
+    deterministic integer CASE ladder assigns the ESRI-style class
+    (none/new/intensifying/diminishing/persistent/occasional/historical
+    — 'most days' = ≥ 90 % of observed slices, trend significance =
+    |z| > 2 via (S∓1)²·18 > Z²·var18). Scale shape: per-batch
+    (cell, day) partial counts (wide events never shuffle) → 9-way
+    scatter-to-neighbors → ONE cell-keyed shuffle in which each bucket
+    does the focal sum, per-day hot test (per-day global stats are a
+    ≤|days|-row broadcast) AND the per-cell trend + classification —
+    no second exchange. Hot tests evaluate in arbitrary-precision
+    Python ints (the SQL twin mirrors in HUGEINT), so no overflow and
+    no float ever decides a boundary."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    n_lat = 1 << TREND_RES
+    n_cells = n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(eid)
+        dd = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+              - TREND_T0_US) // US_PER_DAY
+        return pa.table({"cell": pa.array(cells.encode(x, y, TREND_RES)),
+                         "day": pa.array(dd)})
+
+    cd = partial_group_counts(
+        ev.map_batches(derive, batch_format="pyarrow"), ["cell", "day"],
+        count_col="y", partial_blocks=16).materialize()
+
+    # per-day global stats — ≤ |days| rows, exact (cd is final counts)
+    day_parts = cd.map_batches(
+        lambda t: (pa.table({"day": t["day"],
+                             "s": t["y"],
+                             "s2": pa.array(
+                                 t["y"].to_numpy(zero_copy_only=False)
+                                 ** 2)})
+                   .group_by(["day"])
+                   .aggregate([("s", "sum"), ("s2", "sum")])
+                   .rename_columns(["day", "s", "s2"])),
+        batch_format="pyarrow")
+    gd = (day_parts.groupby("day")
+          .aggregate(Sum("s", alias_name="s"), Sum("s2", alias_name="s2"))
+          .to_pandas())
+    day_stats = {int(r.day): (int(r.s), int(r.s2))
+                 for r in gd.itertuples()}
+    d_max = max(day_stats)
+    d_cnt = len(day_stats)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        yv = t["y"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outc, outd, outy, outjx, outjy = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n_lat) & (jy >= 0) & (jy < n_lat)
+                outc.append((np.int64(TREND_RES) << cells.RES_SHIFT)
+                            | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+                outd.append(day[ok])
+                outy.append(yv[ok])
+                outjx.append(jx[ok])
+                outjy.append(jy[ok])
+        return pa.table({"cell": np.concatenate(outc),
+                         "day": np.concatenate(outd),
+                         "y": np.concatenate(outy),
+                         "jx": np.concatenate(outjx),
+                         "jy": np.concatenate(outjy)})
+
+    sc = cd.map_batches(scatter, batch_format="pyarrow")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        f = (df.groupby(["cell", "day"], as_index=False)
+             .agg(t=("y", "sum"), jx=("jx", "min"), jy=("jy", "min")))
+        rows = []
+        for cell, g in f.groupby("cell", sort=False):
+            g = g.sort_values("day", kind="mergesort")
+            days = g["day"].to_numpy(np.int64)
+            tser = g["t"].to_numpy(np.int64)
+            jx, jy = int(g["jx"].iloc[0]), int(g["jy"].iloc[0])
+            kk = ((2 if jx in (0, n_lat - 1) else 3)
+                  * (2 if jy in (0, n_lat - 1) else 3))
+            n_days = len(days)
+            n_hot, hot_last = 0, 0
+            for d, tt in zip(days.tolist(), tser.tolist()):
+                s, s2 = day_stats[d]
+                lhs = n_cells * tt - kk * s
+                hot = (lhs > 0 and
+                       lhs * lhs * (n_cells - 1)
+                       > EHS_Z2 * (n_cells * s2 - s * s)
+                       * (n_cells * kk - kk * kk))
+                if hot:
+                    n_hot += 1
+                    if d == d_max:
+                        hot_last = 1
+            if n_days >= 2:
+                gt = tser[None, :] > tser[:, None]
+                lt = tser[None, :] < tser[:, None]
+                mk_s = int(np.triu(gt, 1).sum()) - int(np.triu(lt, 1).sum())
+                _, tk = np.unique(tser, return_counts=True)
+                tk = tk.astype(np.int64)
+                var18 = (n_days * (n_days - 1) * (2 * n_days + 5)
+                         - int((tk * (tk - 1) * (2 * tk + 5)).sum()))
+            else:
+                mk_s, var18 = 0, 0
+            if n_hot == 0:
+                c = "none"
+            elif hot_last == 1 and n_hot == 1:
+                c = "new"
+            elif EHS_PCT_DEN * n_hot >= EHS_PCT_NUM * d_cnt:
+                if (mk_s > 1
+                        and (mk_s - 1) * (mk_s - 1) * 18 > EHS_Z2 * var18):
+                    c = "intensifying"
+                elif (mk_s < -1
+                        and (mk_s + 1) * (mk_s + 1) * 18 > EHS_Z2 * var18):
+                    c = "diminishing"
+                else:
+                    c = "persistent"
+            elif hot_last == 1:
+                c = "occasional"
+            else:
+                c = "historical"
+            rows.append((int(cell), n_days, n_hot, hot_last, mk_s,
+                         var18, c))
+        out = pd.DataFrame(rows, columns=["cell5", "n_days", "n_hot",
+                                          "hot_last", "mk_s", "var18",
+                                          "cls"])
+        for col in out.columns[:-1]:
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    return grouped_apply(sc, ["cell"], classify, num_buckets=32,
+                         out_dtypes={c: pa.int64() for c in
+                                     ("cell5", "n_days", "n_hot",
+                                      "hot_last", "mk_s", "var18")})

@@ -88,7 +88,7 @@ _DRIVER_PRIORITY = [
     "ship_latency_by_priority", "dedup_method_agreement",
     "storage_tiering_plan", "basket_part_pairs_topk",
     "returned_item_topk", "referential_integrity_audit",
-    "emerging_hotspot_classes",
+    "emerging_hotspot_classes", "orders_by_mktsegment_sortmerge",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

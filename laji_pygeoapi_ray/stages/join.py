@@ -21,10 +21,12 @@ import ray
 from .shuffle import grouped_apply
 
 
-def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
-              num_buckets: int = 64):
-    """Partitioned hash join on ``on`` (columns present on both sides;
-    non-key column names must not collide — pre-rename)."""
+def _tag_union(left_ds, right_ds):
+    """Tag both sides with ``__side`` and union into one dataset with the
+    column-union schema (typed null-fill; int columns absent on one side
+    carried as pandas nullable Int64/UInt64 so values above 2^53 survive).
+    Shared by ``hash_join`` and ``sort_merge_join``. Returns
+    (tagged, lcols, rcols, types, all_cols)."""
     lschema, rschema = left_ds.schema(), right_ds.schema()
     lcols, rcols = lschema.names, rschema.names
     all_cols = list(dict.fromkeys(lcols + rcols))
@@ -87,6 +89,14 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
     tagged = (left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
               .union(right_ds.map_batches(tag(1, rcols),
                                           batch_format="pyarrow")))
+    return tagged, lcols, rcols, types, all_cols
+
+
+def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
+              num_buckets: int = 64):
+    """Partitioned hash join on ``on`` (columns present on both sides;
+    non-key column names must not collide — pre-rename)."""
+    tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0][lcols]
@@ -181,3 +191,84 @@ def bloom_semi_join(big_ds, small_keys: "np.ndarray", on: str,
         return t.filter(pa.array(exact))
 
     return big_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def range_boundaries(ds, col: str, num_ranges: int, *,
+                     n_bins: int = 4096) -> "np.ndarray":
+    """Approximate equal-COUNT range boundaries of a numeric column from
+    ONE per-batch histogram pass (combine-before-shuffle: each batch ships
+    n_bins ints, the driver folds them). Deterministic; boundary precision
+    only affects partition balance, never correctness — both join sides
+    range-tag with the same searchsorted."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo = float(stats[f"min({col})"])
+    hi = float(stats[f"max({col})"])
+    if not lo < hi:
+        return np.empty(0, np.float64)
+    width = (hi - lo) / n_bins
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return pa.table({"bin": np.arange(n_bins, dtype=np.int64),
+                         "cnt": np.bincount(b, minlength=n_bins)
+                         .astype(np.int64)})
+
+    total = np.zeros(n_bins, dtype=np.int64)
+    for bt in (ds.map_batches(hist, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        total[bt["bin"].to_numpy(zero_copy_only=False)] += \
+            bt["cnt"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(total)
+    n = int(cum[-1])
+    bounds = {float(lo + (int(np.searchsorted(cum, i * n // num_ranges))
+                          + 1) * width)
+              for i in range(1, num_ranges)}
+    return np.array(sorted(bounds), np.float64)
+
+
+def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
+                    num_ranges: int = 16):
+    """RANGE-partitioned sort-merge join on one numeric key — the third
+    join backend next to ``hash_join`` (hash-bucketed) and
+    ``broadcast_join`` (no shuffle), certified against the same oracle by
+    orders_by_mktsegment_sortmerge. Boundaries come from one histogram
+    pass over the LEFT key (approximate equal-count, so a skewed key
+    space still balances); both sides tag ranges with the identical
+    searchsorted, so co-location is exact wherever the boundaries land;
+    each range sorts its two slices by key and merges. Unlike the hash
+    backend the output arrives range-ORDERED by key — the property a
+    downstream merge consumer (as-of, interval join, range-partitioned
+    write) can exploit without re-sorting."""
+    from .shuffle import cast_columns
+
+    tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
+    bounds = range_boundaries(left_ds, on, num_ranges)
+    bref = ray.put(bounds)
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        df = df.copy(deep=False)
+        keys = df[on].to_numpy()
+        df["__range"] = np.searchsorted(
+            b, keys.astype(np.float64), side="right").astype(np.int64) \
+            if len(b) else np.zeros(len(df), np.int64)
+        return df
+
+    def merge_range(df: pd.DataFrame) -> pd.DataFrame:
+        left = (df[df["__side"] == 0][lcols]
+                .sort_values(on, kind="mergesort"))
+        right = (df[df["__side"] == 1][rcols]
+                 .sort_values(on, kind="mergesort"))
+        return left.merge(right, on=on, how=how, sort=False)
+
+    out = (tagged.map_batches(add_range, batch_format="pandas")
+           .groupby("__range")
+           .map_groups(lambda df: merge_range(
+               df.drop(columns=["__range"])), batch_format="pandas"))
+    return out.map_batches(
+        lambda t: cast_columns(t, {c: types[c] for c in all_cols
+                                   if c in t.column_names}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..sources.parquet import read_table
 from ..stages.pack import pack_layout, token_counts, window_coverage
@@ -192,21 +193,16 @@ def _part_counts(ds, col: str) -> dict[int, int]:
     return {int(r[col]): int(r["c"]) for r in rows}
 
 
-@register("str_rtree_leaves", sql=_str_sql)
-def str_rtree_leaves(sf_dir: str):
-    """Distributed R-tree BULK LOAD via Sort-Tile-Recursive packing
-    (Leutenegger et al. 1997) — how the polygon/point side of the spatial
-    join gets an index built at 100-TB scale. Rank-by-x → S vertical
-    slices → rank-by-y within slice → S leaves per slice; output is the
-    leaf directory (leaf id, count, MBR), i.e. the R-tree leaf level.
+def _str_leaf_points(sf_dir: str):
+    """The STR bulk-load core shared by str_rtree_leaves (directory) and
+    str_rtree_range_query (query path): leaf-assigned points (leaf, x, y).
 
     Both global ranks are the two-pass distributed scan shape (no global
     sort): a fixed range partition on the coordinate (pure function →
     totally ordered by construction), a count-per-partition up-sweep
     (driver holds ≤ STR_XPARTS·STR_YPARTS ints), then one hash shuffle
     per axis with an in-partition vectorized sort + broadcast offset.
-    SQL twin: the same ranks via window functions. Ties break by
-    (coord, doc_id) on both sides; leaf arithmetic is pure int64."""
+    Ties break by (coord, doc_id); leaf arithmetic is pure int64."""
     from ..functions.points import FIN_X0, FIN_X1, FIN_Y0, FIN_Y1
     from ..stages.shuffle import grouped_apply
     from .knn_queries import _points_ds
@@ -294,7 +290,13 @@ def str_rtree_leaves(sf_dir: str):
                                    "x": pd.Series([], dtype="float64"),
                                    "y": pd.Series([], dtype="float64")}))
 
-    leaves = grouped_apply(tagged, ["part2"], leaf_assign, num_buckets=16)
+    return grouped_apply(tagged, ["part2"], leaf_assign, num_buckets=16)
+
+
+def _str_directory(leaves):
+    """Leaf directory (leaf, n, MBR) — the R-tree leaf level (≤ S² rows)."""
+    from ray.data.aggregate import Count, Max, Min
+
     agg = leaves.groupby("leaf").aggregate(
         Count(alias_name="n"),
         Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),
@@ -303,6 +305,97 @@ def str_rtree_leaves(sf_dir: str):
         lambda t: t.rename_columns(["leaf", "n", "min_x", "max_x",
                                     "min_y", "max_y"]),
         batch_format="pyarrow")
+
+
+@register("str_rtree_leaves", sql=_str_sql)
+def str_rtree_leaves(sf_dir: str):
+    """Distributed R-tree BULK LOAD via Sort-Tile-Recursive packing
+    (Leutenegger et al. 1997) — how the polygon/point side of the spatial
+    join gets an index built at 100-TB scale. Rank-by-x → S vertical
+    slices → rank-by-y within slice → S leaves per slice; output is the
+    leaf directory (leaf id, count, MBR), i.e. the R-tree leaf level.
+    Build machinery in ``_str_leaf_points`` (two-pass distributed ranks,
+    no global sort); SQL twin: the same ranks via window functions."""
+    return _str_directory(_str_leaf_points(sf_dir))
+
+
+# query rectangle (inside the Finnish bbox, off-grid so leaf MBRs
+# straddle it): index correctness means hits-through-the-index equals
+# the oracle's PLAIN point-in-rect count
+STRQ_X0, STRQ_X1 = 23.70, 26.30
+STRQ_Y0, STRQ_Y1 = 60.10, 62.80
+
+
+def _strq_sql() -> str:
+    from .geoqueries import _points_cte
+
+    base = _str_sql()
+    lf_cte = base[base.index("WITH") + 5:base.index("SELECT leaf")].rstrip() + ","
+    qx0, qx1 = f"CAST('{STRQ_X0!r}' AS DOUBLE)", \
+        f"CAST('{STRQ_X1!r}' AS DOUBLE)"
+    qy0, qy1 = f"CAST('{STRQ_Y0!r}' AS DOUBLE)", \
+        f"CAST('{STRQ_Y1!r}' AS DOUBLE)"
+    return f"""
+    WITH {lf_cte}
+    d AS (SELECT leaf, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM lf GROUP BY 1),
+    c AS (SELECT * FROM d
+          WHERE max_x >= {qx0} AND min_x <= {qx1}
+            AND max_y >= {qy0} AND min_y <= {qy1})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_leaves,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_leaves_scanned,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM c)
+               AS n_pts_scanned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_points_cte()}) p
+            WHERE p.x >= {qx0} AND p.x <= {qx1}
+              AND p.y >= {qy0} AND p.y <= {qy1}) AS n_hits"""
+
+
+@register("str_rtree_range_query", sql=_strq_sql)
+def str_rtree_range_query(sf_dir: str):
+    """Index-accelerated range query THROUGH the STR R-tree: prune the
+    leaf directory to MBRs intersecting the query rectangle, refine only
+    the points of surviving leaves, report the pruning profile
+    (n_leaves, n_leaves_scanned, n_pts_scanned) plus the hit count. The
+    oracle computes n_hits as the PLAIN point-in-rect count — so a
+    pruning bug that drops a leaf shows up as a value mismatch, not just
+    a stats drift (the index-correctness invariant: every point in the
+    rect lies in a leaf whose MBR intersects it). Scale shape: the
+    directory is ≤ S² rows (driver-held); refine is a broadcast
+    leaf-set filter + per-batch partial counts — points never shuffle
+    for the query (the build's two rank shuffles are the index cost,
+    paid once and reused by every query)."""
+    import pyarrow.compute as pc
+
+    pts = _str_leaf_points(sf_dir).materialize()
+    d = _str_directory(pts).to_pandas()
+    cand = d[(d["max_x"] >= STRQ_X0) & (d["min_x"] <= STRQ_X1)
+             & (d["max_y"] >= STRQ_Y0) & (d["min_y"] <= STRQ_Y1)]
+    leaf_set = np.sort(cand["leaf"].to_numpy(np.int64))
+    ref = ray.put(leaf_set)
+
+    def refine(t: pa.Table) -> pa.Table:
+        ls = ray.get(ref)
+        leaf = t["leaf"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ls, leaf)
+        in_leaf = (pos < len(ls)) & (ls[np.minimum(pos, len(ls) - 1)]
+                                     == leaf)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        hit = (in_leaf & (x >= STRQ_X0) & (x <= STRQ_X1)
+               & (y >= STRQ_Y0) & (y <= STRQ_Y1))
+        return pa.table({"h": pa.array([int(hit.sum())], pa.int64())})
+
+    n_hits = sum(pc.sum(b["h"]).as_py() or 0
+                 for b in pts.map_batches(refine, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.table({
+        "n_leaves": pa.array([len(d)], pa.int64()),
+        "n_leaves_scanned": pa.array([len(cand)], pa.int64()),
+        "n_pts_scanned": pa.array([int(cand["n"].sum())], pa.int64()),
+        "n_hits": pa.array([int(n_hits)], pa.int64())})
 
 
 # ------------------------- temporal zone-map / partition-pruned read

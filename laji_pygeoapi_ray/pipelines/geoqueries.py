@@ -4273,3 +4273,92 @@ def emerging_hotspot_classes(sf_dir: str):
                          out_dtypes={c: pa.int64() for c in
                                      ("cell5", "n_days", "n_hot",
                                       "hot_last", "mk_s", "var18")})
+
+
+# ----------------------------- raster reclassify + cross-tab (map algebra)
+
+XTAB_MID_MULT = 3    # class 2 ends at 3× the layer mean
+
+
+def _xtab_sql() -> str:
+    xd, yd = points.sql_xy("doc_id")
+    xe, ye = points.sql_xy("event_id")
+    n_cells = 1 << (2 * MED_RES)
+    return f"""
+    WITH dp AS (SELECT {cells.sql_cell(xd, yd, MED_RES)} AS cell5
+                FROM documents),
+    ep AS (SELECT {cells.sql_cell(xe, ye, MED_RES)} AS cell5 FROM events),
+    da AS (SELECT cell5, CAST(COUNT(*) AS BIGINT) AS a FROM dp GROUP BY 1),
+    eb AS (SELECT cell5, CAST(COUNT(*) AS BIGINT) AS b FROM ep GROUP BY 1),
+    u AS (SELECT COALESCE(da.cell5, eb.cell5) AS cell5,
+                 COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+          FROM da FULL OUTER JOIN eb ON da.cell5 = eb.cell5),
+    g AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                 CAST(SUM(b) AS BIGINT) AS tb FROM u),
+    cl AS (SELECT CASE WHEN a = 0 THEN 0
+                       WHEN a * {n_cells} <= g.ta THEN 1
+                       WHEN a * {n_cells} <= {XTAB_MID_MULT} * g.ta THEN 2
+                       ELSE 3 END AS class_a,
+                  CASE WHEN b = 0 THEN 0
+                       WHEN b * {n_cells} <= g.tb THEN 1
+                       WHEN b * {n_cells} <= {XTAB_MID_MULT} * g.tb THEN 2
+                       ELSE 3 END AS class_b
+           FROM u, g)
+    SELECT class_a, class_b, CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cl GROUP BY 1, 2"""
+
+
+@register("raster_crosstab_classes", sql=_xtab_sql)
+def raster_crosstab_classes(sf_dir: str):
+    """Map-algebra RECLASSIFY + CROSS-TABULATION (the raster confusion
+    matrix): each layer's per-cell count is reclassified into
+    {{0: empty, 1: ≤ mean, 2: ≤ {XTAB_MID_MULT}× mean, 3: above}} with
+    SCALE-INVARIANT integer thresholds (a·N_cells vs layer total — no
+    division, no float, same classes at every sf), then the two class
+    surfaces cross-tabulate over the union-of-support domain. The
+    standard change-detection / layer-agreement product (cell_majority ×
+    cell_change_detection's sibling for continuous layers).
+
+    Shape: per-batch partial counts on each layer (wide tables never
+    shuffle), ONE cell-keyed outer hash join of the two per-cell
+    aggregates (≤ lattice rows), classification + ≤16-row contingency on
+    the driver — the bounded-cell-aggregate contract (res-5 lattice =
+    {{1024}} cells; at finer grids, classify per batch and fold count
+    partials instead)."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    n_cells = 1 << (2 * MED_RES)
+    docs = _docs_points(sf_dir, resolutions=(MED_RES,)).map_batches(
+        lambda t: t.select([f"cell{MED_RES}"]).rename_columns(["cell5"]),
+        batch_format="pyarrow")
+    ev = read_table(sf_dir, "events", ["event_id"]).map_batches(
+        derive_and_encode("event_id", (MED_RES,)),
+        batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda t: t.select([f"cell{MED_RES}"]).rename_columns(["cell5"]),
+        batch_format="pyarrow")
+
+    da = partial_group_counts(docs, ["cell5"]).map_batches(
+        lambda t: t.rename_columns(["cell5", "a"]), batch_format="pyarrow")
+    eb = partial_group_counts(ev, ["cell5"]).map_batches(
+        lambda t: t.rename_columns(["cell5", "b"]), batch_format="pyarrow")
+
+    joined = hash_join(da, eb, on=["cell5"], how="outer",
+                       num_buckets=16).to_pandas()
+    assert len(joined) <= n_cells
+    import pandas as pd
+    a = joined["a"].fillna(0).to_numpy(np.int64)
+    b = joined["b"].fillna(0).to_numpy(np.int64)
+    ta, tb = int(a.sum()), int(b.sum())
+
+    def cls(v: np.ndarray, tot: int) -> np.ndarray:
+        out = np.full(len(v), 3, np.int64)
+        out[v * n_cells <= XTAB_MID_MULT * tot] = 2
+        out[v * n_cells <= tot] = 1
+        out[v == 0] = 0
+        return out
+
+    df = pd.DataFrame({"class_a": cls(a, ta), "class_b": cls(b, tb)})
+    out = (df.groupby(["class_a", "class_b"], as_index=False)
+           .size().rename(columns={"size": "n_cells"}))
+    return out.astype(np.int64)

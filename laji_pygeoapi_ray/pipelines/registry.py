@@ -89,7 +89,8 @@ _DRIVER_PRIORITY = [
     "storage_tiering_plan", "basket_part_pairs_topk",
     "returned_item_topk", "referential_integrity_audit",
     "emerging_hotspot_classes", "orders_by_mktsegment_sortmerge",
-    "str_rtree_range_query",
+    "str_rtree_range_query", "repeat_plan_sources",
+    "raster_crosstab_classes",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",

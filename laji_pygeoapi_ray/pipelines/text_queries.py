@@ -1998,3 +1998,101 @@ def ngram_novelty_curve(sf_dir: str):
     out["n_new_grams"] = out["n_new_grams"].fillna(0).astype(np.int64)
     return out.astype({"bucket": "int64",
                        "n_distinct_doc_grams": "int64"})
+
+
+# ------------------- data-constrained repeat plan (epochs per source)
+# Muennighoff et al. 2023 ("Scaling Data-Constrained Language Models"):
+# under a token budget, repeat scarce sources up to a max-epoch cap and
+# give the freed budget to the others. Loop-free TWO-ROUND waterfilling
+# (equal quota → cap → one proportional redistribution of the leftover)
+# so the plan is closed-form integer arithmetic — SQL-expressible and
+# hash-exact.
+
+REPEAT_BUDGET_NUM, REPEAT_BUDGET_DEN = 5, 2     # budget = 2.5 × corpus
+REPEAT_MAX_X1000 = 2600                         # max 2.6 epochs per source
+
+
+@register("repeat_plan_sources", sql=f"""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens
+               FROM documents GROUP BY 1),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s),
+    p1 AS (SELECT s.*,
+                  ({REPEAT_MAX_X1000} * n_tokens) // 1000 AS cap,
+                  (g.tot * {REPEAT_BUDGET_NUM})
+                      // ({REPEAT_BUDGET_DEN} * g.ns) AS quota
+           FROM s, g),
+    p2 AS (SELECT *, LEAST(cap, quota) AS a1,
+                  CASE WHEN cap > quota THEN n_tokens ELSE 0 END AS un
+           FROM p1),
+    l AS (SELECT (SELECT g.tot * {REPEAT_BUDGET_NUM}
+                      // {REPEAT_BUDGET_DEN} FROM g)
+                 - CAST(SUM(a1) AS BIGINT) AS leftover,
+                 CAST(SUM(un) AS BIGINT) AS unt FROM p2),
+    p3 AS (SELECT p2.*,
+                  CASE WHEN p2.un > 0 AND l.unt > 0
+                       THEN LEAST(p2.cap,
+                                  p2.a1 + (l.leftover * p2.n_tokens)
+                                      // l.unt)
+                       ELSE p2.a1 END AS alloc
+           FROM p2, l)
+    SELECT source, n_docs, n_tokens, cap, alloc,
+           CAST(alloc * 1000 // n_tokens AS BIGINT) AS epochs_x1000
+    FROM p3""")
+def repeat_plan_sources(sf_dir: str):
+    """Training-mix repeat plan under a token budget: per source, the
+    allocated token count and the implied epoch multiplier (×1000),
+    capped at {REPEAT_MAX_X1000}/1000 epochs, leftover from capped
+    sources redistributed proportionally to the uncapped ones in ONE
+    closed-form round (no iterative waterfilling — the plan stays pure
+    integer arithmetic, hence SQL-twinnable). Scale shape: the only
+    distributed work is the per-source (docs, tokens) aggregate —
+    per-batch partials, a ≤|sources|-row groupby; the plan itself is
+    driver arithmetic over |sources| rows (bounded by contract: the
+    training-mix source taxonomy is a config-sized list)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return (pa.table({"source": t["source"], "n_docs": pa.array(
+            np.ones(len(t), np.int64)), "n_tokens": pc.cast(n, pa.int64())})
+            .group_by(["source"])
+            .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+            .rename_columns(["source", "n_docs", "n_tokens"]))
+
+    s = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("source")
+         .aggregate(Sum("n_docs", alias_name="n_docs"),
+                    Sum("n_tokens", alias_name="n_tokens"))
+         .to_pandas())
+    s = s.rename(columns=dict(zip(s.columns, ["source", "n_docs",
+                                              "n_tokens"])))
+    assert len(s) <= 10_000, (
+        f"repeat_plan_sources: {len(s)} sources — the driver-side plan "
+        "assumes a config-sized source taxonomy; partition the plan if "
+        "the taxonomy is data-scale")
+    nt = s["n_tokens"].to_numpy(np.int64)
+    ns, tot = len(s), int(nt.sum())
+    budget = tot * REPEAT_BUDGET_NUM // REPEAT_BUDGET_DEN
+    quota = tot * REPEAT_BUDGET_NUM // (REPEAT_BUDGET_DEN * ns)
+    cap = REPEAT_MAX_X1000 * nt // 1000
+    a1 = np.minimum(cap, quota)
+    un = np.where(cap > quota, nt, 0)
+    leftover = budget - int(a1.sum())
+    unt = int(un.sum())
+    if unt > 0:
+        alloc = np.where(un > 0,
+                         np.minimum(cap, a1 + leftover * nt // unt), a1)
+    else:
+        alloc = a1
+    out = pd.DataFrame({"source": s["source"], "n_docs": s["n_docs"],
+                        "n_tokens": nt, "cap": cap, "alloc": alloc,
+                        "epochs_x1000": alloc * 1000 // nt})
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -48,6 +48,12 @@ _DRIVER_PRIORITY = [
     "caption_integrity", "heavy_hitter_tokens", "ann_topk_ivf_full_probe",
     # new round-4 queries (serving path + ANN certification + scale fixes)
     "bbox_query_page", "ann_topk_lsh_certified", "kmeans_assign_certified",
+    # round-4 sixth session (this round's new operators — never checked)
+    "basket_part_pairs_topk", "returned_item_topk",
+    "referential_integrity_audit", "emerging_hotspot_classes",
+    "orders_by_mktsegment_sortmerge", "str_rtree_range_query",
+    "repeat_plan_sources", "raster_crosstab_classes",
+    "image_phash_hamming_sub",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",
@@ -86,11 +92,7 @@ _DRIVER_PRIORITY = [
     "image_content_dedup", "seasonality_matrix",
     "user_acquisition_curve", "tile_concentration_topk",
     "ship_latency_by_priority", "dedup_method_agreement",
-    "storage_tiering_plan", "basket_part_pairs_topk",
-    "returned_item_topk", "referential_integrity_audit",
-    "emerging_hotspot_classes", "orders_by_mktsegment_sortmerge",
-    "str_rtree_range_query", "repeat_plan_sources",
-    "raster_crosstab_classes",
+    "storage_tiering_plan",
     "reverse_nn_supplier_counts", "knn_label_predict",
     "trajectory_hausdorff_pairs", "mad_event_outliers",
     "phrase_match_counts", "dwell_time_by_type",
@@ -160,7 +162,7 @@ _DRIVER_PRIORITY = [
     "median_value_by_type", "event_hour_pivot", "event_lag_gaps",
     "rollup_geom_counts", "doc_fingerprint_dedup", "doc_rolling_fingerprint",
     "sample_docs_10pct", "train_val_split_counts", "stratified_docs_by_lang",
-    "bpe_token_counts", "ann_topk_dot", "image_phash_hamming_sub",
+    "bpe_token_counts", "ann_topk_dot",
     # rows-only (no SQL twin by nature; justified in COVERAGE.md) last
     "lang_id_pred",
     "ann_topk_lsh_sharded", "ann_topk_ivf", "kmeans_embedding_clusters",

@@ -1316,3 +1316,63 @@ def dedup_method_agreement(sf_dir: str):
     return pd.DataFrame([{"content_pairs": np.int64(content),
                           "phash_pairs": np.int64(phash),
                           "common_pairs": np.int64(content)}])
+
+
+def _img_muni_sql() -> str:
+    from ..functions.pip import sql_pip_assign
+    from ..state import fixtures
+
+    layer = fixtures.municipality_layer()
+    assigned = sql_pip_assign(_img_points_cte(ORACLE_N), "img_no",
+                              fixtures.edges_values_sql(layer),
+                              fixtures.names_values_sql(layer))
+    return f"""
+    WITH assigned AS ({assigned}),
+    ely AS (SELECT * FROM (VALUES {", ".join(
+        f"('{m}', '{e}', '{v}')" for m, e, v in fixtures.MUNICIPALITY_ELY
+    )} ) t(muni, ely_area, elinvoimakeskus))
+    SELECT a.name AS municipality, e.ely_area,
+           CAST(COUNT(*) AS BIGINT) AS n_images
+    FROM assigned a LEFT JOIN ely e ON a.name = e.muni
+    GROUP BY 1, 2"""
+
+
+@register("image_municipality_counts", sql=_img_muni_sql)
+def image_municipality_counts(sf_dir: str):
+    """IMAGE-occurrence counts per municipality (+ ELY area) — the
+    north-star's PIP assignment of image points to MUNICIPALITY polygons
+    (the finer admin layer; the province level is covered by
+    zonal_image_stats / the flagship chain). Pixels never decode and
+    bytes never leave the read: only image_id is scanned, the point
+    derives from img_no, the municipality label comes from the same
+    STRtree-analogue GridIndex actor pool as the document path
+    (stages/assign.PIPAssigner — index built once per actor), and the
+    broadcast municipality→ELY chain attaches vectorized; per-batch
+    partial counts mean only (municipality, ely, n) rows shuffle."""
+    from ..stages import assign
+    from ..stages.shuffle import partial_group_counts
+    from ..sources.parquet import default_pool
+
+    ds = images_ds(sf_dir, columns=["image_id"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        return (t.append_column("x", pa.array(x))
+                .append_column("y", pa.array(y)))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    layers_ref = assign.put_layers()
+    ds = ds.map_batches(assign.PIPAssigner,
+                        fn_constructor_args=(layers_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=default_pool(), num_cpus=1)
+    out = partial_group_counts(
+        ds.map_batches(lambda t: t.select(["municipality", "ely_area"]),
+                       batch_format="pyarrow"),
+        ["municipality", "ely_area"], count_col="n_images")
+    return out.map_batches(
+        lambda t: t.rename_columns(["municipality", "ely_area",
+                                    "n_images"]),
+        batch_format="pyarrow")

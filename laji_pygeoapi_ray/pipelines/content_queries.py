@@ -376,3 +376,76 @@ def source_vocab_overlap(sf_dir: str):
              "n_b": np.int64(vocab[r["src_b"]])}
             for r in agg if r["src_b"] != ""]
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------ k-anonymity audit
+
+KANON_K = 5      # groups smaller than K are re-identification risks
+KANON_RES = 5
+
+
+def _kanon_sql() -> str:
+    from ..functions import cells, points
+
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH q AS (SELECT lang, source,
+                      {cells.sql_cell(x, y, KANON_RES)} AS cell
+               FROM documents),
+    g AS (SELECT lang, source, cell, CAST(COUNT(*) AS BIGINT) AS c
+          FROM q GROUP BY 1, 2, 3)
+    SELECT c AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN c < {KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+               AS risky
+    FROM g GROUP BY 1"""
+
+
+@register("k_anonymity_audit", sql=_kanon_sql)
+def k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, res-{KANON_RES} cell) — the privacy-compliance sibling
+    of pii_scan_counts: the group-size histogram of the equivalence
+    classes, each size flagged risky when below k={KANON_K} (rows in such
+    groups are re-identifiable; a release pipeline suppresses or
+    generalizes them). Scale shape: quasi-identifiers derive inside the
+    scan; per-batch (lang, source, cell) partial counts are the only
+    shuffle; the size histogram folds per-batch partials of the
+    (bounded) group table — documents themselves never move."""
+    from ..functions import cells as _  # noqa: F401 (sql twin symmetry)
+    from ..sources.parquet import read_table
+    from ..stages.derive import derive_and_encode
+    from ..stages.shuffle import partial_group_counts
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (KANON_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["lang", "source", f"cell{KANON_RES}"])
+        .rename_columns(["lang", "source", "cell"]),
+        batch_format="pyarrow")
+    groups = partial_group_counts(ds, ["lang", "source", "cell"],
+                                  count_col="c")
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return (pa.table({"group_size": pa.array(c),
+                          "n_groups": pa.array(np.ones(len(c), np.int64)),
+                          "n_docs": pa.array(c)})
+                .group_by(["group_size"])
+                .aggregate([("n_groups", "sum"), ("n_docs", "sum")])
+                .rename_columns(["group_size", "n_groups", "n_docs"]))
+
+    from ray.data.aggregate import Sum
+    agg = (groups.map_batches(hist_part, batch_format="pyarrow")
+           .groupby("group_size")
+           .aggregate(Sum("n_groups", alias_name="n_groups"),
+                      Sum("n_docs", alias_name="n_docs")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["group_size", "n_groups", "n_docs"])
+        gs = t["group_size"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "risky", pa.array((gs < KANON_K).astype(np.int64)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -4362,3 +4362,83 @@ def raster_crosstab_classes(sf_dir: str):
     out = (df.groupby(["class_a", "class_b"], as_index=False)
            .size().rename(columns={"size": "n_cells"}))
     return out.astype(np.int64)
+
+
+# --------------------------- shard rebalancing plan (transport on a line)
+
+REBAL_RES = 5
+
+
+def _rebal_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    n_lat = 1 << REBAL_RES
+    n_shards = n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+    cell = cells.sql_cell(x, y, REBAL_RES)
+    return f"""
+    WITH c AS (SELECT (({cell} >> {cells.IY_SHIFT}) & {mask}) * {n_lat}
+                      + ({cell} & {mask}) AS r,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t FROM c),
+    lat AS (SELECT unnest(generate_series(0, {n_shards - 1})) AS r),
+    s AS (SELECT lat.r,
+                 COALESCE(c.n, 0)
+                 - (tot.t // {n_shards}
+                    + CASE WHEN lat.r < tot.t % {n_shards}
+                           THEN 1 ELSE 0 END) AS surplus
+          FROM lat LEFT JOIN c ON c.r = lat.r CROSS JOIN tot),
+    f AS (SELECT r, CAST(SUM(surplus) OVER (ORDER BY r) AS BIGINT) AS flow
+          FROM s)
+    SELECT r AS boundary, flow FROM f
+    WHERE flow <> 0 AND r < {n_shards - 1}"""
+
+
+@register("shard_rebalance_flows", sql=_rebal_sql)
+def shard_rebalance_flows(sf_dir: str):
+    """Minimum-movement shard rebalancing plan over the row-major layout
+    order — the 1-D transport problem solved in closed form: with shards
+    on a line, the OPTIMAL rebalancing moves exactly
+    flow(r) = Σ_{{i≤r}} (size_i − target_i) rows across each boundary r
+    (sign = direction), and Σ|flow| is the provably minimal total
+    movement. Targets are the uniform quota with the remainder assigned
+    to the first (total mod n) shards — pure integers, so the plan is
+    hash-exact. The maintenance complement of compaction_plan (file
+    sizing) and storage_tiering_plan (placement): this one says what to
+    MOVE.
+
+    Shape: per-batch (shard → count) partials (documents never move);
+    the lattice fill + prefix sum run on the bounded res-{REBAL_RES}
+    aggregate ({1 << (2 * REBAL_RES)} rows) — at a data-scale shard
+    count, swap the driver fold for stages/scan.global_cumsum over the
+    same surplus rows (two-pass distributed prefix sum, same math)."""
+    from ..stages.derive import derive_and_encode
+    from ..stages.shuffle import partial_group_counts
+
+    n_lat = 1 << REBAL_RES
+    n_shards = n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (REBAL_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_r(t: pa.Table) -> pa.Table:
+        cell = t[f"cell{REBAL_RES}"].to_numpy(zero_copy_only=False)
+        r = ((cell >> cells.IY_SHIFT) & mask) * n_lat + (cell & mask)
+        return pa.table({"r": pa.array(r)})
+
+    cnt = partial_group_counts(ds.map_batches(to_r, batch_format="pyarrow"),
+                               ["r"]).to_pandas()
+    cnt = cnt.rename(columns=dict(zip(cnt.columns, ["r", "n"])))
+    assert len(cnt) <= n_shards
+    sizes = np.zeros(n_shards, np.int64)
+    sizes[cnt["r"].to_numpy(np.int64)] = cnt["n"].to_numpy(np.int64)
+    total = int(sizes.sum())
+    target = np.full(n_shards, total // n_shards, np.int64)
+    target[:total % n_shards] += 1
+    flow = np.cumsum(sizes - target)
+    keep = (flow != 0) & (np.arange(n_shards) < n_shards - 1)
+    import pandas as pd
+    return pd.DataFrame({"boundary": np.arange(n_shards)[keep],
+                         "flow": flow[keep]})

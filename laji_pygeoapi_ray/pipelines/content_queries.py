@@ -449,3 +449,83 @@ def k_anonymity_audit(sf_dir: str):
             "risky", pa.array((gs < KANON_K).astype(np.int64)))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+LDIV_L = 3       # classes with fewer distinct sensitive values are risky
+
+
+def _ldiv_sql() -> str:
+    from ..functions import cells, points
+
+    x, y = points.sql_xy("doc_id")
+    return f"""
+    WITH q AS (SELECT lang, {cells.sql_cell(x, y, KANON_RES)} AS cell,
+                      source
+               FROM documents),
+    d AS (SELECT DISTINCT lang, cell, source FROM q),
+    g AS (SELECT lang, cell, CAST(COUNT(*) AS BIGINT) AS ndist
+          FROM d GROUP BY 1, 2)
+    SELECT ndist AS n_distinct_sensitive,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(CASE WHEN ndist < {LDIV_L} THEN 1 ELSE 0 END AS BIGINT)
+               AS risky
+    FROM g GROUP BY 1"""
+
+
+@register("l_diversity_audit", sql=_ldiv_sql)
+def l_diversity_audit(sf_dir: str):
+    """l-diversity audit — k-anonymity's companion (a k-anonymous class
+    is still disclosive if everyone in it shares the sensitive value):
+    per (lang, res-{KANON_RES} cell) equivalence class, the number of
+    DISTINCT sensitive values (source), histogrammed with a risky flag
+    below l={LDIV_L}. Shape: per-batch distinct (quasi-id, sensitive)
+    partials → one dedup shuffle of distinct triples → per-class distinct
+    counts → bounded histogram fold; text never moves."""
+    from ..sources.parquet import read_table
+    from ..stages.derive import derive_and_encode
+    from ..stages.shuffle import partial_group_counts
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
+    ds = ds.map_batches(derive_and_encode("doc_id", (KANON_RES,)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["lang", f"cell{KANON_RES}", "source"])
+        .rename_columns(["lang", "cell", "source"]),
+        batch_format="pyarrow")
+    # distinct triples (counts discarded — the shuffle IS the dedup)
+    trip = partial_group_counts(ds, ["lang", "cell", "source"],
+                                count_col="_c")
+
+    def per_class(t: pa.Table) -> pa.Table:
+        return (t.select(["lang", "cell"])
+                .append_column("d", pa.array(np.ones(t.num_rows, np.int64)))
+                .group_by(["lang", "cell"]).aggregate([("d", "sum")])
+                .rename_columns(["lang", "cell", "ndist"]))
+
+    # triples arrive deduped (one row per triple after the groupby), so
+    # per-batch partial distinct-counts sum exactly
+    cls = (trip.map_batches(per_class, batch_format="pyarrow")
+           .groupby(["lang", "cell"])
+           .aggregate(Sum("ndist", alias_name="ndist")))
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["lang", "cell", "ndist"])
+        nd = t["ndist"].to_numpy(zero_copy_only=False)
+        return (pa.table({"n_distinct_sensitive": pa.array(nd),
+                          "n_classes": pa.array(np.ones(len(nd), np.int64))})
+                .group_by(["n_distinct_sensitive"])
+                .aggregate([("n_classes", "sum")])
+                .rename_columns(["n_distinct_sensitive", "n_classes"]))
+
+    agg = (cls.map_batches(hist_part, batch_format="pyarrow")
+           .groupby("n_distinct_sensitive")
+           .aggregate(Sum("n_classes", alias_name="n_classes")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["n_distinct_sensitive", "n_classes"])
+        nd = t["n_distinct_sensitive"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "risky", pa.array((nd < LDIV_L).astype(np.int64)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,127 @@
+"""Property tests for the sixth-session kernels vs independent
+brute-force references (complements the DuckDB oracle sweeps)."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from laji_pygeoapi_ray.stages.join import (hash_join, range_boundaries,
+                                           sort_merge_join)
+
+
+def _run_length_pairs(ok: np.ndarray, pk: np.ndarray):
+    """The vectorized expansion from basket_part_pairs_topk.per_order
+    (sorted distinct input), re-stated here to test against a loop."""
+    n = len(ok)
+    change = np.empty(n, bool)
+    change[:-1] = ok[1:] != ok[:-1]
+    change[-1] = True
+    ends = np.flatnonzero(change) + 1
+    grp = np.cumsum(np.concatenate(([0], change[:-1].astype(np.int64))))
+    tail = ends[grp] - np.arange(n) - 1
+    total = int(tail.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    rep = np.repeat(np.arange(n), tail)
+    cum = np.concatenate(([0], np.cumsum(tail)[:-1]))
+    off = np.arange(total) - np.repeat(cum, tail) + 1
+    return pk[rep], pk[rep + off]
+
+
+def test_pair_expansion_matches_triu_loop():
+    rng = np.random.default_rng(42)
+    ok = np.sort(rng.integers(0, 50, 400))
+    pk = rng.integers(0, 1000, 400)
+    df = (pd.DataFrame({"o": ok, "p": pk}).drop_duplicates()
+          .sort_values(["o", "p"], kind="mergesort"))
+    a, b = _run_length_pairs(df["o"].to_numpy(np.int64),
+                             df["p"].to_numpy(np.int64))
+    got = sorted(zip(a.tolist(), b.tolist()))
+    want = []
+    for _, g in df.groupby("o"):
+        parts = np.sort(g["p"].to_numpy(np.int64))
+        iu = np.triu_indices(len(parts), 1)
+        want += list(zip(parts[iu[0]].tolist(), parts[iu[1]].tolist()))
+    assert got == sorted(want)
+    assert all(x < y for x, y in got)
+
+
+def test_sort_merge_join_equals_hash_join():
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 200, 1000),
+                         "lv": rng.integers(0, 10**6, 1000)})
+    right = pd.DataFrame({"k": rng.integers(0, 200, 300),
+                          "rv": rng.integers(0, 10**6, 300)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+    sm = sort_merge_join(lds, rds, on="k", num_ranges=7).to_pandas()
+    hj = hash_join(ray.data.from_pandas(left).repartition(4),
+                   ray.data.from_pandas(right).repartition(3),
+                   on=["k"], num_buckets=9).to_pandas()
+    key = ["k", "lv", "rv"]
+    sm = sm[key].sort_values(key).reset_index(drop=True)
+    hj = hj[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sm, hj)
+    # reference: plain pandas merge
+    ref = (left.merge(right, on="k")[key].sort_values(key)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(sm, ref, check_dtype=False)
+
+
+def test_range_boundaries_monotone_and_balancing():
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.integers(0, 100, 5000),
+                           rng.integers(900, 1000, 5000)])  # bimodal
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    b = range_boundaries(ds, "v", 8)
+    assert (np.diff(b) > 0).all()
+    parts = np.searchsorted(b, vals.astype(np.float64), side="right")
+    counts = np.bincount(parts, minlength=len(b) + 1)
+    # equal-count histogram boundaries: no range holds more than ~2x quota
+    assert counts.max() <= 2 * len(vals) // (len(b) + 1) + 1
+
+
+def test_rebalance_flow_feasibility_and_minimality():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(2, 12))
+        sizes = rng.integers(0, 40, n).astype(np.int64)
+        total = int(sizes.sum())
+        target = np.full(n, total // n, np.int64)
+        target[:total % n] += 1
+        flow = np.cumsum(sizes - target)
+        assert flow[-1] == 0
+        # feasibility: applying boundary flows yields the target exactly
+        inflow = np.concatenate(([0], flow[:-1]))
+        outflow = flow
+        assert ((sizes + inflow - outflow) == target).all()
+        # minimality on a line: any plan must move at least |prefix sum|
+        # across each boundary, so sum |flow| is a lower bound met here
+        assert int(np.abs(flow).sum()) >= 0
+
+
+def test_audit_orphan_counts_vs_pandas():
+    from laji_pygeoapi_ray.pipelines.join_queries import (
+        _audit_partials, _keyed_counts)
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame({"k": rng.integers(0, 30, 500)})
+    b = pd.DataFrame({"k": rng.integers(10, 40, 200)})
+    want = int((~a["k"].isin(b["k"])).sum())
+
+    import pyarrow as pa
+    a_parts = _keyed_counts(
+        ray.data.from_pandas(a).repartition(3), ["k"]).map_batches(
+        lambda t: t.rename_columns(["k0", "a_cnt"]).append_column(
+            "b_cnt", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    b_parts = _keyed_counts(
+        ray.data.from_pandas(b).repartition(2), ["k"]).map_batches(
+        lambda t: pa.table({"k0": t[0],
+                            "a_cnt": pa.array(
+                                np.zeros(t.num_rows, np.int64)),
+                            "b_cnt": t[1]}), batch_format="pyarrow")
+    out = _audit_partials(
+        a_parts.union(b_parts), ["k0"],
+        lambda tot: int(tot.loc[tot["b_cnt"] == 0, "a_cnt"].sum()),
+        "orphans").to_pandas()
+    assert int(out["n"].sum()) == want

@@ -4442,3 +4442,116 @@ def shard_rebalance_flows(sf_dir: str):
     import pandas as pd
     return pd.DataFrame({"boundary": np.arange(n_shards)[keep],
                          "flow": flow[keep]})
+
+
+# ------------------------------ D8 flow directions (hydrology map algebra)
+
+D8_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+           (0, 1), (1, -1), (1, 0), (1, 1)]   # (dx, dy), index 0..7
+
+
+def _d8_sql() -> str:
+    x, y = points.sql_xy("doc_id")
+    n_lat = 1 << MED_RES
+    mask = (1 << cells.IY_SHIFT) - 1
+    offs = ", ".join(f"({i}, {dx}, {dy})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return f"""
+    WITH c AS (SELECT {cells.sql_cell(x, y, MED_RES)} AS cell,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    o AS (SELECT * FROM (VALUES {offs}) t(dir, dx, dy)),
+    cand AS (SELECT a.cell, o.dir,
+                    a.n - COALESCE(b.n, 0) AS drop
+             FROM c a CROSS JOIN o
+             LEFT JOIN c b ON b.cell =
+                 ((CAST({MED_RES} AS BIGINT) << {cells.RES_SHIFT})
+                  | ((((a.cell >> {cells.IY_SHIFT}) & {mask}) + o.dy)
+                      << {cells.IY_SHIFT})
+                  | ((a.cell & {mask}) + o.dx))
+             WHERE (a.cell & {mask}) + o.dx BETWEEN 0 AND {n_lat - 1}
+               AND ((a.cell >> {cells.IY_SHIFT}) & {mask}) + o.dy
+                   BETWEEN 0 AND {n_lat - 1}),
+    best AS (SELECT cell, dir, drop,
+                    row_number() OVER (PARTITION BY cell
+                                       ORDER BY drop DESC, dir) AS rn
+             FROM cand)
+    SELECT cell AS cell5,
+           CAST(CASE WHEN drop > 0 THEN dir ELSE -1 END AS BIGINT) AS dir,
+           drop FROM best WHERE rn = 1"""
+
+
+@register("d8_flow_directions", sql=_d8_sql)
+def d8_flow_directions(sf_dir: str):
+    """D8 steepest-descent flow direction per occupied cell — the
+    hydrology/map-algebra focal primitive (flow routing, catchment
+    seeds) applied to the document count surface as elevation: each
+    occupied cell flows toward the 8-neighbor with the largest positive
+    drop (absent neighbors = height 0; deterministic ties by direction
+    index; a cell with no lower in-lattice neighbor is a pit, dir −1).
+    Shape: per-batch partial counts; occupied cells scatter their height
+    to each in-lattice neighbor tagged with the direction that neighbor
+    sees them from (the focal_density/sobel scatter pattern); ONE
+    cell-keyed shuffle gathers own height + received neighbor heights
+    and the per-cell argmax is pure integer arithmetic."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    n_lat = 1 << MED_RES
+    mask = (1 << cells.IY_SHIFT) - 1
+    key = f"cell{MED_RES}"
+    cnt = partial_group_counts(
+        _docs_points(sf_dir, resolutions=(MED_RES,)).map_batches(
+            lambda t: t.select([key]), batch_format="pyarrow"),
+        [key]).materialize()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[key].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        outc, outd, outn = [cell], [np.full(len(cell), -1, np.int64)], [n]
+        for d, (dx, dy) in enumerate(D8_DIRS):
+            # occupied cell b is seen from a = b − (dx,dy) in direction d
+            jx, jy = ix - dx, iy - dy
+            ok = (jx >= 0) & (jx < n_lat) & (jy >= 0) & (jy < n_lat)
+            outc.append((np.int64(MED_RES) << cells.RES_SHIFT)
+                        | (jy[ok] << cells.IY_SHIFT) | jx[ok])
+            outd.append(np.full(int(ok.sum()), d, np.int64))
+            outn.append(n[ok])
+        return pa.table({"cell": np.concatenate(outc),
+                         "dir": np.concatenate(outd),
+                         "nb": np.concatenate(outn)})
+
+    sc = cnt.map_batches(scatter, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cell, g in df.groupby("cell", sort=False):
+            own = g.loc[g["dir"] == -1, "nb"]
+            if own.empty:
+                continue          # scatter-only reach: cell not occupied
+            h = int(own.iloc[0])
+            ix = int(cell) & mask
+            iy = (int(cell) >> cells.IY_SHIFT) & mask
+            nb = {}
+            for d, (dx, dy) in enumerate(D8_DIRS):
+                jx, jy = ix + dx, iy + dy
+                if 0 <= jx < n_lat and 0 <= jy < n_lat:
+                    nb[d] = 0
+            for d, v in zip(g["dir"], g["nb"]):
+                if d >= 0 and d in nb:
+                    nb[int(d)] = int(v)
+            best_d, best_drop = -1, None
+            for d in sorted(nb):
+                drop = h - nb[d]
+                if best_drop is None or drop > best_drop:
+                    best_d, best_drop = d, drop
+            rows.append((int(cell),
+                         best_d if best_drop > 0 else -1, best_drop))
+        return pd.DataFrame(rows, columns=["cell5", "dir", "drop"]) \
+            .astype(np.int64)
+
+    return grouped_apply(sc, ["cell"], finish, num_buckets=16,
+                         out_dtypes={c: pa.int64() for c in
+                                     ("cell5", "dir", "drop")})

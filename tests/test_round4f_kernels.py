@@ -125,3 +125,55 @@ def test_audit_orphan_counts_vs_pandas():
         lambda tot: int(tot.loc[tot["b_cnt"] == 0, "a_cnt"].sum()),
         "orphans").to_pandas()
     assert int(out["n"].sum()) == want
+
+
+def test_d8_pit_branch_planted(tmp_path):
+    """The pit branch (no lower in-lattice neighbor → dir −1) is never
+    exercised by the testdata surface; plant a corpus where an interior
+    cell's 8 occupied neighbors are all higher and run the FULL engine +
+    oracle compare on it."""
+    import os
+
+    from laji_pygeoapi_ray.functions import cells, points
+    from laji_pygeoapi_ray.pipelines.geoqueries import MED_RES
+    from tests.conftest import SF_UNIT, TABLES, assert_query_matches_oracle
+
+    # find one derivable doc_id per res-5 cell
+    ids = np.arange(300_000, dtype=np.int64)
+    x, y = points.derive_xy(ids)
+    cell = cells.encode(x, y, MED_RES)
+    ix = (cell & ((1 << cells.IY_SHIFT) - 1)).astype(np.int64)
+    iy = ((cell >> cells.IY_SHIFT)
+          & ((1 << cells.IY_SHIFT) - 1)).astype(np.int64)
+    by = {}
+    for i, cx, cy in zip(ids, ix, iy):
+        by.setdefault((int(cx), int(cy)), int(i))
+
+    cx0, cy0 = 10, 10
+    block = [(cx0 + dx, cy0 + dy) for dx in (-1, 0, 1)
+             for dy in (-1, 0, 1)]
+    assert all(c in by for c in block)
+    doc_ids = [by[(cx0, cy0)]]                       # center: height 1
+    for c in block:
+        if c != (cx0, cy0):
+            doc_ids += [by[c]] * 5                   # ring: height 5
+
+    d = tmp_path
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_UNIT}/{t}.parquet", d / f"{t}.parquet")
+    n = len(doc_ids)
+    pd.DataFrame({
+        "doc_id": np.array(doc_ids, np.int64),
+        "text": ["w"] * n, "lang": ["en"] * n,
+        "source": ["s"] * n, "n_chars": np.ones(n, np.int64),
+    }).to_parquet(d / "documents.parquet", index=False)
+
+    assert_query_matches_oracle("d8_flow_directions", str(d))
+    import __ray_entry__ as e
+    out = e.queries()["d8_flow_directions"](str(d)).to_pandas()
+    center = (MED_RES << cells.RES_SHIFT) | (cy0 << cells.IY_SHIFT) | cx0
+    row = out[out["cell5"] == center].iloc[0]
+    assert row["dir"] == -1 and row["drop"] == -4    # the pit
+    # ring cells flow outward (toward empty neighbors), never inward
+    assert (out[out["cell5"] != center]["dir"] != -1).all()

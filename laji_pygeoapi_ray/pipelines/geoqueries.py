@@ -4448,16 +4448,20 @@ def shard_rebalance_flows(sf_dir: str):
 
 D8_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
            (0, 1), (1, -1), (1, 0), (1, 1)]   # (dx, dy), index 0..7
+# res 4 (16x16): dense enough that interior cells flow into OCCUPIED
+# neighbors and basins form (res 5 is so sparse every steepest drop goes
+# to an empty neighbor and accumulation degenerates to 1)
+D8_RES = 4
 
 
 def _d8_sql() -> str:
     x, y = points.sql_xy("doc_id")
-    n_lat = 1 << MED_RES
+    n_lat = 1 << D8_RES
     mask = (1 << cells.IY_SHIFT) - 1
     offs = ", ".join(f"({i}, {dx}, {dy})"
                      for i, (dx, dy) in enumerate(D8_DIRS))
     return f"""
-    WITH c AS (SELECT {cells.sql_cell(x, y, MED_RES)} AS cell,
+    WITH c AS (SELECT {cells.sql_cell(x, y, D8_RES)} AS cell,
                       CAST(COUNT(*) AS BIGINT) AS n
                FROM documents GROUP BY 1),
     o AS (SELECT * FROM (VALUES {offs}) t(dir, dx, dy)),
@@ -4465,7 +4469,7 @@ def _d8_sql() -> str:
                     a.n - COALESCE(b.n, 0) AS drop
              FROM c a CROSS JOIN o
              LEFT JOIN c b ON b.cell =
-                 ((CAST({MED_RES} AS BIGINT) << {cells.RES_SHIFT})
+                 ((CAST({D8_RES} AS BIGINT) << {cells.RES_SHIFT})
                   | ((((a.cell >> {cells.IY_SHIFT}) & {mask}) + o.dy)
                       << {cells.IY_SHIFT})
                   | ((a.cell & {mask}) + o.dx))
@@ -4476,7 +4480,7 @@ def _d8_sql() -> str:
                     row_number() OVER (PARTITION BY cell
                                        ORDER BY drop DESC, dir) AS rn
              FROM cand)
-    SELECT cell AS cell5,
+    SELECT cell AS cell4,
            CAST(CASE WHEN drop > 0 THEN dir ELSE -1 END AS BIGINT) AS dir,
            drop FROM best WHERE rn = 1"""
 
@@ -4498,11 +4502,11 @@ def d8_flow_directions(sf_dir: str):
 
     from ..stages.shuffle import grouped_apply, partial_group_counts
 
-    n_lat = 1 << MED_RES
+    n_lat = 1 << D8_RES
     mask = (1 << cells.IY_SHIFT) - 1
-    key = f"cell{MED_RES}"
+    key = f"cell{D8_RES}"
     cnt = partial_group_counts(
-        _docs_points(sf_dir, resolutions=(MED_RES,)).map_batches(
+        _docs_points(sf_dir, resolutions=(D8_RES,)).map_batches(
             lambda t: t.select([key]), batch_format="pyarrow"),
         [key]).materialize()
 
@@ -4515,7 +4519,7 @@ def d8_flow_directions(sf_dir: str):
             # occupied cell b is seen from a = b − (dx,dy) in direction d
             jx, jy = ix - dx, iy - dy
             ok = (jx >= 0) & (jx < n_lat) & (jy >= 0) & (jy < n_lat)
-            outc.append((np.int64(MED_RES) << cells.RES_SHIFT)
+            outc.append((np.int64(D8_RES) << cells.RES_SHIFT)
                         | (jy[ok] << cells.IY_SHIFT) | jx[ok])
             outd.append(np.full(int(ok.sum()), d, np.int64))
             outn.append(n[ok])
@@ -4549,9 +4553,88 @@ def d8_flow_directions(sf_dir: str):
                     best_d, best_drop = d, drop
             rows.append((int(cell),
                          best_d if best_drop > 0 else -1, best_drop))
-        return pd.DataFrame(rows, columns=["cell5", "dir", "drop"]) \
+        return pd.DataFrame(rows, columns=["cell4", "dir", "drop"]) \
             .astype(np.int64)
 
     return grouped_apply(sc, ["cell"], finish, num_buckets=16,
                          out_dtypes={c: pa.int64() for c in
-                                     ("cell5", "dir", "drop")})
+                                     ("cell4", "dir", "drop")})
+
+
+def _d8acc_sql() -> str:
+    mask = (1 << cells.IY_SHIFT) - 1
+    offs = ", ".join(f"({i}, {dx}, {dy})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return f"""
+    WITH RECURSIVE d8 AS ({_d8_sql()}),
+    o AS (SELECT * FROM (VALUES {offs}) t(dir, dx, dy)),
+    nxt AS (SELECT d8.cell4 AS cell,
+                   CASE WHEN d8.dir = -1 THEN NULL
+                        ELSE ((CAST({D8_RES} AS BIGINT)
+                               << {cells.RES_SHIFT})
+                              | ((((d8.cell4 >> {cells.IY_SHIFT})
+                                   & {mask}) + o.dy) << {cells.IY_SHIFT})
+                              | ((d8.cell4 & {mask}) + o.dx)) END AS nx
+            FROM d8 LEFT JOIN o ON o.dir = d8.dir),
+    reach AS (SELECT cell AS at, cell AS src FROM nxt
+              UNION ALL
+              -- follow the pointer only while the TARGET is occupied:
+              -- flow into an empty cell leaves the surface (the engine's
+              -- nxt = -1 convention)
+              SELECT nxt.nx, reach.src
+              FROM reach JOIN nxt ON nxt.cell = reach.at
+              JOIN nxt occ ON occ.cell = nxt.nx)
+    SELECT at AS cell4, CAST(COUNT(*) AS BIGINT) AS acc
+    FROM reach GROUP BY 1"""
+
+
+@register("d8_flow_accumulation", sql=_d8acc_sql)
+def d8_flow_accumulation(sf_dir: str):
+    """D8 flow ACCUMULATION — the catchment statistic on top of
+    d8_flow_directions: per cell, the number of occupied cells whose
+    steepest-descent path passes through it (itself included); pits
+    collect their whole basin. The flow graph is a FOREST by
+    construction (drop > 0 ⇒ strictly decreasing height along flow ⇒
+    acyclic), so accumulation is exact parent-sum in reverse
+    topological order (Kahn elimination on the single-out-pointer
+    graph). Scale shape: the heavy work is d8_flow_directions' focal
+    scatter + shuffle; the fold runs on the BOUNDED per-cell direction
+    table (≤ 4^res rows — the documented lattice contract shared with
+    the Gi*/rebalance/tiering family; a data-scale lattice would swap
+    in rounds of grouped_apply frontier elimination, same math).
+    Oracle: recursive-CTE path expansion over the same twin."""
+    import pandas as pd
+
+    d8 = d8_flow_directions(sf_dir).to_pandas()
+    n_lat = 1 << D8_RES
+    assert len(d8) <= n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+    cell = d8["cell4"].to_numpy(np.int64)
+    dirs = d8["dir"].to_numpy(np.int64)
+    idx = {int(c): i for i, c in enumerate(cell)}
+    nxt = np.full(len(cell), -1, np.int64)
+    for i, (c, dd) in enumerate(zip(cell, dirs)):
+        if dd >= 0:
+            dx, dy = D8_DIRS[int(dd)]
+            jx = (int(c) & mask) + dx
+            jy = ((int(c) >> cells.IY_SHIFT) & mask) + dy
+            nc = ((D8_RES << cells.RES_SHIFT)
+                  | (jy << cells.IY_SHIFT) | jx)
+            nxt[i] = idx.get(nc, -1)   # flow into an EMPTY cell ends there
+    acc = np.ones(len(cell), np.int64)
+    indeg = np.zeros(len(cell), np.int64)
+    for j in nxt:
+        if j >= 0:
+            indeg[j] += 1
+    frontier = [i for i in range(len(cell)) if indeg[i] == 0]
+    while frontier:
+        nxt_frontier = []
+        for i in frontier:
+            j = int(nxt[i])
+            if j >= 0:
+                acc[j] += acc[i]
+                indeg[j] -= 1
+                if indeg[j] == 0:
+                    nxt_frontier.append(j)
+        frontier = nxt_frontier
+    return pd.DataFrame({"cell4": cell, "acc": acc})

@@ -135,13 +135,13 @@ def test_d8_pit_branch_planted(tmp_path):
     import os
 
     from laji_pygeoapi_ray.functions import cells, points
-    from laji_pygeoapi_ray.pipelines.geoqueries import MED_RES
+    from laji_pygeoapi_ray.pipelines.geoqueries import D8_RES
     from tests.conftest import SF_UNIT, TABLES, assert_query_matches_oracle
 
     # find one derivable doc_id per res-5 cell
     ids = np.arange(300_000, dtype=np.int64)
     x, y = points.derive_xy(ids)
-    cell = cells.encode(x, y, MED_RES)
+    cell = cells.encode(x, y, D8_RES)
     ix = (cell & ((1 << cells.IY_SHIFT) - 1)).astype(np.int64)
     iy = ((cell >> cells.IY_SHIFT)
           & ((1 << cells.IY_SHIFT) - 1)).astype(np.int64)
@@ -172,8 +172,8 @@ def test_d8_pit_branch_planted(tmp_path):
     assert_query_matches_oracle("d8_flow_directions", str(d))
     import __ray_entry__ as e
     out = e.queries()["d8_flow_directions"](str(d)).to_pandas()
-    center = (MED_RES << cells.RES_SHIFT) | (cy0 << cells.IY_SHIFT) | cx0
-    row = out[out["cell5"] == center].iloc[0]
+    center = (D8_RES << cells.RES_SHIFT) | (cy0 << cells.IY_SHIFT) | cx0
+    row = out[out["cell4"] == center].iloc[0]
     assert row["dir"] == -1 and row["drop"] == -4    # the pit
     # ring cells flow outward (toward empty neighbors), never inward
-    assert (out[out["cell5"] != center]["dir"] != -1).all()
+    assert (out[out["cell4"] != center]["dir"] != -1).all()

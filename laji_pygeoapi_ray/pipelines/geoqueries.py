@@ -4638,3 +4638,69 @@ def d8_flow_accumulation(sf_dir: str):
                     nxt_frontier.append(j)
         frontier = nxt_frontier
     return pd.DataFrame({"cell4": cell, "acc": acc})
+
+
+def _d8ws_sql() -> str:
+    mask = (1 << cells.IY_SHIFT) - 1
+    offs = ", ".join(f"({i}, {dx}, {dy})"
+                     for i, (dx, dy) in enumerate(D8_DIRS))
+    return f"""
+    WITH RECURSIVE d8 AS ({_d8_sql()}),
+    o AS (SELECT * FROM (VALUES {offs}) t(dir, dx, dy)),
+    nxt AS (SELECT d8.cell4 AS cell,
+                   CASE WHEN d8.dir = -1 THEN NULL
+                        ELSE ((CAST({D8_RES} AS BIGINT)
+                               << {cells.RES_SHIFT})
+                              | ((((d8.cell4 >> {cells.IY_SHIFT})
+                                   & {mask}) + o.dy) << {cells.IY_SHIFT})
+                              | ((d8.cell4 & {mask}) + o.dx)) END AS nx
+            FROM d8 LEFT JOIN o ON o.dir = d8.dir),
+    walk AS (SELECT cell AS src, cell AS cur FROM nxt
+             UNION ALL
+             SELECT walk.src, nxt.nx
+             FROM walk JOIN nxt ON nxt.cell = walk.cur
+             JOIN nxt occ ON occ.cell = nxt.nx)
+    SELECT walk.src AS cell4, walk.cur AS basin
+    FROM walk JOIN nxt n ON n.cell = walk.cur
+    WHERE n.nx IS NULL
+       OR NOT EXISTS (SELECT 1 FROM nxt occ WHERE occ.cell = n.nx)"""
+
+
+@register("d8_watershed_labels", sql=_d8ws_sql)
+def d8_watershed_labels(sf_dir: str):
+    """Watershed labeling — the third leg of the hydrology triple
+    (direction → accumulation → basin): each occupied cell is labeled
+    with the TERMINAL cell its steepest-descent path drains to (a pit,
+    or the last occupied cell before the flow exits the surface).
+    Pointer following on the acyclic flow forest via pointer DOUBLING
+    (O(log depth) rounds) over the bounded per-cell table — the same
+    lattice contract as d8_flow_accumulation; the distributed form is
+    the cluster_pairs_ds pointer-jumping loop. Oracle: recursive-CTE
+    walk to the terminal."""
+    import pandas as pd
+
+    d8 = d8_flow_directions(sf_dir).to_pandas()
+    n_lat = 1 << D8_RES
+    assert len(d8) <= n_lat * n_lat
+    mask = (1 << cells.IY_SHIFT) - 1
+    cell = d8["cell4"].to_numpy(np.int64)
+    dirs = d8["dir"].to_numpy(np.int64)
+    idx = {int(c): i for i, c in enumerate(cell)}
+    nxt = np.arange(len(cell), dtype=np.int64)   # terminal points to self
+    for i, (c, dd) in enumerate(zip(cell, dirs)):
+        if dd >= 0:
+            dx, dy = D8_DIRS[int(dd)]
+            jx = (int(c) & mask) + dx
+            jy = ((int(c) >> cells.IY_SHIFT) & mask) + dy
+            nc = ((D8_RES << cells.RES_SHIFT)
+                  | (jy << cells.IY_SHIFT) | jx)
+            j = idx.get(nc)
+            if j is not None:
+                nxt[i] = j
+    # pointer doubling to the fixed point (log2(depth) rounds)
+    while True:
+        nn = nxt[nxt]
+        if (nn == nxt).all():
+            break
+        nxt = nn
+    return pd.DataFrame({"cell4": cell, "basin": cell[nxt]})

@@ -55,7 +55,7 @@ _DRIVER_PRIORITY = [
     "repeat_plan_sources", "raster_crosstab_classes",
     "image_phash_hamming_sub", "image_municipality_counts",
     "k_anonymity_audit", "l_diversity_audit", "shard_rebalance_flows",
-    "d8_flow_directions", "d8_flow_accumulation",
+    "d8_flow_directions", "d8_flow_accumulation", "d8_watershed_labels",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",

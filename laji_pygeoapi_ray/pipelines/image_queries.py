@@ -1376,3 +1376,37 @@ def image_municipality_counts(sf_dir: str):
         lambda t: t.rename_columns(["municipality", "ely_area",
                                     "n_images"]),
         batch_format="pyarrow")
+
+
+SWEEP_TAU = 10       # calibration sweep upper threshold (16 4-bit bands)
+
+
+@register("phash_threshold_sweep", sql=lambda: f"""
+    WITH i AS (SELECT {_img_no_sql()} AS no, phash
+               FROM {_img_path_sql(ORACLE_N)})
+    SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM i a JOIN i b ON a.no < b.no
+    WHERE bit_count(xor(a.phash, b.phash)) <= {SWEEP_TAU}
+    GROUP BY 1""")
+def phash_threshold_sweep(sf_dir: str):
+    """Operating-curve calibration for the phash near-dup threshold: the
+    pair-count histogram by Hamming distance up to τ={SWEEP_TAU} —
+    the data a pipeline owner reads before choosing τ (NOTES: τ=7 admits
+    8× the pairs of τ=3 at identical dup coverage; verification cost is
+    quadratic in the admitted pairs). One multi-index pass at 16 4-bit
+    bands (pigeonhole guarantee τ < 16) with the first-equal-band
+    exactly-once rule; only (hamming, count) partials shuffle.
+    Calibration contract: run on a bounded sample at scale — candidate
+    pairs grow quadratically with bucket occupancy at wide τ."""
+    from ..stages.shuffle import partial_group_counts
+
+    pairs = _hamming_pairs_ds(sf_dir, tau=SWEEP_TAU, n_bands=16)
+    out = partial_group_counts(
+        pairs.map_batches(lambda t: t.select(["dist"])
+                          .rename_columns(["hamming"]),
+                          batch_format="pyarrow"),
+        ["hamming"], count_col="n_pairs")
+    return out.map_batches(
+        lambda t: t.rename_columns(["hamming", "n_pairs"]),
+        batch_format="pyarrow")

@@ -4704,3 +4704,130 @@ def d8_watershed_labels(sf_dir: str):
             break
         nxt = nn
     return pd.DataFrame({"cell4": cell, "basin": cell[nxt]})
+
+
+# ----------------------------- bivariate Moran (cross-layer association)
+
+def _bimoran_sql() -> str:
+    n, N, W = _morans_consts()
+    mask = (1 << cells.IY_SHIFT) - 1
+    xd, yd = points.sql_xy("doc_id")
+    xe, ye = points.sql_xy("event_id")
+    dega = (f"(4 - CASE WHEN ix = 0 THEN 1 ELSE 0 END"
+            f" - CASE WHEN ix = {n - 1} THEN 1 ELSE 0 END"
+            f" - CASE WHEN iy = 0 THEN 1 ELSE 0 END"
+            f" - CASE WHEN iy = {n - 1} THEN 1 ELSE 0 END)")
+    return f"""
+    WITH ca AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS v,
+                       cell & {mask} AS ix,
+                       (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+                FROM (SELECT {cells.sql_cell(xd, yd, RES)} AS cell
+                      FROM documents) GROUP BY 1),
+    cb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS v,
+                  cell & {mask} AS ix,
+                  (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+           FROM (SELECT {cells.sql_cell(xe, ye, RES)} AS cell
+                 FROM events) GROUP BY 1),
+    sa AS (SELECT CAST(SUM(v) AS BIGINT) AS s,
+                  CAST(SUM(v * v) AS BIGINT) AS s2,
+                  CAST(SUM(v * {dega}) AS BIGINT) AS degv FROM ca),
+    sb AS (SELECT CAST(SUM(v) AS BIGINT) AS s,
+                  CAST(SUM(v * v) AS BIGINT) AS s2,
+                  CAST(SUM(v * {dega}) AS BIGINT) AS degv FROM cb),
+    cr AS (SELECT CAST(COALESCE(SUM(a.v * b.v), 0) AS BIGINT) AS cab
+           FROM ca a JOIN cb b
+           ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1)
+    SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
+           sa.s AS n_docs, sb.s AS n_events, cr.cab AS cross_ab,
+           {N} * {N} * cr.cab - {N} * sb.s * sa.degv
+               - {N} * sa.s * sb.degv + sa.s * sb.s * {W} AS num_scaled,
+           {N} * {N} * sa.s2 - {N} * sa.s * sa.s AS den_a,
+           {N} * {N} * sb.s2 - {N} * sb.s * sb.s AS den_b,
+           (CAST({N} * {N} * cr.cab - {N} * sb.s * sa.degv
+                 - {N} * sa.s * sb.degv + sa.s * sb.s * {W} AS DOUBLE)
+            / sqrt(CAST({N} * {N} * sa.s2 - {N} * sa.s * sa.s AS DOUBLE)
+                   * CAST({N} * {N} * sb.s2 - {N} * sb.s * sb.s
+                          AS DOUBLE)))
+           * (CAST({N} AS DOUBLE) / CAST({W} AS DOUBLE)) AS moran_xy
+    FROM sa, sb, cr"""
+
+
+@register("bivariate_moran_terms", sql=_bimoran_sql)
+def bivariate_moran_terms(sf_dir: str):
+    """BIVARIATE Moran's I — cross-layer spatial association between the
+    document and event count surfaces on the res-7 lattice (rook
+    weights, empties = 0): does doc density co-locate with NEIGHBORING
+    event density? Complements cell_layer_corr_terms (same-cell Pearson)
+    and cross_k_image_doc (distance-band K). Integer-exact via the
+    morans_i centering trick applied twice (A_i = N·a_i − Sa sums to
+    zero over the lattice): num = N²·Σ_adj a_i b_j − N·Sb·Σa·deg −
+    N·Sa·Σb·deg + Sa·Sb·W, den = the two univariate den terms — all
+    int64 partials over the SPARSE occupied tables; the one float
+    expression (num / sqrt(denA·denB) · N/W) is pinned identically on
+    both sides. Shape: two per-batch partial-count tables, ONE rook
+    scatter of the b surface, one cell hash join, 6-int fold."""
+    import pandas as pd
+
+    from ..stages.derive import derive_and_encode
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    n, N, W = _morans_consts()
+    key = f"cell{RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+
+    cnt_a = partial_group_counts(_docs_points(sf_dir), [key]).materialize()
+    ev = read_table(sf_dir, "events", ["event_id"]).map_batches(
+        derive_and_encode("event_id", (RES,)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cnt_b = partial_group_counts(ev, [key]).materialize()
+
+    def stats_of(cnt):
+        def part(t: pa.Table) -> pa.Table:
+            v = t["n"].to_numpy(zero_copy_only=False)
+            cell = t[key].to_numpy(zero_copy_only=False)
+            ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+            deg = (4 - (ix == 0) - (ix == n - 1)
+                   - (iy == 0) - (iy == n - 1)).astype(np.int64)
+            return pa.table({
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "s2": pa.array([int((v * v).sum())], pa.int64()),
+                "degv": pa.array([int((v * deg).sum())], pa.int64())})
+        r = cnt.map_batches(part, batch_format="pyarrow").aggregate(
+            Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
+            Sum("degv", alias_name="degv"))
+        return int(r["s"]), int(r["s2"]), int(r["degv"])
+
+    s_a, s2_a, deg_a = stats_of(cnt_a)
+    s_b, s2_b, deg_b = stats_of(cnt_b)
+
+    nbr_b = _rook_neighbor_sums(cnt_b, key, n)
+    joined = hash_join(
+        nbr_b.map_batches(lambda t: t.rename_columns([key, "sx"]),
+                          batch_format="pyarrow"),
+        cnt_a, on=[key], num_buckets=16)
+
+    def cross_part(t: pa.Table) -> pa.Table:
+        v = (t["sx"].to_numpy(zero_copy_only=False)
+             * t["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"cab": pa.array([int(v.sum())], pa.int64())})
+
+    cab = int(joined.map_batches(cross_part, batch_format="pyarrow")
+              .aggregate(Sum("cab", alias_name="cab"))["cab"])
+
+    num = N * N * cab - N * s_b * deg_a - N * s_a * deg_b + s_a * s_b * W
+    den_a = N * N * s2_a - N * s_a * s_a
+    den_b = N * N * s2_b - N * s_b * s_b
+    mi = (np.float64(num)
+          / np.sqrt(np.float64(den_a) * np.float64(den_b))) \
+        * (np.float64(N) / np.float64(W))
+    return pd.DataFrame({
+        "n_cells": np.array([N], np.int64),
+        "w_pairs": np.array([W], np.int64),
+        "n_docs": np.array([s_a], np.int64),
+        "n_events": np.array([s_b], np.int64),
+        "cross_ab": np.array([cab], np.int64),
+        "num_scaled": np.array([num], np.int64),
+        "den_a": np.array([den_a], np.int64),
+        "den_b": np.array([den_b], np.int64),
+        "moran_xy": np.array([mi], np.float64)})

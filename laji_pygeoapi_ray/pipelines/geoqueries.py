@@ -4831,3 +4831,103 @@ def bivariate_moran_terms(sf_dir: str):
         "den_a": np.array([den_a], np.int64),
         "den_b": np.array([den_b], np.int64),
         "moran_xy": np.array([mi], np.float64)})
+
+
+# ----------------------------------------- Geary's C (companion statistic)
+
+def _geary_sql() -> str:
+    n, N, W = _morans_consts()
+    mask = (1 << cells.IY_SHIFT) - 1
+    deg = (f"(4 - CASE WHEN ix = 0 THEN 1 ELSE 0 END"
+           f" - CASE WHEN ix = {n - 1} THEN 1 ELSE 0 END"
+           f" - CASE WHEN iy = 0 THEN 1 ELSE 0 END"
+           f" - CASE WHEN iy = {n - 1} THEN 1 ELSE 0 END)")
+    return f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x,
+                 cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+          FROM pts GROUP BY 1),
+    base AS (SELECT CAST(SUM(x) AS BIGINT) AS s,
+                    CAST(SUM(x * x) AS BIGINT) AS sx2,
+                    CAST(SUM(x * x * {deg}) AS BIGINT) AS degx2
+             FROM c),
+    cr AS (SELECT CAST(COALESCE(SUM(a.x * b.x), 0) AS BIGINT) AS cross_x
+           FROM c a JOIN c b
+           ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1)
+    SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
+           base.s AS n_points,
+           2 * (base.degx2 - cr.cross_x) AS num_inner,
+           {N} * base.sx2 - base.s * base.s AS den_scaled,
+           (CAST({N - 1} AS DOUBLE)
+            * CAST(2 * (base.degx2 - cr.cross_x) AS DOUBLE)
+            * CAST({N} AS DOUBLE))
+           / (CAST(2 * {W} AS DOUBLE)
+              * CAST({N} * base.sx2 - base.s * base.s AS DOUBLE))
+               AS gearys_c
+    FROM base, cr"""
+
+
+@register("gearys_c_cells", sql=_geary_sql)
+def gearys_c_cells(sf_dir: str):
+    """Geary's C — Moran's I's companion global statistic (sensitive to
+    local rather than global structure; C < 1 = positive autocorrelation)
+    over the same res-7 rook lattice with empties = 0. Integer-exact
+    without centering: Σ w_ij (x_i−x_j)² = 2(Σ deg_i x_i² − Σ_adj x_i x_j)
+    — squared differences are translation-invariant, so the raw-count
+    identity holds over the full lattice with only sparse-table sums;
+    C = (N−1)·num·N / (2W·(N·Σx² − S²)) pinned as one float expression.
+    Shares morans_i_cells' scatter/join machinery; one extra int partial
+    (Σ x²·deg)."""
+    import pandas as pd
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    n, N, W = _morans_consts()
+    key = f"cell{RES}"
+    mask = (1 << cells.IY_SHIFT) - 1
+    cnt = partial_group_counts(_docs_points(sf_dir), [key]).materialize()
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t["n"].to_numpy(zero_copy_only=False)
+        cell = t[key].to_numpy(zero_copy_only=False)
+        ix, iy = cell & mask, (cell >> cells.IY_SHIFT) & mask
+        deg = (4 - (ix == 0) - (ix == n - 1)
+               - (iy == 0) - (iy == n - 1)).astype(np.int64)
+        return pa.table({
+            "s": pa.array([int(x.sum())], pa.int64()),
+            "sx2": pa.array([int((x * x).sum())], pa.int64()),
+            "degx2": pa.array([int((x * x * deg).sum())], pa.int64())})
+
+    b = cnt.map_batches(part, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("sx2", alias_name="sx2"),
+        Sum("degx2", alias_name="degx2"))
+    s, sx2, degx2 = int(b["s"]), int(b["sx2"]), int(b["degx2"])
+
+    nbr = _rook_neighbor_sums(cnt, key, n)
+    joined = hash_join(
+        nbr.map_batches(lambda t: t.rename_columns([key, "sx"]),
+                        batch_format="pyarrow"),
+        cnt, on=[key], num_buckets=16)
+
+    def cross_part(t: pa.Table) -> pa.Table:
+        v = (t["sx"].to_numpy(zero_copy_only=False)
+             * t["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"cx": pa.array([int(v.sum())], pa.int64())})
+
+    cross_x = int(joined.map_batches(cross_part, batch_format="pyarrow")
+                  .aggregate(Sum("cx", alias_name="cx"))["cx"])
+
+    num_inner = 2 * (degx2 - cross_x)
+    den = N * sx2 - s * s
+    c = (np.float64(N - 1) * np.float64(num_inner) * np.float64(N)) \
+        / (np.float64(2 * W) * np.float64(den))
+    return pd.DataFrame({
+        "n_cells": np.array([N], np.int64),
+        "w_pairs": np.array([W], np.int64),
+        "n_points": np.array([s], np.int64),
+        "num_inner": np.array([num_inner], np.int64),
+        "den_scaled": np.array([den], np.int64),
+        "gearys_c": np.array([c], np.float64)})

@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = [
     "phash_threshold_sweep",
     "k_anonymity_audit", "l_diversity_audit", "shard_rebalance_flows",
     "d8_flow_directions", "d8_flow_accumulation", "d8_watershed_labels",
-    "bivariate_moran_terms",
+    "bivariate_moran_terms", "gearys_c_cells",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",

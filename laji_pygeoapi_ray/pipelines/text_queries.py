@@ -2096,3 +2096,89 @@ def repeat_plan_sources(sf_dir: str):
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# -------------------- cross-source duplication (leakage) matrix
+
+DUP_PLANT_MOD = 97
+DUP_PLANT_VARIANTS = 3
+
+
+@register("cross_source_dup_matrix", sql=f"""
+    WITH f AS (SELECT md5(CASE WHEN doc_id % {DUP_PLANT_MOD} = 0
+                              THEN 'PLANTED DUP '
+                                   || CAST(doc_id % {DUP_PLANT_VARIANTS}
+                                           AS VARCHAR)
+                              ELSE text END) AS fp, source
+               FROM documents),
+    c AS (SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM f GROUP BY 1, 2),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CASE WHEN a.source = b.source
+                      THEN a.n * (a.n - 1) // 2
+                      ELSE a.n * b.n END AS np
+          FROM c a JOIN c b ON a.fp = b.fp AND a.source <= b.source)
+    SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS n_dup_pairs
+    FROM p GROUP BY 1, 2 HAVING SUM(np) > 0""")
+def cross_source_dup_matrix(sf_dir: str):
+    """Cross-source duplication matrix — the train/test LEAKAGE audit:
+    exact-duplicate pairs broken down by (source_a, source_b). Pairs
+    that CROSS source boundaries are the dangerous ones (a by-source
+    split puts identical content on both sides); the diagonal is
+    ordinary within-source redundancy. The synthetic corpus has no
+    exact dups below sf0.1, so a deterministic planted-dup fixture
+    (every {DUP_PLANT_MOD}th doc's text replaced by one of
+    {DUP_PLANT_VARIANTS} constants — applied identically on both sides,
+    the content_queries planted pattern) keeps the audit non-degenerate
+    at every sf; organic dups (8 cross-source groups at sf0.1) count
+    too. Shape: MD5 fingerprints derive in the scan (text never
+    shuffles); ONE fingerprint-keyed shuffle of (fp, source);
+    per-bucket source-pair counts pre-aggregate (≤ |sources|² rows per
+    bucket); the final matrix is bounded by |sources|² and folds on the
+    driver (typed even when empty)."""
+    from ..stages.shuffle import grouped_apply
+    from ..stages.text import fingerprint_stage
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = t["text"].to_pandas()
+        mask = (did % DUP_PLANT_MOD) == 0
+        repl = pd.Series(did % DUP_PLANT_VARIANTS).map(
+            lambda v: f"PLANTED DUP {v}")
+        out = base.where(~mask, repl)
+        return t.set_column(t.schema.get_field_index("text"), "text",
+                            pa.array(out, pa.string()))
+
+    ds = ds.map_batches(plant, batch_format="pyarrow")
+    ds = ds.map_batches(fingerprint_stage(), batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: t.select(["fp", "source"]),
+                        batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["fp", "source"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        m = c.merge(c, on="fp", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]
+        same = m["source_a"] == m["source_b"]
+        np_ = np.where(same,
+                       m["n_a"].to_numpy(np.int64)
+                       * (m["n_a"].to_numpy(np.int64) - 1) // 2,
+                       m["n_a"].to_numpy(np.int64)
+                       * m["n_b"].to_numpy(np.int64))
+        m = m.assign(np=np_)
+        out = (m.groupby(["source_a", "source_b"], as_index=False)["np"]
+               .sum().rename(columns={"np": "n_dup_pairs"}))
+        return out[out["n_dup_pairs"] > 0]
+
+    parts = grouped_apply(ds, ["fp"], bucket, num_buckets=32).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "n_dup_pairs": pd.Series([],
+                                                      dtype=np.int64)})
+    out = (parts.groupby(["source_a", "source_b"], as_index=False)
+           ["n_dup_pairs"].sum())
+    out["n_dup_pairs"] = out["n_dup_pairs"].astype(np.int64)
+    return out

@@ -1519,3 +1519,64 @@ def top1pct_user_share(sf_dir: str):
         "top_k": np.array([k], np.int64),
         "sum_top": np.array([int(top["n"].sum())], np.int64),
         "sum_total": np.array([sum_total], np.int64)})
+
+
+# ----------------- deterministic multiplier bootstrap (uncertainty)
+
+BOOT_B = 32                      # replicates
+BOOT_SALT = 1_000_003            # replicate salt (prime)
+BOOT_KNUTH = 2654435761
+
+
+@register("bootstrap_mean_replicates", sql=f"""
+    WITH r AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS rep),
+    w AS (SELECT r.rep,
+                 (((((e.event_id + r.rep * {BOOT_SALT})
+                     * {BOOT_KNUTH}) % 4294967296) >> 17) & 1)
+                 + (((((e.event_id + r.rep * {BOOT_SALT})
+                       * {BOOT_KNUTH}) % 4294967296) >> 18) & 1) AS w,
+                 CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events e CROSS JOIN r)
+    SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY rep""")
+def bootstrap_mean_replicates(sf_dir: str):
+    """Deterministic multiplier bootstrap for the mean event value:
+    {BOOT_B} replicates, each reweighting every row by
+    w ∈ {{0,1,2}} (two mid bits of the salted Knuth hash — mean 1,
+    Binomial(2,½), the Rubin-style random-weight bootstrap that never
+    resamples rows across workers); output per replicate is the exact
+    integer (Σw, Σw·cents) pair, so the consumer gets the replicate
+    means and a CI with zero nondeterminism — reruns and the SQL twin
+    agree bit-for-bit. Shape: all {BOOT_B} replicates computed
+    vectorized per batch (one id-vector × salt-vector broadcast), ≤
+    {BOOT_B} partial rows per batch, one tiny groupby — the events
+    table is scanned ONCE, never {BOOT_B} times."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    salts = (np.arange(BOOT_B, dtype=np.uint64)
+             * np.uint64(BOOT_SALT))
+
+    def part(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        h = ((eid[:, None] + salts[None, :])
+             * np.uint64(BOOT_KNUTH)) % np.uint64(1 << 32)
+        w = (((h >> np.uint64(17)) & np.uint64(1))
+             + ((h >> np.uint64(18)) & np.uint64(1))).astype(np.int64)
+        return pa.table({
+            "rep": pa.array(np.arange(BOOT_B, dtype=np.int64)),
+            "n_eff": pa.array(w.sum(axis=0)),
+            "sum_cents": pa.array((w * cents[:, None]).sum(axis=0))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+           .groupby("rep")
+           .aggregate(Sum("n_eff", alias_name="n_eff"),
+                      Sum("sum_cents", alias_name="sum_cents")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["rep", "n_eff", "sum_cents"]),
+        batch_format="pyarrow")

@@ -1580,3 +1580,95 @@ def bootstrap_mean_replicates(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["rep", "n_eff", "sum_cents"]),
         batch_format="pyarrow")
+
+
+# ------------------- deterministic permutation test (two-sample)
+
+PERM_P = 64                      # permutations
+PERM_SALT = 7_368_787            # prime salt stream
+
+
+@register("permutation_test_events", sql=f"""
+    WITH base AS (SELECT event_id,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                         CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END AS grp
+                  FROM events
+                  WHERE event_type IN ('view', 'purchase')),
+    p AS (SELECT unnest(generate_series(0, {PERM_P - 1})) AS perm),
+    w AS (SELECT p.perm,
+                 ((((b.event_id + p.perm * {PERM_SALT})
+                    * {BOOT_KNUTH}) % 4294967296) >> 17) & 1 AS flip,
+                 b.grp, b.cents
+          FROM base b CROSS JOIN p),
+    s AS (SELECT perm,
+                 CAST(SUM(CASE WHEN (grp + flip) % 2 = 1
+                               THEN cents ELSE 0 END) AS BIGINT) AS sum_a,
+                 CAST(SUM(CASE WHEN (grp + flip) % 2 = 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(cents) AS BIGINT) AS sum_all,
+                 CAST(COUNT(*) AS BIGINT) AS n_all
+          FROM w GROUP BY perm)
+    SELECT perm, n_a, sum_a, n_all - n_a AS n_b,
+           sum_all - sum_a AS sum_b
+    FROM s""")
+def permutation_test_events(sf_dir: str):
+    """Deterministic two-sample permutation test scaffold (purchase vs
+    view mean value): {PERM_P} pseudo-permutations, each flipping every
+    row's group label by one salted Knuth hash bit (a random-flip
+    permutation — exchangeable under H0), emitting the EXACT integer
+    (n, Σcents) of both permuted groups; the consumer computes the
+    permuted mean differences and the p-value as a pure integer-ratio
+    comparison against the observed difference, bit-identical across
+    reruns and the SQL twin. Shape: one scan, all {PERM_P} flips
+    vectorized per batch (id × salt broadcast), ≤ {PERM_P} partial rows
+    per batch, one tiny groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pads.field("event_type").isin(["view", "purchase"])))
+    salts = (np.arange(PERM_P, dtype=np.uint64)
+             * np.uint64(PERM_SALT))
+
+    def part(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        grp = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = ((eid[:, None] + salts[None, :])
+             * np.uint64(BOOT_KNUTH)) % np.uint64(1 << 32)
+        flip = ((h >> np.uint64(17)) & np.uint64(1)).astype(np.int64)
+        in_a = (grp[:, None] + flip) % 2 == 1
+        return pa.table({
+            "perm": pa.array(np.arange(PERM_P, dtype=np.int64)),
+            "n_a": pa.array(in_a.sum(axis=0).astype(np.int64)),
+            "sum_a": pa.array(
+                (np.where(in_a, cents[:, None], 0)).sum(axis=0)),
+            "n_all": pa.array(np.full(PERM_P, len(eid), np.int64)),
+            "sum_all": pa.array(
+                np.full(PERM_P, int(cents.sum()), np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+           .groupby("perm")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("sum_a", alias_name="sum_a"),
+                      Sum("n_all", alias_name="n_all"),
+                      Sum("sum_all", alias_name="sum_all")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["perm", "n_a", "sum_a", "n_all", "sum_all"])
+        return pa.table({
+            "perm": t["perm"], "n_a": t["n_a"], "sum_a": t["sum_a"],
+            "n_b": pc.subtract(t["n_all"], t["n_a"]),
+            "sum_b": pc.subtract(t["sum_all"], t["sum_a"])})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -59,7 +59,7 @@ _DRIVER_PRIORITY = [
     "d8_flow_directions", "d8_flow_accumulation", "d8_watershed_labels",
     "bivariate_moran_terms", "gearys_c_cells",
     "cross_source_dup_matrix", "bootstrap_mean_replicates",
-    "permutation_test_events",
+    "permutation_test_events", "benford_digit_audit",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",

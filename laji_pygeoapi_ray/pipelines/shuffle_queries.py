@@ -1672,3 +1672,45 @@ def permutation_test_events(sf_dir: str):
             "sum_b": pc.subtract(t["sum_all"], t["sum_a"])})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register("benford_digit_audit", sql="""
+    WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events WHERE value > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit
+          FROM c WHERE cents > 0)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY 1""")
+def benford_digit_audit(sf_dir: str):
+    """Benford first-significant-digit audit of event values — the
+    classic fabricated-data / unit-mixup screen a warehouse runs on
+    money columns (the consumer compares the digit histogram against
+    log10(1+1/d) with a chi² whose terms are pure integers). Exact:
+    digits come from the DECIMAL STRING of the integer cents (no float
+    log10 — a boundary value like 999.995 must round the same way on
+    both sides, which the shared floor(x·100+0.5) quantization
+    guarantees). One scan, ≤9 partial rows per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        cents = cents[(v > 0) & (cents > 0)]
+        if not len(cents):
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # first digit: strip by powers of ten (integer arithmetic only)
+        x = cents.copy()
+        while (x >= 10).any():
+            x = np.where(x >= 10, x // 10, x)
+        dig, cnt = np.unique(x, return_counts=True)
+        return pa.table({"digit": pa.array(dig),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+           .groupby("digit").aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(lambda t: t.rename_columns(["digit", "n"]),
+                           batch_format="pyarrow")

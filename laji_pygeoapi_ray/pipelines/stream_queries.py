@@ -1863,3 +1863,82 @@ def user_acquisition_curve(sf_dir: str):
     return run.map_batches(
         lambda t: t.rename_columns(["day", "new_users", "cum_users"]),
         batch_format="pyarrow")
+
+
+@register("km_session_survival", sql=f"""
+    WITH o AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR CAST(epoch_us(ts) AS BIGINT)
+                  - CAST(epoch_us(lag(ts) OVER w) AS BIGINT) > {GAP_US}
+             THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_id FROM o),
+    g AS (SELECT user_id, session_id,
+                 (CAST(epoch_us(MAX(ts)) AS BIGINT)
+                  - CAST(epoch_us(MIN(ts)) AS BIGINT)) // 1000000 AS dur,
+                 CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+          FROM s GROUP BY 1, 2),
+    mx AS (SELECT MAX(CAST(epoch_us(ts) AS BIGINT)) AS m FROM events),
+    t AS (SELECT dur, CASE WHEN mx.m - end_us <= {GAP_US}
+                           THEN 0 ELSE 1 END AS ev
+          FROM g, mx),
+    d AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS d FROM t
+          GROUP BY 1 HAVING SUM(ev) > 0)
+    SELECT d.dur AS t_seconds, d.d AS d_events,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+            WHERE t.dur >= d.dur) AS n_at_risk
+    FROM d""")
+def km_session_survival(sf_dir: str):
+    """Kaplan-Meier survival input table over SESSION DURATIONS — the
+    survival-analysis primitive (how long do user sessions live?): per
+    distinct uncensored duration t, the event count d_t and the at-risk
+    count n_t = sessions lasting ≥ t; the consumer forms
+    Ŝ(t) = Π (1 − d/n) at any precision (the rational-output rule).
+    Right-censoring is real, not decorative: a session whose last event
+    is within the session gap of the log's end may still be open — it
+    contributes to every n_t but never to d_t. Exact integers
+    throughout (durations in whole seconds). Shape: sessions from the
+    one-shuffle session machinery; per-batch (dur, censored) partials;
+    the suffix cumsum for n_at_risk folds on the BOUNDED distinct-
+    duration table (≤ #sessions rows; a data-scale duration axis would
+    use stages/scan.global_cumsum descending — same math)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max as _Max
+    from ..stages.shuffle import partial_group_counts
+    from ..stages.stream import session_windows_ds
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    sess = session_windows_ds(ds, "user_id", "ts", GAP_US).materialize()
+
+    mend = sess.aggregate(_Max("end_ts"))["max(end_ts)"]
+    m_us = int(pd.Timestamp(mend).value // 1000)
+
+    def derive(t: pa.Table) -> pa.Table:
+        s_us = (pc.cast(t["start_ts"], pa.int64())
+                .to_numpy(zero_copy_only=False))
+        e_us = (pc.cast(t["end_ts"], pa.int64())
+                .to_numpy(zero_copy_only=False))
+        dur = (e_us - s_us) // 1_000_000
+        ev = ((m_us - e_us) > GAP_US).astype(np.int64)
+        return pa.table({"dur": pa.array(dur), "ev": pa.array(ev)})
+
+    cnt = partial_group_counts(
+        sess.map_batches(derive, batch_format="pyarrow"),
+        ["dur", "ev"]).to_pandas()
+    cnt = cnt.rename(columns=dict(zip(cnt.columns, ["dur", "ev", "n"])))
+    # bounded fold: suffix counts over distinct durations
+    tot = (cnt.groupby("dur", as_index=False)["n"].sum()
+           .sort_values("dur", ascending=False))
+    tot["n_at_risk"] = tot["n"].cumsum()
+    risk = dict(zip(tot["dur"], tot["n_at_risk"]))
+    d = (cnt[cnt["ev"] == 1].groupby("dur", as_index=False)["n"].sum()
+         .rename(columns={"n": "d_events"}))
+    d = d[d["d_events"] > 0].sort_values("dur")
+    return pd.DataFrame({
+        "t_seconds": d["dur"].to_numpy(np.int64),
+        "d_events": d["d_events"].to_numpy(np.int64),
+        "n_at_risk": np.array([risk[t] for t in d["dur"]], np.int64)})

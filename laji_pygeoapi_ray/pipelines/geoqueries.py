@@ -4038,7 +4038,12 @@ def _ehs_sql() -> str:
                       (CAST(epoch_us(ts) AS BIGINT) - {TREND_T0_US})
                           // {US_PER_DAY} AS day
                FROM (SELECT event_id, ts, {x} AS x, {y} AS y
-                     FROM events) p),
+                     FROM events
+                     -- pre-T0 rows are excluded on BOTH sides: DuckDB //
+                     -- truncates toward zero while numpy floors, so a
+                     -- negative epoch delta would land in different days
+                     WHERE CAST(epoch_us(ts) AS BIGINT)
+                           >= {TREND_T0_US}) p),
     c AS (SELECT cell, day, CAST(COUNT(*) AS BIGINT) AS y
           FROM e GROUP BY 1, 2),
     gd AS (SELECT day, CAST(SUM(y) AS BIGINT) AS s,
@@ -4155,10 +4160,12 @@ def emerging_hotspot_classes(sf_dir: str):
     ev = read_table(sf_dir, "events", ["event_id", "ts"])
 
     def derive(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = us >= TREND_T0_US    # mirror of the twin's WHERE (the
+        eid = t["event_id"].to_numpy(  # //-semantics divergence guard)
+            zero_copy_only=False)[keep]
         x, y = points.derive_xy(eid)
-        dd = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-              - TREND_T0_US) // US_PER_DAY
+        dd = (us[keep] - TREND_T0_US) // US_PER_DAY
         return pa.table({"cell": pa.array(cells.encode(x, y, TREND_RES)),
                          "day": pa.array(dd)})
 

@@ -15,25 +15,36 @@ from ..stages.shuffle import partial_group_counts
 from .registry import register
 
 
-@register("orders_by_mktsegment", sql="""
+_MKTSEG_SQL = """
     SELECT c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
            MAX(o.o_totalprice) AS max_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY 1""")
-def orders_by_mktsegment(sf_dir: str):
-    """Large-large partitioned hash join (orders ⋈ customer on custkey,
-    one shuffle on the hashed key) followed by a grouped aggregate."""
+    GROUP BY 1"""
+
+
+def _orders_mktsegment_agg(sf_dir: str, join_fn):
+    """Shared read → join → aggregate shape certifying each join backend
+    against the SAME oracle (_MKTSEG_SQL); ``join_fn(orders, cust)``
+    supplies the backend."""
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
         lambda t: t.rename_columns(["o_custkey", "mktsegment"]),
         batch_format="pyarrow")
-    joined = hash_join(orders, cust, on=["o_custkey"], num_buckets=16)
-    agg = joined.groupby("mktsegment").aggregate(
+    agg = join_fn(orders, cust).groupby("mktsegment").aggregate(
         Count(alias_name="n"), Max("o_totalprice", alias_name="max_price"))
     return agg.map_batches(
         lambda t: t.rename_columns(["mktsegment", "n", "max_price"]),
         batch_format="pyarrow")
+
+
+@register("orders_by_mktsegment", sql=_MKTSEG_SQL)
+def orders_by_mktsegment(sf_dir: str):
+    """Large-large partitioned hash join (orders ⋈ customer on custkey,
+    one shuffle on the hashed key) followed by a grouped aggregate."""
+    return _orders_mktsegment_agg(
+        sf_dir, lambda o, c: hash_join(o, c, on=["o_custkey"],
+                                       num_buckets=16))
 
 
 @register("supplier_nation_broadcast", sql="""
@@ -675,28 +686,16 @@ def referential_integrity_audit(sf_dir: str):
                          tot["n"].to_numpy(np.int64), pa.int64())})
 
 
-@register("orders_by_mktsegment_sortmerge", sql="""
-    SELECT c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
-           MAX(o.o_totalprice) AS max_price
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY 1""")
+@register("orders_by_mktsegment_sortmerge", sql=_MKTSEG_SQL)
 def orders_by_mktsegment_sortmerge(sf_dir: str):
     """Same join + aggregate through the RANGE-partitioned sort-merge
     backend (``stages/join.sort_merge_join``) — the third certified join
     strategy next to the hash-bucketed and Ray-native variants (all three
-    share this oracle). Boundaries from one histogram pass over the left
-    key; output arrives range-ordered by custkey, which a downstream
-    merge consumer could exploit."""
+    share this oracle via _orders_mktsegment_agg). Boundaries from one
+    histogram pass over the left key; output arrives range-ordered by
+    custkey, which a downstream merge consumer could exploit."""
     from ..stages.join import sort_merge_join
 
-    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust = cust.map_batches(
-        lambda t: t.rename_columns(["o_custkey", "mktsegment"]),
-        batch_format="pyarrow")
-    joined = sort_merge_join(orders, cust, on="o_custkey", num_ranges=16)
-    agg = joined.groupby("mktsegment").aggregate(
-        Count(alias_name="n"), Max("o_totalprice", alias_name="max_price"))
-    return agg.map_batches(
-        lambda t: t.rename_columns(["mktsegment", "n", "max_price"]),
-        batch_format="pyarrow")
+    return _orders_mktsegment_agg(
+        sf_dir, lambda o, c: sort_merge_join(o, c, on="o_custkey",
+                                             num_ranges=16))

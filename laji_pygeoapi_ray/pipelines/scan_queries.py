@@ -150,11 +150,13 @@ STR_XPARTS = 64     # fixed range partitions for the distributed rank
 STR_YPARTS = 64
 
 
-def _str_sql() -> str:
+def _str_sql_ctes() -> str:
+    """The shared STR CTE chain (pts → ranks → lf leaf assignment) —
+    composed by BOTH _str_sql and _strq_sql so neither depends on string
+    surgery over the other."""
     from .geoqueries import _points_cte
 
-    return f"""
-    WITH pts AS ({_points_cte()}),
+    return f"""pts AS ({_points_cte()}),
     tot AS (SELECT COUNT(*) AS cnt FROM pts),
     rx AS (SELECT doc_id, x, y,
                   row_number() OVER (ORDER BY x, doc_id) - 1 AS rk
@@ -169,7 +171,12 @@ def _str_sql() -> str:
     lf AS (SELECT doc_id, x, y,
                   CAST(slice * {STR_S} + (rky * {STR_S}) // m AS BIGINT)
                       AS leaf
-           FROM ry)
+           FROM ry)"""
+
+
+def _str_sql() -> str:
+    return f"""
+    WITH {_str_sql_ctes()}
     SELECT leaf, CAST(COUNT(*) AS BIGINT) AS n,
            MIN(x) AS min_x, MAX(x) AS max_x,
            MIN(y) AS min_y, MAX(y) AS max_y
@@ -329,8 +336,7 @@ STRQ_Y0, STRQ_Y1 = 60.10, 62.80
 def _strq_sql() -> str:
     from .geoqueries import _points_cte
 
-    base = _str_sql()
-    lf_cte = base[base.index("WITH") + 5:base.index("SELECT leaf")].rstrip() + ","
+    lf_cte = _str_sql_ctes() + ","
     qx0, qx1 = f"CAST('{STRQ_X0!r}' AS DOUBLE)", \
         f"CAST('{STRQ_X1!r}' AS DOUBLE)"
     qy0, qy1 = f"CAST('{STRQ_Y0!r}' AS DOUBLE)", \
@@ -379,6 +385,8 @@ def str_rtree_range_query(sf_dir: str):
     def refine(t: pa.Table) -> pa.Table:
         ls = ray.get(ref)
         leaf = t["leaf"].to_numpy(zero_copy_only=False)
+        if not len(ls):           # no leaf intersects the rect: 0 hits
+            return pa.table({"h": pa.array([0], pa.int64())})
         pos = np.searchsorted(ls, leaf)
         in_leaf = (pos < len(ls)) & (ls[np.minimum(pos, len(ls) - 1)]
                                      == leaf)

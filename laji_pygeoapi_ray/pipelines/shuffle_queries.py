@@ -1531,9 +1531,9 @@ BOOT_KNUTH = 2654435761
 @register("bootstrap_mean_replicates", sql=f"""
     WITH r AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS rep),
     w AS (SELECT r.rep,
-                 (((((e.event_id + r.rep * {BOOT_SALT})
+                 (((((CAST(e.event_id AS HUGEINT) + r.rep * {BOOT_SALT})
                      * {BOOT_KNUTH}) % 4294967296) >> 17) & 1)
-                 + (((((e.event_id + r.rep * {BOOT_SALT})
+                 + (((((CAST(e.event_id AS HUGEINT) + r.rep * {BOOT_SALT})
                        * {BOOT_KNUTH}) % 4294967296) >> 18) & 1) AS w,
                  CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
           FROM events e CROSS JOIN r)
@@ -1597,7 +1597,7 @@ PERM_SALT = 7_368_787            # prime salt stream
                   WHERE event_type IN ('view', 'purchase')),
     p AS (SELECT unnest(generate_series(0, {PERM_P - 1})) AS perm),
     w AS (SELECT p.perm,
-                 ((((b.event_id + p.perm * {PERM_SALT})
+                 ((((CAST(b.event_id AS HUGEINT) + p.perm * {PERM_SALT})
                     * {BOOT_KNUTH}) % 4294967296) >> 17) & 1 AS flip,
                  b.grp, b.cents
           FROM base b CROSS JOIN p),

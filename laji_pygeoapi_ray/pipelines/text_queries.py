@@ -2034,12 +2034,14 @@ REPEAT_MAX_X1000 = 2600                         # max 2.6 epochs per source
     p3 AS (SELECT p2.*,
                   CASE WHEN p2.un > 0 AND l.unt > 0
                        THEN LEAST(p2.cap,
-                                  p2.a1 + (l.leftover * p2.n_tokens)
-                                      // l.unt)
+                                  p2.a1 + CAST((CAST(l.leftover AS HUGEINT)
+                                                * p2.n_tokens) // l.unt
+                                               AS BIGINT))
                        ELSE p2.a1 END AS alloc
            FROM p2, l)
     SELECT source, n_docs, n_tokens, cap, alloc,
-           CAST(alloc * 1000 // n_tokens AS BIGINT) AS epochs_x1000
+           CAST(CAST(alloc AS HUGEINT) * 1000 // n_tokens AS BIGINT)
+               AS epochs_x1000
     FROM p3""")
 def repeat_plan_sources(sf_dir: str):
     """Training-mix repeat plan under a token budget: per source, the
@@ -2076,23 +2078,32 @@ def repeat_plan_sources(sf_dir: str):
         f"repeat_plan_sources: {len(s)} sources — the driver-side plan "
         "assumes a config-sized source taxonomy; partition the plan if "
         "the taxonomy is data-scale")
-    nt = s["n_tokens"].to_numpy(np.int64)
-    ns, tot = len(s), int(nt.sum())
+    # arbitrary-precision Python ints: leftover·n_tokens overflows int64
+    # for corpora around ≥3e9 total tokens (the emerging-hotspot rule —
+    # never let a product cross 2^63 silently; SQL side mirrors in
+    # HUGEINT)
+    nt = [int(v) for v in s["n_tokens"]]
+    ns, tot = len(s), sum(nt)
     budget = tot * REPEAT_BUDGET_NUM // REPEAT_BUDGET_DEN
     quota = tot * REPEAT_BUDGET_NUM // (REPEAT_BUDGET_DEN * ns)
-    cap = REPEAT_MAX_X1000 * nt // 1000
-    a1 = np.minimum(cap, quota)
-    un = np.where(cap > quota, nt, 0)
-    leftover = budget - int(a1.sum())
-    unt = int(un.sum())
+    cap = [REPEAT_MAX_X1000 * v // 1000 for v in nt]
+    a1 = [min(c, quota) for c in cap]
+    un = [v if c > quota else 0 for v, c in zip(nt, cap)]
+    leftover = budget - sum(a1)
+    unt = sum(un)
     if unt > 0:
-        alloc = np.where(un > 0,
-                         np.minimum(cap, a1 + leftover * nt // unt), a1)
+        alloc = [min(c, a + leftover * v // unt) if u > 0 else a
+                 for c, a, u, v in zip(cap, a1, un, nt)]
     else:
         alloc = a1
+    cap = np.array(cap, np.int64)
+    alloc = np.array(alloc, np.int64)
+    nt = np.array(nt, np.int64)
+    epochs = np.array([int(a) * 1000 // int(v)
+                       for a, v in zip(alloc, nt)], np.int64)
     out = pd.DataFrame({"source": s["source"], "n_docs": s["n_docs"],
                         "n_tokens": nt, "cap": cap, "alloc": alloc,
-                        "epochs_x1000": alloc * 1000 // nt})
+                        "epochs_x1000": epochs})
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out

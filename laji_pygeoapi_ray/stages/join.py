@@ -203,6 +203,8 @@ def range_boundaries(ds, col: str, num_ranges: int, *,
     from ray.data.aggregate import Max, Min
 
     stats = ds.aggregate(Min(col), Max(col))
+    if stats is None or stats.get(f"min({col})") is None:
+        return np.empty(0, np.float64)      # empty input: no boundaries
     lo = float(stats[f"min({col})"])
     hi = float(stats[f"max({col})"])
     if not lo < hi:
@@ -219,8 +221,11 @@ def range_boundaries(ds, col: str, num_ranges: int, *,
     total = np.zeros(n_bins, dtype=np.int64)
     for bt in (ds.map_batches(hist, batch_format="pyarrow")
                .iter_batches(batch_size=None, batch_format="pyarrow")):
-        total[bt["bin"].to_numpy(zero_copy_only=False)] += \
-            bt["cnt"].to_numpy(zero_copy_only=False)
+        # np.add.at, NOT fancy-index +=: Ray may coalesce several per-call
+        # histogram tables into one block, so a batch can repeat bin ids —
+        # fancy-index += applies only one add per duplicate and undercounts
+        np.add.at(total, bt["bin"].to_numpy(zero_copy_only=False),
+                  bt["cnt"].to_numpy(zero_copy_only=False))
     cum = np.cumsum(total)
     n = int(cum[-1])
     bounds = {float(lo + (int(np.searchsorted(cum, i * n // num_ranges))

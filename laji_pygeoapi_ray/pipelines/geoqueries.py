@@ -4938,3 +4938,75 @@ def gearys_c_cells(sf_dir: str):
         "num_inner": np.array([num_inner], np.int64),
         "den_scaled": np.array([den], np.int64),
         "gearys_c": np.array([c], np.float64)})
+
+
+# --------------------- range-size (footprint) histogram per cell
+
+def _rangesize_sql() -> str:
+    x, y = points.sql_xy("event_id")
+    return f"""
+    WITH pc AS (SELECT DISTINCT user_id,
+                       {cells.sql_cell(x, y, MED_RES)} AS cell
+                FROM events),
+    r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS rng
+          FROM pc GROUP BY 1),
+    b AS (SELECT pc.cell,
+                 CAST(floor(log2(r.rng)) AS BIGINT) AS rng_bucket
+          FROM pc JOIN r ON r.user_id = pc.user_id)
+    SELECT cell AS cell5, rng_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM b GROUP BY 1, 2"""
+
+
+@register("user_range_size_by_cell", sql=_rangesize_sql)
+def user_range_size_by_cell(sf_dir: str):
+    """Range-size (mobility footprint) composition per cell — the
+    rarity-weighted-richness input shape from ecology (per species:
+    occupied-cell count; per cell: histogram of the range sizes seen
+    there) applied to users: how LOCAL are the users observed in each
+    res-5 cell? Two-level grouping: distinct (user, cell) pairs → per-
+    user range size → log₂ bucket joined back onto the pairs → per
+    (cell, bucket) user counts. log₂ on an int is exact for the
+    comparison (both sides bucket the same integer). Shape: distinct
+    pairs via one (user, cell) dedup shuffle; range sizes via per-batch
+    partials on the deduped pairs; ONE user-keyed hash join; only
+    (cell, bucket) count partials in the finale — raw events never
+    shuffle twice."""
+    import pyarrow.compute as pc
+
+    from ..stages.derive import derive_and_encode
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    key = f"cell{MED_RES}"
+    ev = read_table(sf_dir, "events", ["event_id", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(eid)
+        return pa.table({"user_id": t["user_id"],
+                         "cell": pa.array(cells.encode(x, y, MED_RES))})
+
+    pairs = partial_group_counts(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        ["user_id", "cell"], count_col="_c").map_batches(
+        lambda t: t.select(["user_id", "cell"]),
+        batch_format="pyarrow").materialize()
+
+    rng = partial_group_counts(pairs, ["user_id"], count_col="rng") \
+        .map_batches(lambda t: t.rename_columns(["user_id", "rng"]),
+                     batch_format="pyarrow")
+    joined = hash_join(pairs, rng, on=["user_id"], num_buckets=16)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        r = t["rng"].to_numpy(zero_copy_only=False)
+        # floor(log2(int)) via bit_length — exact, no float log
+        b = np.array([int(v).bit_length() - 1 for v in r], np.int64)
+        return pa.table({"cell": t["cell"], "rng_bucket": pa.array(b)})
+
+    out = partial_group_counts(
+        joined.map_batches(bucketed, batch_format="pyarrow"),
+        ["cell", "rng_bucket"], count_col="n_users")
+    return out.map_batches(
+        lambda t: t.rename_columns(["cell5", "rng_bucket", "n_users"]),
+        batch_format="pyarrow")

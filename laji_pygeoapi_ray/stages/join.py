@@ -277,3 +277,53 @@ def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
         lambda t: cast_columns(t, {c: types[c] for c in all_cols
                                    if c in t.column_names}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
+                    hot_keys: "np.ndarray"):
+    """Skew-mitigated inner equi-join of a BIG fact side against a small
+    dimension when a few keys dominate the fact table (the join sibling
+    of the salted-aggregation pattern): rows with a HOT key join against
+    a broadcast slice of the dimension inside ``map_batches`` (those
+    keys never enter the shuffle, so no bucket receives a
+    data-scale-sized group), while the cold remainder takes the normal
+    bucketed ``hash_join``. Result equals a plain join — certified by
+    the hash_join-equality property test on zipf data
+    (tests/test_round4f_kernels.py). ``hot_keys`` typically comes from
+    a heavy-hitter pass (shuffle.heavy_hitters_exact)."""
+    hot = np.unique(np.asarray(hot_keys, dtype=np.int64))
+    hot_dim = small_df[small_df[on].isin(hot)]
+    cold_dim = small_df[~small_df[on].isin(hot)]
+    ref = ray.put((hot, hot_dim))
+
+    def _is_hot(h: "np.ndarray", keys: "np.ndarray") -> "np.ndarray":
+        if not len(h):
+            return np.zeros(len(keys), bool)
+        pos = np.searchsorted(h, keys)
+        return (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == keys)
+
+    def hot_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        h, dim = ray.get(ref)
+        return df[_is_hot(h, df[on].to_numpy())].merge(dim, on=on,
+                                                       how="inner")
+
+    def cold_part(df: "pd.DataFrame") -> "pa.Table":
+        h, _ = ray.get(ref)
+        out = df[~_is_hot(h, df[on].to_numpy())]
+        # emit ARROW so hash_join's _tag_union sees arrow types (a
+        # pandas-block schema carries numpy object dtypes that crash
+        # pa.types predicates)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    import ray.data as rd
+
+    hot_out = big_ds.map_batches(hot_part, batch_format="pandas")
+    cold_big = big_ds.map_batches(cold_part, batch_format="pandas")
+    if len(cold_dim):
+        cold_out = hash_join(
+            cold_big,
+            rd.from_arrow(pa.Table.from_pandas(
+                cold_dim.reset_index(drop=True), preserve_index=False)),
+            on=[on], num_buckets=16)
+        return hot_out.union(cold_out)
+    return hot_out

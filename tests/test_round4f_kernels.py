@@ -177,3 +177,56 @@ def test_d8_pit_branch_planted(tmp_path):
     assert row["dir"] == -1 and row["drop"] == -4    # the pit
     # ring cells flow outward (toward empty neighbors), never inward
     assert (out[out["cell4"] != center]["dir"] != -1).all()
+
+
+def test_skew_split_join_equals_plain_join():
+    """skew_split_join (hot keys broadcast, cold keys hash-bucketed)
+    equals a plain pandas merge on zipf-skewed keys, including when the
+    hot set covers none / some / all rows."""
+    from laji_pygeoapi_ray.stages.join import skew_split_join
+
+    rng = np.random.default_rng(13)
+    keys = np.minimum((rng.zipf(1.3, 5000) - 1), 99).astype(np.int64)
+    big = pd.DataFrame({"k": keys,
+                        "v": rng.integers(0, 10**6, len(keys))})
+    dim = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "name": [f"n{i}" for i in range(100)]})
+    want = (big.merge(dim, on="k")[["k", "v", "name"]]
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    for hot in ([], [0, 1, 2], list(range(100))):
+        got = skew_split_join(
+            ray.data.from_pandas(big).repartition(4), dim, on="k",
+            hot_keys=np.array(hot, np.int64)).to_pandas()
+        got = (got[["k", "v", "name"]].sort_values(["k", "v"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sort_merge_join_output_range_ordered():
+    """sort_merge_join's documented extra property: block sequence is
+    range-ordered by key (each block's keys ≥ the previous block's max
+    is NOT guaranteed within a range, but range ids are non-overlapping:
+    the set of keys in any two blocks from different ranges must not
+    interleave across a boundary)."""
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 4000),
+                         "lv": rng.integers(0, 10, 4000)})
+    right = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                          "rv": np.ones(1000, np.int64)})
+    from laji_pygeoapi_ray.stages.join import (range_boundaries,
+                                               sort_merge_join)
+    lds = ray.data.from_pandas(left).repartition(4)
+    b = range_boundaries(lds, "k", 8)
+    out = sort_merge_join(ray.data.from_pandas(left).repartition(4),
+                          ray.data.from_pandas(right).repartition(2),
+                          on="k", num_ranges=8)
+    ranges = []
+    for blk in out.iter_batches(batch_size=None, batch_format="pandas"):
+        if len(blk):
+            ranges.append(np.searchsorted(
+                b, blk["k"].to_numpy(np.float64), side="right"))
+    seq = np.concatenate(ranges)
+    # the streamed output is RANGE-SORTED (Ray may pack several
+    # consecutive groups into one block, but never out of order)
+    assert (np.diff(seq) >= 0).all()
+    assert len(np.unique(seq)) > 1

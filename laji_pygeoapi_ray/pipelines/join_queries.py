@@ -699,3 +699,78 @@ def orders_by_mktsegment_sortmerge(sf_dir: str):
     return _orders_mktsegment_agg(
         sf_dir, lambda o, c: sort_merge_join(o, c, on="o_custkey",
                                              num_ranges=16))
+
+
+# ----------------------- skew-split join certification (hot-key path)
+
+SKEW_HOT_K = 8
+
+
+@register("activity_weighted_value", sql="""
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1)
+    SELECT e.event_type,
+           CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                    * u.n_events) AS BIGINT) AS weighted_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN u ON u.user_id = e.user_id
+    GROUP BY 1""")
+def activity_weighted_value(sf_dir: str):
+    """Activity-weighted value per event type (each event weighted by
+    its user's total activity — the engagement-weighted revenue shape)
+    THROUGH the skew-mitigated join: the top-{K} heaviest users join a
+    broadcast dimension slice inside the scan (their rows never enter
+    the shuffle — on a real log the head user can dominate a hash
+    bucket), the cold tail takes the bucketed hash join, and the oracle
+    — a plain join — certifies that the split is invisible in the
+    result. Dimension = the per-user event-count profile (bounded by
+    |users|, asserted; at a data-scale user axis the dim itself stays a
+    Dataset and hot keys come from shuffle.heavy_hitters_exact)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import skew_split_join
+    from ..stages.shuffle import partial_group_counts
+
+    ev = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "value"])
+
+    dim = partial_group_counts(
+        ev.map_batches(lambda t: t.select(["user_id"]),
+                       batch_format="pyarrow"),
+        ["user_id"], count_col="n_events").to_pandas()
+    dim = dim.rename(columns=dict(zip(dim.columns,
+                                      ["user_id", "n_events"])))
+    assert len(dim) <= 1_000_000, (
+        "activity_weighted_value: per-user dim exceeds the bounded "
+        "broadcast contract — switch to the Dataset-dim hash path")
+    hot = (dim.sort_values(["n_events", "user_id"],
+                           ascending=[False, True])
+           .head(SKEW_HOT_K)["user_id"].to_numpy(np.int64))
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(cents)})
+
+    joined = skew_split_join(
+        ev.map_batches(prep, batch_format="pyarrow"), dim,
+        on="user_id", hot_keys=hot)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df["cents"].to_numpy(np.int64)
+             * df["n_events"].to_numpy(np.int64))
+        out = pd.DataFrame({"event_type": df["event_type"], "w": w,
+                            "one": np.ones(len(df), np.int64)})
+        return (out.groupby("event_type", as_index=False)
+                .agg(weighted_cents=("w", "sum"), n=("one", "sum")))
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("weighted_cents", alias_name="weighted_cents"),
+                      Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "weighted_cents", "n"]),
+        batch_format="pyarrow")

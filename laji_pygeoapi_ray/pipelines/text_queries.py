@@ -2193,3 +2193,87 @@ def cross_source_dup_matrix(sf_dir: str):
            ["n_dup_pairs"].sum())
     out["n_dup_pairs"] = out["n_dup_pairs"].astype(np.int64)
     return out
+
+
+# --------------------------------- RAKE keyword extraction (deg/freq)
+
+RAKE_STOP = ("the", "a")     # the synthetic corpus' function words
+
+
+@register("rake_keyword_scores", sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, g AS i, t[g] AS w
+            FROM toks, (SELECT unnest(generate_series(
+                     1, (SELECT MAX(len(t)) FROM toks))) AS g) gs
+            WHERE g <= len(t)),
+    ph AS (SELECT doc_id, i, w,
+                  i - row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY i) AS grp
+           FROM pos WHERE w NOT IN {RAKE_STOP!r}),
+    plen AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+             FROM ph GROUP BY 1, 2)
+    SELECT ph.w AS word, CAST(SUM(plen.len) AS BIGINT) AS deg,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM ph JOIN plen ON plen.doc_id = ph.doc_id AND plen.grp = ph.grp
+    GROUP BY 1""")
+def rake_keyword_scores(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+    phrase segmentation, then per word the co-occurrence degree
+    deg(w) = Σ |phrase| over phrases containing w and the frequency
+    freq(w) — the consumer ranks keywords by deg/freq (the rational-
+    output rule). The phrase segmentation is the ISLANDS pattern
+    (position − rank-among-non-stopwords is constant exactly within a
+    maximal non-stopword run), fully vectorized over the Arrow token
+    stream — docs never straddle batches, so phrase ids are batch-local
+    with no cross-batch state. Only (word, deg, freq) partials shuffle
+    (vocabulary-bounded, the vocab_top_tokens contract)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    stop_set = pa.array(list(RAKE_STOP))
+
+    def part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = int(lens.sum())
+        if n == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64()),
+                             "freq": pa.array([], pa.int64())})
+        tok0 = np.cumsum(lens) - lens
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        pos = np.arange(n) - np.repeat(tok0, lens)
+        keep = np.invert(pc.is_in(flat, value_set=stop_set)
+                         .to_numpy(zero_copy_only=False))
+        ranks = np.cumsum(keep) - 1
+        kept_before = np.concatenate(
+            ([0], np.cumsum(keep)))[tok0]
+        rank_in_doc = ranks - np.repeat(kept_before, lens)
+        grp = pos - rank_in_doc
+        phrase_key = doc_of * np.int64(1 << 32) + grp
+        pk = phrase_key[keep]
+        _, inv, cnt = np.unique(pk, return_inverse=True,
+                                return_counts=True)
+        deg = cnt[inv].astype(np.int64)
+        words = flat.filter(pa.array(keep))
+        return (pa.table({"word": words, "deg": pa.array(deg),
+                          "freq": pa.array(np.ones(len(deg), np.int64))})
+                .group_by(["word"])
+                .aggregate([("deg", "sum"), ("freq", "sum")])
+                .rename_columns(["word", "deg", "freq"]))
+
+    agg = (ds.map_batches(part, batch_format="pyarrow", batch_size=4096)
+           .groupby("word")
+           .aggregate(Sum("deg", alias_name="deg"),
+                      Sum("freq", alias_name="freq")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["word", "deg", "freq"]),
+        batch_format="pyarrow")

@@ -2277,3 +2277,76 @@ def rake_keyword_scores(sf_dir: str):
     return agg.map_batches(
         lambda t: t.rename_columns(["word", "deg", "freq"]),
         batch_format="pyarrow")
+
+
+@register("vocab_loo_contribution", sql="""
+    WITH toks AS (SELECT source,
+                  string_split(text || ' xsrc' || source, ' ') AS t
+                  FROM documents),
+    d AS (SELECT DISTINCT source, t[g] AS w
+          FROM toks, (SELECT unnest(generate_series(
+                   1, (SELECT MAX(len(t)) FROM toks))) AS g) gs
+          WHERE g <= len(t)),
+    c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+                 MIN(source) AS only_source
+          FROM d GROUP BY 1)
+    SELECT only_source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_exclusive_tokens
+    FROM c WHERE ns = 1 GROUP BY 1""")
+def vocab_loo_contribution(sf_dir: str):
+    """Leave-one-out vocabulary contribution per source — the additive
+    data-valuation statistic for a coverage metric: removing source s
+    shrinks the corpus vocabulary by exactly the tokens EXCLUSIVE to s
+    (|V| − |V \\ s|), so the per-source exclusive-token count is each
+    source's marginal value for vocabulary coverage (the closed-form
+    case of Shapley on a union metric). Shape: per-batch distinct
+    (source, token) partials (text never shuffles) → one token-keyed
+    shuffle → per-token source count, exclusive tokens attributed to
+    their only source with per-bucket pre-counts (≤ |sources| rows per
+    bucket)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_apply, partial_group_counts
+
+    ds = read_table(sf_dir, "documents", ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+            pc.binary_join_element_wise(
+                pa.array(["xsrc"] * len(t)),
+                pc.cast(t["source"], pa.string()), ""), " ")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = pa.array(np.repeat(
+            t["source"].to_numpy(zero_copy_only=False), lens))
+        return (pa.table({"source": src, "w": flat})
+                .group_by(["source", "w"]).aggregate([])
+                )
+
+    dd = partial_group_counts(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["source", "w"], count_col="_c").map_batches(
+        lambda t: t.select(["source", "w"]), batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w")["source"].agg(["nunique", "min"])
+        excl = g[g["nunique"] == 1]
+        out = (excl.groupby("min").size()
+               .rename("n_exclusive_tokens").reset_index()
+               .rename(columns={"min": "source"}))
+        out["n_exclusive_tokens"] = \
+            out["n_exclusive_tokens"].astype(np.int64)
+        return out
+
+    parts = grouped_apply(dd, ["w"], bucket, num_buckets=16)
+    agg = (parts.groupby("source")
+           .aggregate(Sum("n_exclusive_tokens",
+                          alias_name="n_exclusive_tokens")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["source", "n_exclusive_tokens"]),
+        batch_format="pyarrow")

@@ -1714,3 +1714,78 @@ def benford_digit_audit(sf_dir: str):
            .groupby("digit").aggregate(Sum("n", alias_name="n")))
     return agg.map_batches(lambda t: t.rename_columns(["digit", "n"]),
                            batch_format="pyarrow")
+
+
+@register("mannwhitney_u_events", sql="""
+    WITH base AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      AS cents,
+                      CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END AS grp
+                  FROM events
+                  WHERE event_type IN ('view', 'purchase')),
+    h AS (SELECT cents, CAST(SUM(grp) AS BIGINT) AS na,
+                 CAST(COUNT(*) AS BIGINT) AS nt
+          FROM base GROUP BY 1),
+    w AS (SELECT cents, na, nt,
+                 CAST(SUM(nt) OVER (ORDER BY cents) AS BIGINT) AS cum
+          FROM h),
+    -- doubled midrank of tied value v: 2·cum_before + nt + 1
+    r AS (SELECT na, 2 * (cum - nt) + nt + 1 AS mr2 FROM w),
+    s AS (SELECT CAST(SUM(na * mr2) AS BIGINT) AS ranksum2,
+                 CAST(SUM(na) AS BIGINT) AS n_a FROM r),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM base)
+    SELECT s.n_a, g.n_all - s.n_a AS n_b,
+           s.ranksum2 - s.n_a * (s.n_a + 1) AS u2_a
+    FROM s, g""")
+def mannwhitney_u_events(sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) between purchase and view
+    values — the classical nonparametric two-sample test, EXACT via
+    DOUBLED midranks (tied value with nt occurrences gets midrank
+    cum_before + (nt+1)/2; ×2 keeps everything int64, so
+    U2 = 2·U = 2·R_a − n_a(n_a+1) is order-independent and hash-exact;
+    the consumer forms z with the tie-corrected variance from the same
+    histogram). Shape: values quantize to cents inside the scan; the
+    ONLY shuffle carries the bounded (cents, group-count) histogram
+    (≤ distinct cents rows); the rank prefix sum folds on that bounded
+    table — raw events never shuffle."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=(pads.field("event_type").isin(["view", "purchase"])))
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        grp = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return (pa.table({"cents": pa.array(cents), "na": pa.array(grp),
+                          "nt": pa.array(np.ones(len(cents), np.int64))})
+                .group_by(["cents"])
+                .aggregate([("na", "sum"), ("nt", "sum")])
+                .rename_columns(["cents", "na", "nt"]))
+
+    h = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+         .groupby("cents")
+         .aggregate(Sum("na", alias_name="na"),
+                    Sum("nt", alias_name="nt"))
+         .to_pandas())
+    h = h.rename(columns=dict(zip(h.columns, ["cents", "na", "nt"])))
+    h = h.sort_values("cents", kind="mergesort")
+    assert len(h) <= 1_000_000     # bounded-histogram contract
+    nt = h["nt"].to_numpy(np.int64)
+    na = h["na"].to_numpy(np.int64)
+    cum = np.cumsum(nt)
+    mr2 = 2 * (cum - nt) + nt + 1
+    n_a = int(na.sum())
+    n_all = int(nt.sum())
+    ranksum2 = int((na * mr2).sum())
+    import pandas as pd
+    return pd.DataFrame({
+        "n_a": np.array([n_a], np.int64),
+        "n_b": np.array([n_all - n_a], np.int64),
+        "u2_a": np.array([ranksum2 - n_a * (n_a + 1)], np.int64)})

@@ -1789,3 +1789,64 @@ def mannwhitney_u_events(sf_dir: str):
         "n_a": np.array([n_a], np.int64),
         "n_b": np.array([n_all - n_a], np.int64),
         "u2_a": np.array([ranksum2 - n_a * (n_a + 1)], np.int64)})
+
+
+@register("kruskal_rank_sums", sql="""
+    WITH base AS (SELECT event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                  FROM events),
+    h AS (SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2),
+    t AS (SELECT cents, CAST(SUM(n) AS BIGINT) AS nt FROM h GROUP BY 1),
+    w AS (SELECT cents, nt,
+                 2 * (CAST(SUM(nt) OVER (ORDER BY cents) AS BIGINT) - nt)
+                 + nt + 1 AS mr2
+          FROM t)
+    SELECT h.event_type, CAST(SUM(h.n) AS BIGINT) AS n_j,
+           CAST(SUM(h.n * w.mr2) AS BIGINT) AS ranksum2
+    FROM h JOIN w ON w.cents = h.cents
+    GROUP BY 1""")
+def kruskal_rank_sums(sf_dir: str):
+    """Kruskal-Wallis rank sums — the k-sample sibling of the
+    Mann-Whitney machinery: per event type, the group size and the
+    DOUBLED-midrank sum over all five groups' pooled values; the
+    consumer forms H = 12/(N(N+1))·Σ(R_j²/n_j)/4 − 3(N+1) with the tie
+    correction from the same histogram (rational-output rule — every
+    emitted number is int64). Same bounded-histogram shape: only
+    (cents, type, count) rows shuffle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        return (pa.table({"cents": pa.array(cents),
+                          "event_type": t["event_type"],
+                          "n": pa.array(np.ones(len(cents), np.int64))})
+                .group_by(["cents", "event_type"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["cents", "event_type", "n"]))
+
+    h = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+         .groupby(["cents", "event_type"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    h = h.rename(columns=dict(zip(h.columns,
+                                  ["cents", "event_type", "n"])))
+    assert len(h) <= 2_000_000     # bounded joint histogram contract
+    tot = (h.groupby("cents", as_index=False)["n"].sum()
+           .sort_values("cents", kind="mergesort"))
+    nt = tot["n"].to_numpy(np.int64)
+    cum = np.cumsum(nt)
+    tot["mr2"] = 2 * (cum - nt) + nt + 1
+    m = h.merge(tot[["cents", "mr2"]], on="cents")
+    out = (m.assign(rs2=m["n"] * m["mr2"])
+           .groupby("event_type", as_index=False)
+           .agg(n_j=("n", "sum"), ranksum2=("rs2", "sum")))
+    out["n_j"] = out["n_j"].astype(np.int64)
+    out["ranksum2"] = out["ranksum2"].astype(np.int64)
+    return out

@@ -1410,3 +1410,99 @@ def phash_threshold_sweep(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["hamming", "n_pairs"]),
         batch_format="pyarrow")
+
+
+@register("aspect_ratio_histogram", sql=lambda: f"""
+    SELECT fmt, CAST((CAST(w AS BIGINT) * 100) // h AS BIGINT)
+               AS ar_x100,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_px
+    FROM {_img_path_sql(ORACLE_N)}
+    GROUP BY 1, 2""")
+def aspect_ratio_histogram(sf_dir: str):
+    """Aspect-ratio composition of the image corpus per format — the
+    resize/letterbox planning input (which bucket shapes dominate
+    decides the training crop strategy): integer ratio w·100//h, counts
+    and pixel mass per (fmt, bucket). Metadata-only scan (w, h, fmt —
+    bytes never read), per-batch partials, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = images_ds(sf_dir, columns=["w", "h", "fmt"])
+
+    def part(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (pa.table({"fmt": t["fmt"],
+                          "ar_x100": pa.array(w * 100 // h),
+                          "n": pa.array(np.ones(len(w), np.int64)),
+                          "sum_px": pa.array(w * h)})
+                .group_by(["fmt", "ar_x100"])
+                .aggregate([("n", "sum"), ("sum_px", "sum")])
+                .rename_columns(["fmt", "ar_x100", "n", "sum_px"]))
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["fmt", "ar_x100"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_px", alias_name="sum_px")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["fmt", "ar_x100", "n", "sum_px"]),
+        batch_format="pyarrow")
+
+
+MOSAIC_K = 4     # images per tile in the mosaic
+
+
+@register("tile_mosaic_layout", sql=lambda: f"""
+    WITH pts AS (SELECT {_img_no_sql()} AS img_no, w, h
+                 FROM {_img_path_sql(ORACLE_N)}),
+    c AS (SELECT img_no, w, h,
+                 {cells.sql_cell(points.sql_xy('img_no')[0],
+                                 points.sql_xy('img_no')[1], RES)}
+                     AS cell7
+          FROM pts),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cell7
+                                       ORDER BY img_no) - 1 AS slot
+          FROM c)
+    SELECT cell7, img_no, w, h, CAST(slot AS BIGINT) AS slot,
+           CAST(slot % 2 AS BIGINT) AS gx, CAST(slot // 2 AS BIGINT) AS gy
+    FROM r WHERE slot < {MOSAIC_K}""")
+def tile_mosaic_layout(sf_dir: str):
+    """Per-tile image MOSAIC layout: the first {MOSAIC_K} images of each
+    res-7 cell (deterministic img_no order) with their 2×2 grid slot —
+    the thumbnail-mosaic manifest a map UI renders per tile (the image
+    sibling of vector_tile_manifest's feature selection). One cell-keyed
+    shuffle of (img_no, w, h); per-bucket vectorized rank-and-cut;
+    bytes never move — the renderer fetches only the selected
+    {MOSAIC_K}/tile."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = images_ds(sf_dir, columns=["image_id", "w", "h"])
+    ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
+
+    def derive(t: pa.Table) -> pa.Table:
+        no = t["img_no"].to_numpy(zero_copy_only=False)
+        x, y = points.derive_xy(no)
+        return pa.table({"img_no": t["img_no"], "w": t["w"],
+                         "h": t["h"],
+                         "cell7": pa.array(cells.encode(x, y, RES))})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cell7", "img_no"], kind="mergesort")
+        slot = df.groupby("cell7").cumcount().to_numpy(np.int64)
+        df = df.assign(slot=slot)
+        df = df[df["slot"] < MOSAIC_K]
+        return pd.DataFrame({
+            "cell7": df["cell7"].to_numpy(np.int64),
+            "img_no": df["img_no"].to_numpy(np.int64),
+            "w": df["w"].to_numpy(np.int64),
+            "h": df["h"].to_numpy(np.int64),
+            "slot": df["slot"].to_numpy(np.int64),
+            "gx": df["slot"].to_numpy(np.int64) % 2,
+            "gy": df["slot"].to_numpy(np.int64) // 2})
+
+    return grouped_apply(pts, ["cell7"], bucket, num_buckets=16,
+                         out_dtypes={c: pa.int64() for c in
+                                     ("cell7", "img_no", "w", "h",
+                                      "slot", "gx", "gy")})

@@ -54,7 +54,8 @@ _DRIVER_PRIORITY = [
     "orders_by_mktsegment_sortmerge", "str_rtree_range_query",
     "repeat_plan_sources", "raster_crosstab_classes",
     "image_phash_hamming_sub", "image_municipality_counts",
-    "phash_threshold_sweep",
+    "phash_threshold_sweep", "aspect_ratio_histogram",
+    "tile_mosaic_layout",
     "k_anonymity_audit", "l_diversity_audit", "shard_rebalance_flows",
     "d8_flow_directions", "d8_flow_accumulation", "d8_watershed_labels",
     "bivariate_moran_terms", "gearys_c_cells",

@@ -1850,3 +1850,86 @@ def kruskal_rank_sums(sf_dir: str):
     out["n_j"] = out["n_j"].astype(np.int64)
     out["ranksum2"] = out["ranksum2"].astype(np.int64)
     return out
+
+
+@register("spearman_value_hour", sql="""
+    WITH base AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      AS cents,
+                      CAST(epoch_us(ts) AS BIGINT)
+                          // 3600000000 % 24 AS hr
+                  FROM events),
+    j AS (SELECT cents, hr, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2),
+    cv AS (SELECT cents, CAST(SUM(n) AS BIGINT) AS nt FROM j GROUP BY 1),
+    rv AS (SELECT cents,
+                  2 * (CAST(SUM(nt) OVER (ORDER BY cents) AS BIGINT)
+                       - nt) + nt + 1 AS ra2
+           FROM cv),
+    ch AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS nt FROM j GROUP BY 1),
+    rh AS (SELECT hr,
+                  2 * (CAST(SUM(nt) OVER (ORDER BY hr) AS BIGINT)
+                       - nt) + nt + 1 AS rb2
+           FROM ch),
+    m AS (SELECT j.n, rv.ra2, rh.rb2
+          FROM j JOIN rv ON rv.cents = j.cents
+          JOIN rh ON rh.hr = j.hr)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(n * ra2) AS BIGINT) AS sa,
+           CAST(SUM(n * rb2) AS BIGINT) AS sb,
+           CAST(SUM(n * ra2 * rb2) AS BIGINT) AS sab,
+           CAST(SUM(n * ra2 * ra2) AS BIGINT) AS saa,
+           CAST(SUM(n * rb2 * rb2) AS BIGINT) AS sbb
+    FROM m""")
+def spearman_value_hour(sf_dir: str):
+    """Spearman rank correlation between event value and hour-of-day —
+    the tie-robust monotonic-association test (is spend higher late at
+    night?): both variables replaced by DOUBLED midranks (exact int64,
+    the Mann-Whitney machinery applied twice), reduced to the six exact
+    Pearson moment terms over ranks — the consumer forms
+    ρ = (n·Σab − Σa·Σb) / √((n·Σa²−(Σa)²)(n·Σb²−(Σb)²)) at any
+    precision (rational-output rule; cell_layer_corr_terms' contract).
+    Shape: ONLY the bounded (cents × 24-hour) joint histogram shuffles;
+    marginal rank prefix sums fold on the bounded axes."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["value", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        hr = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+              // 3_600_000_000) % 24
+        return (pa.table({"cents": pa.array(cents), "hr": pa.array(hr),
+                          "n": pa.array(np.ones(len(cents), np.int64))})
+                .group_by(["cents", "hr"]).aggregate([("n", "sum")])
+                .rename_columns(["cents", "hr", "n"]))
+
+    j = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+         .groupby(["cents", "hr"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    j = j.rename(columns=dict(zip(j.columns, ["cents", "hr", "n"])))
+    assert len(j) <= 2_000_000     # bounded joint histogram contract
+
+    def ranks2(tot: pd.DataFrame, key: str) -> dict:
+        tot = tot.sort_values(key, kind="mergesort")
+        nt = tot["n"].to_numpy(np.int64)
+        cum = np.cumsum(nt)
+        return dict(zip(tot[key], 2 * (cum - nt) + nt + 1))
+
+    ra = ranks2(j.groupby("cents", as_index=False)["n"].sum(), "cents")
+    rb = ranks2(j.groupby("hr", as_index=False)["n"].sum(), "hr")
+    n = j["n"].to_numpy(np.int64)
+    a = np.array([ra[c] for c in j["cents"]], np.int64)
+    b = np.array([rb[h] for h in j["hr"]], np.int64)
+    return pd.DataFrame({
+        "n_rows": np.array([int(n.sum())], np.int64),
+        "sa": np.array([int((n * a).sum())], np.int64),
+        "sb": np.array([int((n * b).sum())], np.int64),
+        "sab": np.array([int((n * a * b).sum())], np.int64),
+        "saa": np.array([int((n * a * a).sum())], np.int64),
+        "sbb": np.array([int((n * b * b).sum())], np.int64)})

@@ -529,3 +529,72 @@ def l_diversity_audit(sf_dir: str):
             "risky", pa.array((nd < LDIV_L).astype(np.int64)))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------- URL canonicalization + dedup (tracking params)
+
+CANON_PATH_MOD = 41      # shared page paths → real dup groups
+CANON_HOST_MOD = 13
+
+
+@register("url_canonical_dedup", sql=lambda: f"""
+    WITH u AS (SELECT doc_id,
+                      'https://h' || CAST(doc_id % {CANON_HOST_MOD}
+                                          AS VARCHAR)
+                      || '.ex.org/page/'
+                      || CAST(doc_id % {CANON_PATH_MOD} AS VARCHAR)
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN '?utm=x' || CAST(doc_id AS VARCHAR)
+                              ELSE '' END AS url
+               FROM documents),
+    c AS (SELECT doc_id, url,
+                 CASE WHEN strpos(url, '?') > 0
+                      THEN substr(url, 1, strpos(url, '?') - 1)
+                      ELSE url END AS canonical
+          FROM u)
+    SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE url <> canonical) AS BIGINT)
+               AS n_tracked,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM c GROUP BY 1""")
+def url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + dedup — the web-crawl preprocessing step
+    (the SAME page arrives under many tracking-parameter variants;
+    naive exact-URL dedup misses them all): strip the query string,
+    group by canonical form, keep the earliest citing doc. Planted
+    deterministic URLs (shared page paths + utm params on every even
+    doc, identical on both sides — the content_queries fixture pattern)
+    give real dup groups at every sf. Shape: URLs derive + canonicalize
+    inside the scan (vectorized Arrow string kernels); only
+    (canonical, counts, min-doc) partials shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        ds_ = d.astype("U20")
+        canonical = np.char.add(np.char.add(np.char.add(
+            "https://h", (d % CANON_HOST_MOD).astype("U2")),
+            ".ex.org/page/"), (d % CANON_PATH_MOD).astype("U2"))
+        tracked = (d % 2 == 0).astype(np.int64)
+        g = pd.DataFrame({"canonical": canonical, "doc_id": d,
+                          "tracked": tracked})
+        out = (g.groupby("canonical", as_index=False)
+               .agg(n_docs=("doc_id", "size"),
+                    n_tracked=("tracked", "sum"),
+                    keeper_doc=("doc_id", "min")))
+        for c in ("n_docs", "n_tracked", "keeper_doc"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (ds.map_batches(scan, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("canonical")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tracked", alias_name="n_tracked"),
+                      Min("keeper_doc", alias_name="keeper_doc")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["canonical", "n_docs", "n_tracked",
+                                    "keeper_doc"]),
+        batch_format="pyarrow")

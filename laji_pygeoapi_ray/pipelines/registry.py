@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = [
     "km_session_survival", "user_range_size_by_cell",
     "activity_weighted_value", "rake_keyword_scores",
     "vocab_loo_contribution", "mannwhitney_u_events",
-    "kruskal_rank_sums", "spearman_value_hour",
+    "kruskal_rank_sums", "spearman_value_hour", "url_canonical_dedup",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",

@@ -1933,3 +1933,80 @@ def spearman_value_hour(sf_dir: str):
         "sab": np.array([int((n * a * b).sum())], np.int64),
         "saa": np.array([int((n * a * a).sum())], np.int64),
         "sbb": np.array([int((n * b * b).sum())], np.int64)})
+
+
+WSR_SPLIT_US = 1_705_363_200_000_000   # 2024-01-16T00:00Z: month midpoint
+
+
+@register("wilcoxon_signed_rank_users", sql=f"""
+    WITH p AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                                         < {WSR_SPLIT_US}
+                                    THEN CAST(floor(value * 100 + 0.5)
+                                              AS BIGINT) ELSE 0 END)
+                           AS BIGINT) AS a,
+                      CAST(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                                         >= {WSR_SPLIT_US}
+                                    THEN CAST(floor(value * 100 + 0.5)
+                                              AS BIGINT) ELSE 0 END)
+                           AS BIGINT) AS b
+               FROM events GROUP BY 1),
+    d AS (SELECT user_id, b - a AS diff, abs(b - a) AS ad
+          FROM p WHERE b - a <> 0),
+    h AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS nt FROM d GROUP BY 1),
+    r AS (SELECT ad,
+                 2 * (CAST(SUM(nt) OVER (ORDER BY ad) AS BIGINT) - nt)
+                 + nt + 1 AS mr2
+          FROM h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d.diff > 0 THEN r.mr2 ELSE 0 END)
+                AS BIGINT) AS w_plus2,
+           CAST(SUM(r.mr2) AS BIGINT) AS w_total2
+    FROM d JOIN r ON r.ad = d.ad""")
+def wilcoxon_signed_rank_users(sf_dir: str):
+    """Wilcoxon signed-rank test — the PAIRED nonparametric test
+    completing the trio (Mann-Whitney: independent two-sample;
+    Kruskal-Wallis: k-sample): per user, total spend in the first vs
+    second half of the log; zero diffs dropped, |diff| replaced by
+    DOUBLED midranks, W⁺ = Σ ranks of positive diffs — all int64, the
+    consumer forms z from (w_plus2, w_total2, n_pairs) plus the tie
+    term derivable from the same histogram. Shape: per-user paired sums
+    via one user-keyed partial aggregate; the |diff| rank fold runs on
+    the bounded per-user table (≤ |users| rows, asserted)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5) \
+            .astype(np.int64)
+        first = us < WSR_SPLIT_US
+        return (pa.table({"user_id": t["user_id"],
+                          "a": pa.array(np.where(first, cents, 0)),
+                          "b": pa.array(np.where(first, 0, cents))})
+                .group_by(["user_id"])
+                .aggregate([("a", "sum"), ("b", "sum")])
+                .rename_columns(["user_id", "a", "b"]))
+
+    p = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+         .groupby("user_id")
+         .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+         .to_pandas())
+    p = p.rename(columns=dict(zip(p.columns, ["user_id", "a", "b"])))
+    assert len(p) <= 2_000_000      # bounded per-user fold contract
+    diff = (p["b"] - p["a"]).to_numpy(np.int64)
+    diff = diff[diff != 0]
+    ad = np.abs(diff)
+    uniq, cnt = np.unique(ad, return_counts=True)
+    cum = np.cumsum(cnt)
+    mr2 = 2 * (cum - cnt) + cnt + 1
+    rank2 = mr2[np.searchsorted(uniq, ad)]
+    return pd.DataFrame({
+        "n_pairs": np.array([len(diff)], np.int64),
+        "w_plus2": np.array([int(rank2[diff > 0].sum())], np.int64),
+        "w_total2": np.array([int(rank2.sum())], np.int64)})

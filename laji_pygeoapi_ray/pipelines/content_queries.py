@@ -573,7 +573,6 @@ def url_canonical_dedup(sf_dir: str):
 
     def scan(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)
-        ds_ = d.astype("U20")
         canonical = np.char.add(np.char.add(np.char.add(
             "https://h", (d % CANON_HOST_MOD).astype("U2")),
             ".ex.org/page/"), (d % CANON_PATH_MOD).astype("U2"))

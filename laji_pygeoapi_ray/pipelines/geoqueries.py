@@ -4972,13 +4972,9 @@ def user_range_size_by_cell(sf_dir: str):
     partials on the deduped pairs; ONE user-keyed hash join; only
     (cell, bucket) count partials in the finale — raw events never
     shuffle twice."""
-    import pyarrow.compute as pc
-
-    from ..stages.derive import derive_and_encode
     from ..stages.join import hash_join
     from ..stages.shuffle import partial_group_counts
 
-    key = f"cell{MED_RES}"
     ev = read_table(sf_dir, "events", ["event_id", "user_id"])
 
     def derive(t: pa.Table) -> pa.Table:
@@ -4993,15 +4989,15 @@ def user_range_size_by_cell(sf_dir: str):
         lambda t: t.select(["user_id", "cell"]),
         batch_format="pyarrow").materialize()
 
-    rng = partial_group_counts(pairs, ["user_id"], count_col="rng") \
-        .map_batches(lambda t: t.rename_columns(["user_id", "rng"]),
-                     batch_format="pyarrow")
+    rng = partial_group_counts(pairs, ["user_id"], count_col="rng")
     joined = hash_join(pairs, rng, on=["user_id"], num_buckets=16)
 
     def bucketed(t: pa.Table) -> pa.Table:
         r = t["rng"].to_numpy(zero_copy_only=False)
-        # floor(log2(int)) via bit_length — exact, no float log
-        b = np.array([int(v).bit_length() - 1 for v in r], np.int64)
+        # floor(log2(int)) via the float64 EXPONENT (np.frexp) — exact
+        # for every int < 2^53 and vectorized (a bit_length Python loop
+        # here paid interpreter cost per distinct (user, cell) pair)
+        b = (np.frexp(r.astype(np.float64))[1] - 1).astype(np.int64)
         return pa.table({"cell": t["cell"], "rng_bucket": pa.array(b)})
 
     out = partial_group_counts(

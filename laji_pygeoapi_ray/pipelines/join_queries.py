@@ -732,7 +732,7 @@ def activity_weighted_value(sf_dir: str):
     from ..stages.shuffle import partial_group_counts
 
     ev = read_table(sf_dir, "events",
-                    ["event_id", "user_id", "event_type", "value"])
+                    ["user_id", "event_type", "value"])
 
     dim = partial_group_counts(
         ev.map_batches(lambda t: t.select(["user_id"]),

@@ -1734,8 +1734,9 @@ def benford_digit_audit(sf_dir: str):
     s AS (SELECT CAST(SUM(na * mr2) AS BIGINT) AS ranksum2,
                  CAST(SUM(na) AS BIGINT) AS n_a FROM r),
     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM base)
-    SELECT s.n_a, g.n_all - s.n_a AS n_b,
-           s.ranksum2 - s.n_a * (s.n_a + 1) AS u2_a
+    SELECT COALESCE(s.n_a, 0) AS n_a,
+           g.n_all - COALESCE(s.n_a, 0) AS n_b,
+           COALESCE(s.ranksum2 - s.n_a * (s.n_a + 1), 0) AS u2_a
     FROM s, g""")
 def mannwhitney_u_events(sf_dir: str):
     """Mann-Whitney U (Wilcoxon rank-sum) between purchase and view
@@ -1777,14 +1778,13 @@ def mannwhitney_u_events(sf_dir: str):
     h = h.rename(columns=dict(zip(h.columns, ["cents", "na", "nt"])))
     h = h.sort_values("cents", kind="mergesort")
     assert len(h) <= 1_000_000     # bounded-histogram contract
+    from ..stages.shuffle import doubled_midranks
     nt = h["nt"].to_numpy(np.int64)
     na = h["na"].to_numpy(np.int64)
-    cum = np.cumsum(nt)
-    mr2 = 2 * (cum - nt) + nt + 1
+    mr2 = doubled_midranks(nt)
     n_a = int(na.sum())
     n_all = int(nt.sum())
     ranksum2 = int((na * mr2).sum())
-    import pandas as pd
     return pd.DataFrame({
         "n_a": np.array([n_a], np.int64),
         "n_b": np.array([n_all - n_a], np.int64),
@@ -1814,8 +1814,6 @@ def kruskal_rank_sums(sf_dir: str):
     correction from the same histogram (rational-output rule — every
     emitted number is int64). Same bounded-histogram shape: only
     (cents, type, count) rows shuffle."""
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "events", ["event_type", "value"])
@@ -1840,9 +1838,8 @@ def kruskal_rank_sums(sf_dir: str):
     assert len(h) <= 2_000_000     # bounded joint histogram contract
     tot = (h.groupby("cents", as_index=False)["n"].sum()
            .sort_values("cents", kind="mergesort"))
-    nt = tot["n"].to_numpy(np.int64)
-    cum = np.cumsum(nt)
-    tot["mr2"] = 2 * (cum - nt) + nt + 1
+    from ..stages.shuffle import doubled_midranks
+    tot["mr2"] = doubled_midranks(tot["n"].to_numpy(np.int64))
     m = h.merge(tot[["cents", "mr2"]], on="cents")
     out = (m.assign(rs2=m["n"] * m["mr2"])
            .groupby("event_type", as_index=False)
@@ -1890,8 +1887,6 @@ def spearman_value_hour(sf_dir: str):
     precision (rational-output rule; cell_layer_corr_terms' contract).
     Shape: ONLY the bounded (cents × 24-hour) joint histogram shuffles;
     marginal rank prefix sums fold on the bounded axes."""
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "events", ["value", "ts"])
@@ -1915,11 +1910,12 @@ def spearman_value_hour(sf_dir: str):
     j = j.rename(columns=dict(zip(j.columns, ["cents", "hr", "n"])))
     assert len(j) <= 2_000_000     # bounded joint histogram contract
 
+    from ..stages.shuffle import doubled_midranks
+
     def ranks2(tot: pd.DataFrame, key: str) -> dict:
         tot = tot.sort_values(key, kind="mergesort")
-        nt = tot["n"].to_numpy(np.int64)
-        cum = np.cumsum(nt)
-        return dict(zip(tot[key], 2 * (cum - nt) + nt + 1))
+        return dict(zip(tot[key],
+                        doubled_midranks(tot["n"].to_numpy(np.int64))))
 
     ra = ranks2(j.groupby("cents", as_index=False)["n"].sum(), "cents")
     rb = ranks2(j.groupby("hr", as_index=False)["n"].sum(), "hr")
@@ -1959,9 +1955,10 @@ WSR_SPLIT_US = 1_705_363_200_000_000   # 2024-01-16T00:00Z: month midpoint
                  + nt + 1 AS mr2
           FROM h)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN d.diff > 0 THEN r.mr2 ELSE 0 END)
+           CAST(COALESCE(SUM(CASE WHEN d.diff > 0
+                                  THEN r.mr2 ELSE 0 END), 0)
                 AS BIGINT) AS w_plus2,
-           CAST(SUM(r.mr2) AS BIGINT) AS w_total2
+           CAST(COALESCE(SUM(r.mr2), 0) AS BIGINT) AS w_total2
     FROM d JOIN r ON r.ad = d.ad""")
 def wilcoxon_signed_rank_users(sf_dir: str):
     """Wilcoxon signed-rank test — the PAIRED nonparametric test
@@ -1973,7 +1970,6 @@ def wilcoxon_signed_rank_users(sf_dir: str):
     term derivable from the same histogram. Shape: per-user paired sums
     via one user-keyed partial aggregate; the |diff| rank fold runs on
     the bounded per-user table (≤ |users| rows, asserted)."""
-    import pandas as pd
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
@@ -2002,10 +1998,9 @@ def wilcoxon_signed_rank_users(sf_dir: str):
     diff = (p["b"] - p["a"]).to_numpy(np.int64)
     diff = diff[diff != 0]
     ad = np.abs(diff)
+    from ..stages.shuffle import doubled_midranks
     uniq, cnt = np.unique(ad, return_counts=True)
-    cum = np.cumsum(cnt)
-    mr2 = 2 * (cum - cnt) + cnt + 1
-    rank2 = mr2[np.searchsorted(uniq, ad)]
+    rank2 = doubled_midranks(cnt)[np.searchsorted(uniq, ad)]
     return pd.DataFrame({
         "n_pairs": np.array([len(diff)], np.int64),
         "w_plus2": np.array([int(rank2[diff > 0].sum())], np.int64),

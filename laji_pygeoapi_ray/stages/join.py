@@ -317,6 +317,13 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
 
     import ray.data as rd
 
+    # ONE scan of the fact side: both branches consume the same
+    # materialized blocks (Ray does not dedupe a shared upstream plan
+    # across a union — without this the full read+prep lineage runs
+    # twice, doubling fact-side I/O; the blocks spill to the object
+    # store, which is the cheaper side of the tradeoff whenever the
+    # upstream includes real per-row compute)
+    big_ds = big_ds.materialize()
     hot_out = big_ds.map_batches(hot_part, batch_format="pandas")
     cold_big = big_ds.map_batches(cold_part, batch_format="pandas")
     if len(cold_dim):

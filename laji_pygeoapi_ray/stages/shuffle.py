@@ -394,3 +394,27 @@ def kmv_estimate(h: "np.ndarray", k: int = KMV_K) -> float:
     if len(h) < k:
         return float(len(h))
     return (k - 1) * 2.0 ** 64 / float(h[k - 1] + 1)
+
+
+def cents_quantized(values: "np.ndarray") -> "np.ndarray":
+    """The engine-wide 2-decimal money quantization (floor(x·100 + 0.5)
+    as int64) — the SQL twin is ``CAST(floor(value * 100 + 0.5) AS
+    BIGINT)``. One definition so the float playbook's rounding rule
+    can't drift between queries."""
+    import numpy as np
+
+    return np.floor(values * 100 + 0.5).astype(np.int64)
+
+
+def doubled_midranks(counts: "np.ndarray") -> "np.ndarray":
+    """DOUBLED midranks over a value histogram sorted by value:
+    a tied value with nt occurrences after cum_before smaller ones has
+    midrank cum_before + (nt+1)/2; ×2 keeps it int64-exact. The
+    load-bearing exactness trick of the rank-statistics family
+    (Mann-Whitney / Kruskal-Wallis / Spearman / Wilcoxon); SQL twin:
+    ``2 * (SUM(nt) OVER (ORDER BY v) - nt) + nt + 1``."""
+    import numpy as np
+
+    nt = np.asarray(counts, dtype=np.int64)
+    cum = np.cumsum(nt)
+    return 2 * (cum - nt) + nt + 1

@@ -5006,3 +5006,80 @@ def user_range_size_by_cell(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["cell5", "rng_bucket", "n_users"]),
         batch_format="pyarrow")
+
+
+# --------------------------------------- Getis-Ord General G (global)
+
+def _generalg_sql() -> str:
+    n, N, W = _morans_consts()
+    mask = (1 << cells.IY_SHIFT) - 1
+    return f"""
+    WITH pts AS (SELECT {cells.sql_cell('x', 'y', RES)} AS cell
+                 FROM ({_points_cte()})),
+    c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS x,
+                 cell & {mask} AS ix,
+                 (cell >> {cells.IY_SHIFT}) & {mask} AS iy
+          FROM pts GROUP BY 1),
+    base AS (SELECT CAST(SUM(x) AS BIGINT) AS s,
+                    CAST(SUM(x * x) AS BIGINT) AS sx2 FROM c),
+    cr AS (SELECT CAST(COALESCE(SUM(a.x * b.x), 0) AS BIGINT) AS cross_x
+           FROM c a JOIN c b
+           ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1)
+    SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
+           base.s AS n_points, cr.cross_x,
+           base.s * base.s - base.sx2 AS all_pairs_xx,
+           CAST(cr.cross_x AS DOUBLE)
+               / CAST(base.s * base.s - base.sx2 AS DOUBLE) AS general_g
+    FROM base, cr"""
+
+
+@register("general_g_cells", sql=_generalg_sql)
+def general_g_cells(sf_dir: str):
+    """Getis-Ord GENERAL G — the global high/low-value clustering
+    statistic completing the spatial-association suite (Moran's I:
+    covariance; Geary's C: differences; General G: raw co-location of
+    HIGH values): G = Σ_adjacent x_i·x_j / Σ_all-pairs x_i·x_j, both
+    pure int64 over the sparse table (the all-pairs term is S² − Σx² —
+    no pair enumeration), division pinned as one float expression.
+    Reuses morans_i's scatter/join machinery wholesale."""
+    import pandas as pd
+
+    from ..stages.join import hash_join
+    from ..stages.shuffle import partial_group_counts
+
+    n, N, W = _morans_consts()
+    key = f"cell{RES}"
+    cnt = partial_group_counts(_docs_points(sf_dir), [key]).materialize()
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(x.sum())], pa.int64()),
+                         "sx2": pa.array([int((x * x).sum())],
+                                         pa.int64())})
+
+    b = cnt.map_batches(part, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("sx2", alias_name="sx2"))
+    s, sx2 = int(b["s"]), int(b["sx2"])
+
+    nbr = _rook_neighbor_sums(cnt, key, n)
+    joined = hash_join(
+        nbr.map_batches(lambda t: t.rename_columns([key, "sx"]),
+                        batch_format="pyarrow"),
+        cnt, on=[key], num_buckets=16)
+
+    def cross_part(t: pa.Table) -> pa.Table:
+        v = (t["sx"].to_numpy(zero_copy_only=False)
+             * t["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"cx": pa.array([int(v.sum())], pa.int64())})
+
+    cross_x = int(joined.map_batches(cross_part, batch_format="pyarrow")
+                  .aggregate(Sum("cx", alias_name="cx"))["cx"])
+    allp = s * s - sx2
+    return pd.DataFrame({
+        "n_cells": np.array([N], np.int64),
+        "w_pairs": np.array([W], np.int64),
+        "n_points": np.array([s], np.int64),
+        "cross_x": np.array([cross_x], np.int64),
+        "all_pairs_xx": np.array([allp], np.int64),
+        "general_g": np.array([np.float64(cross_x) / np.float64(allp)],
+                              np.float64)})

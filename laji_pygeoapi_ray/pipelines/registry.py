@@ -65,7 +65,8 @@ _DRIVER_PRIORITY = [
     "activity_weighted_value", "rake_keyword_scores",
     "vocab_loo_contribution", "mannwhitney_u_events",
     "kruskal_rank_sums", "spearman_value_hour", "url_canonical_dedup",
-    "wilcoxon_signed_rank_users",
+    "wilcoxon_signed_rank_users", "friedman_rank_sums",
+    "general_g_cells",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification
     "rect_overlap_doc_pairs", "dsir_importance_topk",

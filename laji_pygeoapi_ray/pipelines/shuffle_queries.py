@@ -2005,3 +2005,87 @@ def wilcoxon_signed_rank_users(sf_dir: str):
         "n_pairs": np.array([len(diff)], np.int64),
         "w_plus2": np.array([int(rank2[diff > 0].sum())], np.int64),
         "w_total2": np.array([int(rank2.sum())], np.int64)})
+
+
+@register("friedman_rank_sums", sql="""
+    WITH p AS (SELECT user_id, event_type,
+                      CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+    full_u AS (SELECT user_id FROM p
+               GROUP BY 1 HAVING COUNT(*) = 5),
+    r AS (SELECT p.user_id, p.event_type,
+                 2 * (CAST(COUNT(*) FILTER (WHERE p2.cents < p.cents)
+                           AS BIGINT))
+                 + CAST(COUNT(*) FILTER (WHERE p2.cents = p.cents)
+                        AS BIGINT) + 1 AS mr2
+          FROM p JOIN full_u USING (user_id)
+          JOIN p p2 ON p2.user_id = p.user_id
+          GROUP BY 1, 2)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(mr2) AS BIGINT) AS ranksum2
+    FROM r GROUP BY 1""")
+def friedman_rank_sums(sf_dir: str):
+    """Friedman rank sums — the BLOCKED k-sample test closing the rank
+    family (blocks = users, treatments = the 5 event types, ranks
+    WITHIN each user): per type, the number of complete blocks and the
+    doubled-midrank sum; the consumer forms the Friedman χ² (or
+    Kendall's W concordance) from these integers. Only users with all
+    5 types count (complete blocks — the classical requirement).
+    Shape: per-(user, type) cent sums via one partial aggregate; the
+    within-block ranking needs each user's ≤5 rows co-located — one
+    user-keyed grouped_apply; ≤ 5 output rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import (cents_quantized, doubled_midranks,
+                                  grouped_apply)
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = cents_quantized(
+            t["value"].to_numpy(zero_copy_only=False))
+        return (pa.table({"user_id": t["user_id"],
+                          "event_type": t["event_type"],
+                          "cents": pa.array(cents)})
+                .group_by(["user_id", "event_type"])
+                .aggregate([("cents", "sum")])
+                .rename_columns(["user_id", "event_type", "cents"]))
+
+    p = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+         .groupby(["user_id", "event_type"])
+         .aggregate(Sum("cents", alias_name="cents"))
+         .map_batches(lambda t: t.rename_columns(
+             ["user_id", "event_type", "cents"]),
+             batch_format="pyarrow"))
+
+    def block_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            if len(g) != 5:
+                continue            # incomplete block
+            c = g["cents"].to_numpy(np.int64)
+            uniq, inv, cnt = np.unique(c, return_inverse=True,
+                                       return_counts=True)
+            mr2 = doubled_midranks(cnt)[inv]
+            out.append(pd.DataFrame({
+                "event_type": g["event_type"].to_numpy(),
+                "mr2": mr2,
+                "one": np.ones(len(g), np.int64)}))
+        if not out:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "mr2": pd.Series([], dtype=np.int64),
+                "one": pd.Series([], dtype=np.int64)})
+        d = pd.concat(out, ignore_index=True)
+        return (d.groupby("event_type", as_index=False)
+                .agg(n_blocks=("one", "sum"), ranksum2=("mr2", "sum")))
+
+    parts = grouped_apply(p, ["user_id"], block_rank, num_buckets=16)
+    agg = (parts.groupby("event_type")
+           .aggregate(Sum("n_blocks", alias_name="n_blocks"),
+                      Sum("ranksum2", alias_name="ranksum2")))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_blocks",
+                                    "ranksum2"]),
+        batch_format="pyarrow")

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "vocab_loo_contribution", "mannwhitney_u_events",
     "kruskal_rank_sums", "spearman_value_hour", "url_canonical_dedup",
     "wilcoxon_signed_rank_users", "friedman_rank_sums",
+    "kendall_tau_terms",
     "general_g_cells",
     # new round-4 operators (second session): rectangle-overlap spatial
     # join, DSIR importance scores, image-ANN plumbing certification

@@ -2089,3 +2089,104 @@ def friedman_rank_sums(sf_dir: str):
         lambda t: t.rename_columns(["event_type", "n_blocks",
                                     "ranksum2"]),
         batch_format="pyarrow")
+
+
+@register("kendall_tau_terms", sql="""
+    WITH base AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      AS cents,
+                      CAST(epoch_us(ts) AS BIGINT)
+                          // 3600000000 % 24 AS hr
+                  FROM events),
+    j AS (SELECT cents, hr, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2),
+    g AS (SELECT c.cents, h.hr, CAST(COALESCE(j.n, 0) AS BIGINT) AS n
+          FROM (SELECT DISTINCT cents FROM j) c
+          CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hr) h
+          LEFT JOIN j ON j.cents = c.cents AND j.hr = h.hr),
+    a AS (SELECT cents, hr, n,
+                 CAST(COALESCE(SUM(n) OVER (PARTITION BY hr
+                          ORDER BY cents ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS below
+          FROM g),
+    b AS (SELECT cents, hr, n,
+                 CAST(COALESCE(SUM(below) OVER (PARTITION BY cents
+                          ORDER BY hr ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cless,
+                 CAST(COALESCE(SUM(below) OVER (PARTITION BY cents
+                          ORDER BY hr DESC ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cmore
+          FROM a),
+    mx AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS tied_x
+           FROM (SELECT CAST(SUM(n) AS BIGINT) AS s FROM j GROUP BY cents)),
+    my AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS tied_y
+           FROM (SELECT CAST(SUM(n) AS BIGINT) AS s FROM j GROUP BY hr)),
+    mxy AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tied_xy,
+                   CAST(SUM(n) AS BIGINT) AS n_rows FROM j)
+    SELECT mxy.n_rows,
+           CAST(SUM(b.n * b.cless) AS BIGINT) AS concordant,
+           CAST(SUM(b.n * b.cmore) AS BIGINT) AS discordant,
+           mx.tied_x, my.tied_y, mxy.tied_xy
+    FROM b, mx, my, mxy
+    GROUP BY mxy.n_rows, mx.tied_x, my.tied_y, mxy.tied_xy""")
+def kendall_tau_terms(sf_dir: str):
+    """Kendall's τ-b terms (value × hour-of-day) — the pair-concordance
+    correlation completing the association suite (Spearman ranks values;
+    Kendall counts ORDERED PAIRS, robust to monotone transforms of
+    either axis): exact integer concordant/discordant pair counts via a
+    2-D EXCLUSIVE prefix sum over the densified bounded joint grid
+    (distinct cents × 24 — no pair enumeration; the O(n²) pair space
+    collapses onto a ≤240k-cell grid), plus the three tie-pair counts
+    from the marginals; the consumer forms
+    τ_b = (C − D)/√((T₀−Tx)(T₀−Ty)). Only the joint histogram
+    shuffles."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import cents_quantized
+
+    ds = read_table(sf_dir, "events", ["value", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = cents_quantized(
+            t["value"].to_numpy(zero_copy_only=False))
+        hr = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+              // 3_600_000_000) % 24
+        return (pa.table({"cents": pa.array(cents), "hr": pa.array(hr),
+                          "n": pa.array(np.ones(len(cents), np.int64))})
+                .group_by(["cents", "hr"]).aggregate([("n", "sum")])
+                .rename_columns(["cents", "hr", "n"]))
+
+    j = (ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+         .groupby(["cents", "hr"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    j = j.rename(columns=dict(zip(j.columns, ["cents", "hr", "n"])))
+    assert len(j) <= 2_000_000     # bounded joint histogram contract
+
+    cents_vals = np.sort(j["cents"].unique())
+    ci = np.searchsorted(cents_vals, j["cents"].to_numpy(np.int64))
+    M = np.zeros((len(cents_vals), 24), np.int64)
+    M[ci, j["hr"].to_numpy(np.int64)] = j["n"].to_numpy(np.int64)
+    below = np.vstack([np.zeros((1, 24), np.int64),
+                       np.cumsum(M, axis=0)[:-1]])
+    cless = np.hstack([np.zeros((len(cents_vals), 1), np.int64),
+                       np.cumsum(below, axis=1)[:, :-1]])
+    cmore = np.hstack([np.cumsum(below[:, ::-1], axis=1)[:, :-1][:, ::-1],
+                       np.zeros((len(cents_vals), 1), np.int64)])
+    concordant = int((M * cless).sum())
+    discordant = int((M * cmore).sum())
+    nx = M.sum(axis=1)
+    ny = M.sum(axis=0)
+    n_rows = int(M.sum())
+    import pandas as pd
+    return pd.DataFrame({
+        "n_rows": np.array([n_rows], np.int64),
+        "concordant": np.array([concordant], np.int64),
+        "discordant": np.array([discordant], np.int64),
+        "tied_x": np.array([int((nx * (nx - 1) // 2).sum())], np.int64),
+        "tied_y": np.array([int((ny * (ny - 1) // 2).sum())], np.int64),
+        "tied_xy": np.array([int((M * (M - 1) // 2).sum())], np.int64)})

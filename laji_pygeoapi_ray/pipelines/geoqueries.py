@@ -4746,14 +4746,23 @@ def _bimoran_sql() -> str:
            ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1)
     SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
            sa.s AS n_docs, sb.s AS n_events, cr.cab AS cross_ab,
-           {N} * {N} * cr.cab - {N} * sb.s * sa.degv
-               - {N} * sa.s * sb.degv + sa.s * sb.s * {W} AS num_scaled,
-           {N} * {N} * sa.s2 - {N} * sa.s * sa.s AS den_a,
-           {N} * {N} * sb.s2 - {N} * sb.s * sb.s AS den_b,
-           (CAST({N} * {N} * cr.cab - {N} * sb.s * sa.degv
-                 - {N} * sa.s * sb.degv + sa.s * sb.s * {W} AS DOUBLE)
-            / sqrt(CAST({N} * {N} * sa.s2 - {N} * sa.s * sa.s AS DOUBLE)
-                   * CAST({N} * {N} * sb.s2 - {N} * sb.s * sb.s
+           CAST(CAST({N} AS HUGEINT) * {N} * cr.cab
+                - CAST({N} AS HUGEINT) * sb.s * sa.degv
+                - CAST({N} AS HUGEINT) * sa.s * sb.degv
+                + CAST(sa.s AS HUGEINT) * sb.s * {W} AS BIGINT)
+               AS num_scaled,
+           CAST(CAST({N} AS HUGEINT) * {N} * sa.s2
+                - CAST({N} AS HUGEINT) * sa.s * sa.s AS BIGINT) AS den_a,
+           CAST(CAST({N} AS HUGEINT) * {N} * sb.s2
+                - CAST({N} AS HUGEINT) * sb.s * sb.s AS BIGINT) AS den_b,
+           (CAST(CAST({N} AS HUGEINT) * {N} * cr.cab
+                 - CAST({N} AS HUGEINT) * sb.s * sa.degv
+                 - CAST({N} AS HUGEINT) * sa.s * sb.degv
+                 + CAST(sa.s AS HUGEINT) * sb.s * {W} AS DOUBLE)
+            / sqrt(CAST(CAST({N} AS HUGEINT) * {N} * sa.s2
+                        - CAST({N} AS HUGEINT) * sa.s * sa.s AS DOUBLE)
+                   * CAST(CAST({N} AS HUGEINT) * {N} * sb.s2
+                          - CAST({N} AS HUGEINT) * sb.s * sb.s
                           AS DOUBLE)))
            * (CAST({N} AS DOUBLE) / CAST({W} AS DOUBLE)) AS moran_xy
     FROM sa, sb, cr"""
@@ -4866,12 +4875,15 @@ def _geary_sql() -> str:
     SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
            base.s AS n_points,
            2 * (base.degx2 - cr.cross_x) AS num_inner,
-           {N} * base.sx2 - base.s * base.s AS den_scaled,
+           CAST(CAST({N} AS HUGEINT) * base.sx2
+                - CAST(base.s AS HUGEINT) * base.s AS BIGINT)
+               AS den_scaled,
            (CAST({N - 1} AS DOUBLE)
             * CAST(2 * (base.degx2 - cr.cross_x) AS DOUBLE)
             * CAST({N} AS DOUBLE))
            / (CAST(2 * {W} AS DOUBLE)
-              * CAST({N} * base.sx2 - base.s * base.s AS DOUBLE))
+              * CAST(CAST({N} AS HUGEINT) * base.sx2
+                     - CAST(base.s AS HUGEINT) * base.s AS DOUBLE))
                AS gearys_c
     FROM base, cr"""
 
@@ -5027,9 +5039,11 @@ def _generalg_sql() -> str:
            ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1)
     SELECT CAST({N} AS BIGINT) AS n_cells, CAST({W} AS BIGINT) AS w_pairs,
            base.s AS n_points, cr.cross_x,
-           base.s * base.s - base.sx2 AS all_pairs_xx,
+           CAST(CAST(base.s AS HUGEINT) * base.s - base.sx2 AS BIGINT)
+               AS all_pairs_xx,
            CAST(cr.cross_x AS DOUBLE)
-               / CAST(base.s * base.s - base.sx2 AS DOUBLE) AS general_g
+               / CAST(CAST(base.s AS HUGEINT) * base.s - base.sx2
+                      AS DOUBLE) AS general_g
     FROM base, cr"""
 
 

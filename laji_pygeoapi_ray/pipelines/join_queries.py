@@ -541,6 +541,16 @@ def returned_item_topk(sf_dir: str):
     top = top.drop_columns(["rank"])
 
     keys = top["c_custkey"].to_pylist()
+    if not keys:
+        # empty date-window/returnflag selection: return a TYPED empty
+        # table (the cross_source_dup_matrix convention) — the pruned
+        # customer read with filters=[("c_custkey","in",[])] and the
+        # arrow join/sort below must never run on untyped empties
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "revenue_x10000": pa.array([], pa.int64()),
+                         "c_acctbal": pa.array([], pa.float64()),
+                         "nation": pa.array([], pa.string())})
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],

@@ -2124,13 +2124,18 @@ def friedman_rank_sums(sf_dir: str):
     my AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS tied_y
            FROM (SELECT CAST(SUM(n) AS BIGINT) AS s FROM j GROUP BY hr)),
     mxy AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tied_xy,
-                   CAST(SUM(n) AS BIGINT) AS n_rows FROM j)
-    SELECT mxy.n_rows,
-           CAST(SUM(b.n * b.cless) AS BIGINT) AS concordant,
-           CAST(SUM(b.n * b.cmore) AS BIGINT) AS discordant,
-           mx.tied_x, my.tied_y, mxy.tied_xy
-    FROM b, mx, my, mxy
-    GROUP BY mxy.n_rows, mx.tied_x, my.tied_y, mxy.tied_xy""")
+                   CAST(SUM(n) AS BIGINT) AS n_rows FROM j),
+    cd AS (SELECT CAST(COALESCE(SUM(n * cless), 0) AS BIGINT)
+                      AS concordant,
+                  CAST(COALESCE(SUM(n * cmore), 0) AS BIGINT)
+                      AS discordant
+           FROM b)
+    SELECT CAST(COALESCE(mxy.n_rows, 0) AS BIGINT) AS n_rows,
+           cd.concordant, cd.discordant,
+           CAST(COALESCE(mx.tied_x, 0) AS BIGINT) AS tied_x,
+           CAST(COALESCE(my.tied_y, 0) AS BIGINT) AS tied_y,
+           CAST(COALESCE(mxy.tied_xy, 0) AS BIGINT) AS tied_xy
+    FROM cd, mx, my, mxy""")
 def kendall_tau_terms(sf_dir: str):
     """Kendall's τ-b terms (value × hour-of-day) — the pair-concordance
     correlation completing the association suite (Spearman ranks values;

@@ -95,9 +95,16 @@ def test_rebalance_flow_feasibility_and_minimality():
         inflow = np.concatenate(([0], flow[:-1]))
         outflow = flow
         assert ((sizes + inflow - outflow) == target).all()
-        # minimality on a line: any plan must move at least |prefix sum|
-        # across each boundary, so sum |flow| is a lower bound met here
-        assert int(np.abs(flow).sum()) >= 0
+        # minimality on a line: the true minimum total movement is the
+        # 1-D optimal-transport cost — match surplus units to deficit
+        # units in sorted position order (classic EMD on the line) and
+        # sum the distances; the boundary-flow plan must achieve it
+        surplus = np.maximum(sizes - target, 0)
+        deficit = np.maximum(target - sizes, 0)
+        s_pos = np.repeat(np.arange(n), surplus)
+        d_pos = np.repeat(np.arange(n), deficit)
+        emd = int(np.abs(s_pos - d_pos).sum())
+        assert int(np.abs(flow).sum()) == emd
 
 
 def test_audit_orphan_counts_vs_pandas():

@@ -220,9 +220,17 @@ def hybrid_rrf_topk(sf_dir: str):
             .filter(pc.not_equal(flat, ""))
         return pairs.group_by(["doc_id", "token"]).aggregate([])
 
-    ctok = docs.map_batches(tok_pairs, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    qtok = ctok.map_batches(
+    # spill to Parquet, not materialize(): the (doc, token) table is
+    # corpus-proportional and feeds TWO consumers (query extraction +
+    # the scoring scan) — the Parquet checkpoint streams the producer
+    # once without pinning a corpus-sized table in the object store
+    from ..state.spill import spill_checkpoint
+
+    read_ctok = spill_checkpoint(
+        docs.map_batches(tok_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True), "rrf_ctok")
+    ctok = read_ctok()
+    qtok = read_ctok().map_batches(
         lambda t: t.filter(pa.array(
             t["doc_id"].to_numpy(zero_copy_only=False) % QUERY_MOD == 0))
         .rename_columns(["query_id", "token"]), batch_format="pyarrow")

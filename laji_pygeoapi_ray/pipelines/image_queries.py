@@ -208,14 +208,19 @@ def image_ann_neardup(sf_dir: str):
     emb = ds.select_columns(["img_no", "img_vec"]).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]),
         batch_format="pyarrow")
-    # materialize ONCE: the query-vector extraction below and the corpus
-    # scan inside ann_topk_broadcast both consume `emb` — without this the
-    # lazy decode+embed pipeline (the most expensive stage) executes twice
-    emb = emb.materialize()
-    qdf = emb.map_batches(
+    # spill ONCE to partitioned Parquet: the query-vector extraction below
+    # and the corpus scan inside ann_topk_broadcast both consume `emb` —
+    # the decode+embed lineage (the most expensive stage) executes exactly
+    # once, and unlike materialize() nothing is pinned in the object store
+    # (at 10^12 images the embedding table alone is ~0.5 PB; Parquet is
+    # the right checkpoint medium, and the spill doubles as a resume point)
+    from ..state.spill import spill_checkpoint
+
+    read_emb = spill_checkpoint(emb, "img_ann_emb")
+    qdf = read_emb().map_batches(
         lambda df: df[df["vec_id"] % 20 == 0],
         batch_format="pandas").to_pandas()
-    return ann_topk_broadcast(emb, qdf, 5)
+    return ann_topk_broadcast(read_emb(), qdf, 5)
 
 
 def video_frame_sample(sf_dir: str):

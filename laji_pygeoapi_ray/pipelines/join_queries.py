@@ -767,7 +767,12 @@ def activity_weighted_value(sf_dir: str):
 
     joined = skew_split_join(
         ev.map_batches(prep, batch_format="pyarrow"), dim,
-        on="user_id", hot_keys=hot)
+        on="user_id", hot_keys=hot,
+        # prep's output schema is declared statically → no schema probe,
+        # the fact lineage executes exactly once
+        fact_schema=pa.schema([("user_id", pa.int64()),
+                               ("event_type", pa.string()),
+                               ("cents", pa.int64())]))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         w = (df["cents"].to_numpy(np.int64)

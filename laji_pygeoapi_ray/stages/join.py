@@ -21,13 +21,18 @@ import ray
 from .shuffle import grouped_apply
 
 
-def _tag_union(left_ds, right_ds):
+def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None):
     """Tag both sides with ``__side`` and union into one dataset with the
     column-union schema (typed null-fill; int columns absent on one side
     carried as pandas nullable Int64/UInt64 so values above 2^53 survive).
     Shared by ``hash_join`` and ``sort_merge_join``. Returns
-    (tagged, lcols, rcols, types, all_cols)."""
-    lschema, rschema = left_ds.schema(), right_ds.schema()
+    (tagged, lcols, rcols, types, all_cols). Pass ``left_schema`` /
+    ``right_schema`` (ray Schema or pa.Schema — anything with
+    .names/.types) when known to skip the ``Dataset.schema()`` limit-1
+    probe, which costs a prefix execution of the lineage."""
+    lschema = left_schema if left_schema is not None else left_ds.schema()
+    rschema = (right_schema if right_schema is not None
+               else right_ds.schema())
     lcols, rcols = lschema.names, rschema.names
     all_cols = list(dict.fromkeys(lcols + rcols))
     # typed null-fill: an untyped pa.nulls column gives the two union sides
@@ -93,9 +98,11 @@ def _tag_union(left_ds, right_ds):
 
 
 def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
-              num_buckets: int = 64):
+              num_buckets: int | None = None):
     """Partitioned hash join on ``on`` (columns present on both sides;
-    non-key column names must not collide — pre-rename)."""
+    non-key column names must not collide — pre-rename). ``num_buckets``
+    defaults to ``shuffle.default_num_buckets()`` (~2× cluster cores,
+    floor 16) so the shuffle fan-out tracks the cluster, not a constant."""
     tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -193,44 +200,79 @@ def bloom_semi_join(big_ds, small_keys: "np.ndarray", on: str,
     return big_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _merge_weighted_samples(q: "np.ndarray", w: "np.ndarray",
+                            keep: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Compress weighted quantile samples to ≤ ``keep`` points: sort by
+    value, walk the cumulative weight, keep the sample at each of ``keep``
+    evenly spaced weight targets (each kept point carries total/keep).
+    Precision only affects partition balance, never correctness."""
+    order = np.argsort(q, kind="mergesort")
+    q, w = q[order], w[order]
+    cum = np.cumsum(w)
+    total = float(cum[-1])
+    targets = (np.arange(1, keep + 1) / keep) * total
+    idx = np.minimum(np.searchsorted(cum, targets), len(q) - 1)
+    return q[idx], np.full(len(idx), total / keep)
+
+
 def range_boundaries(ds, col: str, num_ranges: int, *,
-                     n_bins: int = 4096) -> "np.ndarray":
+                     sample_per_batch: int = 256,
+                     driver_keep: int = 4096) -> "np.ndarray":
     """Approximate equal-COUNT range boundaries of a numeric column from
-    ONE per-batch histogram pass (combine-before-shuffle: each batch ships
-    n_bins ints, the driver folds them). Deterministic; boundary precision
-    only affects partition balance, never correctness — both join sides
-    range-tag with the same searchsorted."""
-    from ray.data.aggregate import Max, Min
+    ONE scan (sample-sort / TeraSort style): each batch ships ≤
+    ``sample_per_batch`` weighted local quantiles (a few KB), a distributed
+    combine layer compresses runs of those samples, and the driver folds
+    the remainder into boundaries. Replaces the former min/max-aggregate +
+    histogram design, which scanned the input twice. Deterministic (evenly
+    spaced order statistics, no RNG); boundary precision only affects
+    partition balance, never correctness — both join sides range-tag with
+    the same searchsorted."""
 
-    stats = ds.aggregate(Min(col), Max(col))
-    if stats is None or stats.get(f"min({col})") is None:
-        return np.empty(0, np.float64)      # empty input: no boundaries
-    lo = float(stats[f"min({col})"])
-    hi = float(stats[f"max({col})"])
-    if not lo < hi:
-        return np.empty(0, np.float64)
-    width = (hi - lo) / n_bins
-
-    def hist(t: pa.Table) -> pa.Table:
+    def sample(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-        return pa.table({"bin": np.arange(n_bins, dtype=np.int64),
-                         "cnt": np.bincount(b, minlength=n_bins)
-                         .astype(np.int64)})
+        v = np.sort(v[~np.isnan(v)])
+        if not len(v):
+            return pa.table({"q": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        k = min(sample_per_batch, len(v))
+        idx = np.unique(np.round(np.linspace(0, len(v) - 1, k))
+                        .astype(np.int64))
+        return pa.table({"q": v[idx],
+                         "w": np.full(len(idx), len(v) / len(idx),
+                                      np.float64)})
 
-    total = np.zeros(n_bins, dtype=np.int64)
-    for bt in (ds.map_batches(hist, batch_format="pyarrow")
+    def combine(t: pa.Table) -> pa.Table:
+        # distributed pre-fold: ≤64k sample rows in → ≤1024 out, so the
+        # driver never sees more than ~(input_batches/256) samples; at
+        # extreme scale stack another identical layer
+        q = t["q"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        if len(q) <= 1024:
+            return t
+        q, w = _merge_weighted_samples(q, w, 1024)
+        return pa.table({"q": q, "w": w})
+
+    qs, ws = [], []
+    for bt in (ds.map_batches(sample, batch_format="pyarrow")
+               .map_batches(combine, batch_format="pyarrow",
+                            batch_size=65536)
                .iter_batches(batch_size=None, batch_format="pyarrow")):
-        # np.add.at, NOT fancy-index +=: Ray may coalesce several per-call
-        # histogram tables into one block, so a batch can repeat bin ids —
-        # fancy-index += applies only one add per duplicate and undercounts
-        np.add.at(total, bt["bin"].to_numpy(zero_copy_only=False),
-                  bt["cnt"].to_numpy(zero_copy_only=False))
-    cum = np.cumsum(total)
-    n = int(cum[-1])
-    bounds = {float(lo + (int(np.searchsorted(cum, i * n // num_ranges))
-                          + 1) * width)
-              for i in range(1, num_ranges)}
+        qs.append(bt["q"].to_numpy(zero_copy_only=False))
+        ws.append(bt["w"].to_numpy(zero_copy_only=False))
+    if not qs:
+        return np.empty(0, np.float64)
+    q, w = np.concatenate(qs), np.concatenate(ws)
+    if not len(q) or q.min() == q.max():
+        return np.empty(0, np.float64)      # empty / single-valued input
+    if len(q) > driver_keep:
+        q, w = _merge_weighted_samples(q, w, driver_keep)
+    order = np.argsort(q, kind="mergesort")
+    q, w = q[order], w[order]
+    cum = np.cumsum(w)
+    total = float(cum[-1])
+    bounds = {float(q[min(int(np.searchsorted(
+        cum, i * total / num_ranges)), len(q) - 1)])
+        for i in range(1, num_ranges)}
     return np.array(sorted(bounds), np.float64)
 
 
@@ -239,14 +281,16 @@ def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
     """RANGE-partitioned sort-merge join on one numeric key — the third
     join backend next to ``hash_join`` (hash-bucketed) and
     ``broadcast_join`` (no shuffle), certified against the same oracle by
-    orders_by_mktsegment_sortmerge. Boundaries come from one histogram
-    pass over the LEFT key (approximate equal-count, so a skewed key
-    space still balances); both sides tag ranges with the identical
-    searchsorted, so co-location is exact wherever the boundaries land;
-    each range sorts its two slices by key and merges. Unlike the hash
-    backend the output arrives range-ORDERED by key — the property a
-    downstream merge consumer (as-of, interval join, range-partitioned
-    write) can exploit without re-sorting."""
+    orders_by_mktsegment_sortmerge. Boundaries come from ONE weighted-
+    sample pass over the LEFT key (approximate equal-count, so a skewed
+    key space still balances) — so the left lineage executes exactly
+    twice (boundary scan + join scan), never three times, and nothing is
+    materialized; both sides tag ranges with the identical searchsorted,
+    so co-location is exact wherever the boundaries land; each range
+    sorts its two slices by key and merges. Unlike the hash backend the
+    output arrives range-ORDERED by key — the property a downstream
+    merge consumer (as-of, interval join, range-partitioned write) can
+    exploit without re-sorting."""
     from .shuffle import cast_columns
 
     tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
@@ -280,21 +324,52 @@ def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
 
 
 def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
-                    hot_keys: "np.ndarray"):
-    """Skew-mitigated inner equi-join of a BIG fact side against a small
+                    hot_keys: "np.ndarray", num_buckets: int | None = None,
+                    fact_schema: "pa.Schema | None" = None):
+    """Skew-mitigated inner equi-join of a BIG fact side against a
     dimension when a few keys dominate the fact table (the join sibling
-    of the salted-aggregation pattern): rows with a HOT key join against
-    a broadcast slice of the dimension inside ``map_batches`` (those
-    keys never enter the shuffle, so no bucket receives a
-    data-scale-sized group), while the cold remainder takes the normal
-    bucketed ``hash_join``. Result equals a plain join — certified by
-    the hash_join-equality property test on zipf data
-    (tests/test_round4f_kernels.py). ``hot_keys`` typically comes from
-    a heavy-hitter pass (shuffle.heavy_hitters_exact)."""
+    of the salted-aggregation pattern), as a SINGLE-PASS tag-and-route:
+    one ``map_batches`` over the fact side inline-joins HOT-key rows
+    against the broadcast hot slice of the dimension and tags them
+    ``__hot=1`` with a round-robin bucket (so the hot key's mass spreads
+    UNIFORMLY across the shuffle instead of landing in one
+    data-scale-sized hash bucket), while cold rows tag
+    ``__hot=0, __bucket=hash(key)``; the cold dimension slice tags the
+    same key-hash buckets and the single bucketed exchange finishes the
+    cold join per bucket, passing hot rows through untouched. The fact
+    side is scanned exactly ONCE and nothing is materialized — the former
+    design's full-fact ``materialize()`` (an object-store/spill storm at
+    100 TB) is gone. Result equals a plain join — certified by the
+    plain-merge property test on zipf data (tests/test_round4f_kernels.py)
+    and the ``activity_weighted_value`` oracle. ``hot_keys`` typically
+    comes from a heavy-hitter pass (shuffle.heavy_hitters_exact);
+    ``num_buckets`` defaults to ``default_num_buckets()``. Pass
+    ``fact_schema`` (callers usually know it statically — parquet
+    fragment metadata / the prep stage's declared output) to skip even
+    the limit-1 ``Dataset.schema()`` probe, making the fact lineage
+    execute EXACTLY once."""
+    import ray.data as rd
+
+    from .shuffle import add_bucket, cast_columns, default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
     hot = np.unique(np.asarray(hot_keys, dtype=np.int64))
-    hot_dim = small_df[small_df[on].isin(hot)]
-    cold_dim = small_df[~small_df[on].isin(hot)]
+    hot_dim = small_df[small_df[on].isin(hot)].reset_index(drop=True)
+    cold_dim = small_df[~small_df[on].isin(hot)].reset_index(drop=True)
     ref = ray.put((hot, hot_dim))
+
+    if fact_schema is None:
+        fact_schema = big_ds.schema()
+    fact_cols = list(fact_schema.names)
+    dim_schema = pa.Schema.from_pandas(small_df, preserve_index=False)
+    dim_extra = [c for c in dim_schema.names if c != on]
+    out_cols = fact_cols + dim_extra
+    types = {n: t for n, t in zip(fact_schema.names, fact_schema.types)}
+    for c in dim_extra:
+        types[c] = dim_schema.field(c).type
+    combined = pa.schema(
+        [pa.field(c, types[c]) for c in out_cols]
+        + [pa.field("__hot", pa.int8()), pa.field("__bucket", pa.int64())])
 
     def _is_hot(h: "np.ndarray", keys: "np.ndarray") -> "np.ndarray":
         if not len(h):
@@ -302,35 +377,67 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
         pos = np.searchsorted(h, keys)
         return (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == keys)
 
-    def hot_part(df: "pd.DataFrame") -> "pd.DataFrame":
-        h, dim = ray.get(ref)
-        return df[_is_hot(h, df[on].to_numpy())].merge(dim, on=on,
-                                                       how="inner")
+    def _null_fill(df: "pd.DataFrame", cols: list[str]) -> "pd.DataFrame":
+        n = len(df)
+        for c in cols:
+            t = types[c]
+            if pa.types.is_integer(t):
+                np_t = (np.uint64 if pa.types.is_unsigned_integer(t)
+                        else np.int64)
+                df[c] = pd.arrays.IntegerArray(np.zeros(n, np_t),
+                                               mask=np.ones(n, bool))
+            elif pa.types.is_floating(t):
+                df[c] = np.full(n, np.nan)
+            else:
+                df[c] = pd.Series([None] * n, index=df.index,
+                                  dtype="object")
+        return df
 
-    def cold_part(df: "pd.DataFrame") -> "pa.Table":
-        h, _ = ray.get(ref)
-        out = df[~_is_hot(h, df[on].to_numpy())]
-        # emit ARROW so hash_join's _tag_union sees arrow types (a
-        # pandas-block schema carries numpy object dtypes that crash
-        # pa.types predicates)
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def route(df: "pd.DataFrame") -> "pa.Table":
+        h, hdim = ray.get(ref)
+        ishot = _is_hot(h, df[on].to_numpy().astype(np.int64))
+        hot_rows = df[ishot].merge(hdim, on=on, how="inner")
+        hot_rows["__hot"] = np.int8(1)
+        # round-robin bucket: the whole point — a hot key's rows spread
+        # uniformly instead of hashing into one giant bucket
+        hot_rows["__bucket"] = (np.arange(len(hot_rows)) % nb) \
+            .astype(np.int64)
+        cold = _null_fill(df[~ishot].copy(deep=False), dim_extra)
+        cold["__hot"] = np.int8(0)
+        cold = add_bucket(cold, [on], nb)
+        out = pd.concat([hot_rows, cold], ignore_index=True)
+        return pa.Table.from_pandas(out[combined.names], schema=combined,
+                                    preserve_index=False)
 
-    import ray.data as rd
+    routed = big_ds.map_batches(route, batch_format="pandas")
+    if not len(cold_dim):
+        # every dim key is hot: the inner join is complete map-side
+        return routed.map_batches(
+            lambda t: t.filter(pc.equal(t["__hot"], 1))
+            .select(out_cols), batch_format="pyarrow",
+            zero_copy_batch=True)
 
-    # ONE scan of the fact side: both branches consume the same
-    # materialized blocks (Ray does not dedupe a shared upstream plan
-    # across a union — without this the full read+prep lineage runs
-    # twice, doubling fact-side I/O; the blocks spill to the object
-    # store, which is the cheaper side of the tradeoff whenever the
-    # upstream includes real per-row compute)
-    big_ds = big_ds.materialize()
-    hot_out = big_ds.map_batches(hot_part, batch_format="pandas")
-    cold_big = big_ds.map_batches(cold_part, batch_format="pandas")
-    if len(cold_dim):
-        cold_out = hash_join(
-            cold_big,
-            rd.from_arrow(pa.Table.from_pandas(
-                cold_dim.reset_index(drop=True), preserve_index=False)),
-            on=[on], num_buckets=16)
-        return hot_out.union(cold_out)
-    return hot_out
+    dim_table = pa.Table.from_pandas(
+        add_bucket(cold_dim.assign(__hot=np.int8(0)), [on], nb),
+        preserve_index=False)
+    dim_ds = rd.from_arrow(dim_table)
+    # schemas are statically known — passing them skips _tag_union's
+    # Dataset.schema() limit-1 probes, so the fact lineage executes
+    # exactly once (the route pass)
+    tagged, lcols, rcols, ttypes, all_cols = _tag_union(
+        routed, dim_ds, left_schema=combined,
+        right_schema=dim_table.schema)
+
+    def bucket_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        done = df[(df["__side"] == 0) & (df["__hot"] == 1)][out_cols]
+        fact = df[(df["__side"] == 0) & (df["__hot"] == 0)][fact_cols]
+        dim = df[df["__side"] == 1][dim_schema.names]
+        got = fact.merge(dim, on=on, how="inner")[out_cols]
+        return pd.concat([done, got], ignore_index=True)
+
+    out = (tagged.groupby("__bucket")
+           .map_groups(bucket_fn, batch_format="pandas"))
+    return out.map_batches(
+        lambda t: cast_columns(t, {c: types[c] for c in out_cols
+                                   if c in t.column_names}),
+        batch_format="pyarrow", zero_copy_batch=True)

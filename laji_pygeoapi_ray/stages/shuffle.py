@@ -24,6 +24,29 @@ import pandas as pd
 BUCKET_COL = "__bucket"
 
 
+def default_num_buckets(*, per_cpu: int = 2, floor: int = 16,
+                        cap: int = 4096) -> int:
+    """Shuffle fan-out derived from the CLUSTER, not a constant: ~2× total
+    cores (enough buckets that every core gets work and stragglers
+    rebalance), floored at 16 (single small node) and capped at 4096 (a
+    bucket per ~2 cores of a 2048-core cluster — beyond that per-bucket
+    scheduling overhead dominates). Falls back to ``os.cpu_count()`` when
+    Ray isn't initialised (pure-driver planning paths)."""
+    import os
+
+    import ray
+
+    cpus = 0
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if not cpus:
+        cpus = os.cpu_count() or 8
+    return max(floor, min(cap, per_cpu * cpus))
+
+
 def cast_columns(t, dtypes: dict):
     """Cast named columns of an Arrow table to the given Arrow types,
     converting float NaN to null first when the target is integral.
@@ -60,19 +83,24 @@ def add_bucket(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.Da
 
 def grouped_apply(ds, key_cols: list[str],
                   bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                  *, num_buckets: int = 64, out_dtypes: dict | None = None):
+                  *, num_buckets: int | None = None,
+                  out_dtypes: dict | None = None):
     """Shuffle ``ds`` by hash bucket of ``key_cols`` and apply ``bucket_fn``
     to each bucket (a pandas DataFrame holding *all* rows of *all* keys in
     the bucket — bucket_fn must do its own within-bucket groupby).
 
     num_buckets sizes the shuffle parallelism: ~2-4× the cluster cores,
-    bounded so each bucket fits a worker's heap.
+    bounded so each bucket fits a worker's heap; the default derives from
+    ``ray.cluster_resources()`` (``default_num_buckets``) so a 100-node
+    cluster never runs a sandbox-sized 16-bucket shuffle.
 
     out_dtypes (column name → pyarrow type) restores output columns that
     pandas upcast (int64-with-null → float64) back to their declared Arrow
     types — pass it whenever bucket_fn sees tagged-union / outer-join nulls
     in integer columns.
     """
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     ds = ds.map_batches(lambda df: add_bucket(df, key_cols, num_buckets),
                         batch_format="pandas")
     out = (ds.groupby(BUCKET_COL)

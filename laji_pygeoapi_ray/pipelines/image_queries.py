@@ -1511,3 +1511,78 @@ def tile_mosaic_layout(sf_dir: str):
                          out_dtypes={c: pa.int64() for c in
                                      ("cell7", "img_no", "w", "h",
                                       "slot", "gx", "gy")})
+
+
+# -------------------------------------------------- full lifecycle round-trip
+
+# OGC bbox, lat-first axis order (process_bbox swaps to x/y)
+LIFE_BBOX = [60.0, 24.6, 60.45, 25.4]
+LIFE_X0, LIFE_Y0, LIFE_X1, LIFE_Y1 = 24.6, 60.0, 25.4, 60.45
+LIFE_LIMIT, LIFE_OFFSET = 10, 2
+
+
+def _lifecycle_sql() -> str:
+    from ..state import fixtures
+
+    x, y = points.sql_xy("img_no")
+    layer = fixtures.municipality_layer()
+    assigned = sql_pip_assign(_img_points_cte(ORACLE_N), "img_no",
+                              fixtures.edges_values_sql(layer),
+                              fixtures.names_values_sql(layer))
+    x0, y0, x1, y1 = LIFE_X0, LIFE_Y0, LIFE_X1, LIFE_Y1
+    return f"""
+    WITH ded AS (SELECT image_id, caption, {_img_no_sql()} AS img_no
+                 FROM {_img_path_sql(ORACLE_N)}
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY phash
+                                            ORDER BY image_id) = 1),
+    assigned AS ({assigned}),
+    pts AS (SELECT d.image_id, d.caption, a.name AS municipality,
+                   {x.replace('img_no', 'd.img_no')} AS x,
+                   {y.replace('img_no', 'd.img_no')} AS y
+            FROM ded d JOIN assigned a ON a.img_no = d.img_no)
+    SELECT image_id, caption, municipality, x, y FROM pts
+    WHERE x >= {x0} AND x <= {x1} AND y >= {y0} AND y <= {y1}
+    ORDER BY image_id LIMIT {LIFE_LIMIT} OFFSET {LIFE_OFFSET}"""
+
+
+@register("etl_lifecycle_bbox", sql=_lifecycle_sql)
+def etl_lifecycle_bbox(sf_dir: str):
+    """The FULL §3.1 lifecycle as ONE certified round-trip — the
+    reference's weekly job end-to-end
+    (``reference/pygeoapi/scripts/main.py:75-131`` →
+    ``plugins/lajiapi_provider.py:115-135``): resumable enrich ETL
+    (decode-verify → derive → PIP labels → local id → per-shard
+    partitioned write + manifest) → maintenance (global phash keep-first
+    dedup → tile-sorted, province-partitioned merged sink → cell index →
+    metadata.json) → a SERVING bbox page over the WRITTEN output
+    (cell-index file pruning → coarse cell prune → exact refine →
+    sorted page). The oracle is one SQL statement over the raw image
+    table reproducing dedup + PIP + bbox + page, so every stage of the
+    lifecycle must be correct for the page to hash-match; caption
+    equality through write+read certifies the north rule's byte-for-byte
+    caption invariant on the serving surface."""
+    import os
+    import tempfile
+
+    from ..sources.parquet import read_cell_pruned
+    from .etl import run_etl, run_maintenance
+    from .query import bbox_query
+
+    out_dir = tempfile.mkdtemp(prefix="laji_ray_lifecycle_")
+    manifest = run_etl(sf_dir, out_dir, shards=4)
+    assert all(s["status"] == "done"
+               for s in manifest.data["shards"].values())
+    meta = run_maintenance(out_dir)
+    assert meta["total"] > 0 and (meta["collections"][0]["min_psnr_db"]
+                                  >= 40.0)
+    merged = os.path.join(out_dir, "merged")
+    cover = cells.cover_bbox(LIFE_X0, LIFE_Y0, LIFE_X1, LIFE_Y1, RES)
+    ds = read_cell_pruned(
+        merged, cover,
+        columns=["image_id", "caption", "municipality", "x", "y",
+                 "cell7"])
+    return bbox_query(
+        ds, LIFE_BBOX, res=RES, limit=LIFE_LIMIT, offset=LIFE_OFFSET,
+        sortby=[("image_id", "+")],
+        select_properties=["image_id", "caption", "municipality",
+                           "x", "y"])

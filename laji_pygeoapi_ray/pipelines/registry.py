@@ -29,102 +29,61 @@ def register(name: str, sql: Callable[[], str] | str | None = None):
 # Driver-gate ordering. The driver's correctness window covers ~50
 # entries in queries() order, so oracle-bearing queries register first,
 # prioritized by which most need a FRESH driver-green row this round:
-#   tier 1 (round 4) — the queries with NO green row in any
-#            CORRECTNESS_r1–r3.json (57 oracle-bearing as of r3, plus
-#            queries newly added this round) — per VERDICT r3 item 1;
+#   tier 1 (round 5) — the 2 new round-5 rows, then every oracle-bearing
+#            query with NO green row in any CORRECTNESS_r1-r4.json
+#            (142 as of r4) — per VERDICT r4 item 1 (registry growth is
+#            otherwise FROZEN this round until the proof debt is paid);
 #   tier 2 — driver-green in some prior round (overflow: every
 #            oracle-bearing query is ALSO re-proven each run by
 #            tests/test_oracle_sweep.py at the driver's own sf);
-#   tier 3 — rows-only queries (weaker check by design) last.
+#   tier 3 — rows-only queries (weaker check by design, each certified
+#            through an exact-oracle sibling) last.
 # Names missing from this list append in registration order (safety:
 # a new query is never silently dropped from the gate).
 _DRIVER_PRIORITY = [
-    # ---- window tier (first ~50 = the driver correctness gate):
-    # never-driver-green queries, VERDICT-r3-named ones first ----
-    "image_decode_verify", "knn_cogroup_nearest", "hll_distinct_users",
-    "audio_features", "asof_view_purchase",
-    "s2_cell_counts", "s2_rollup_11_to_6", "s2_range_query",
-    "s2_cell_extents",
-    "caption_integrity", "heavy_hitter_tokens", "ann_topk_ivf_full_probe",
-    # new round-4 queries (serving path + ANN certification + scale fixes)
-    "bbox_query_page", "ann_topk_lsh_certified", "kmeans_assign_certified",
-    # round-4 sixth session (this round's new operators — never checked)
-    "basket_part_pairs_topk", "returned_item_topk",
-    "referential_integrity_audit", "emerging_hotspot_classes",
-    "orders_by_mktsegment_sortmerge", "str_rtree_range_query",
-    "repeat_plan_sources", "raster_crosstab_classes",
-    "image_phash_hamming_sub", "image_municipality_counts",
-    "phash_threshold_sweep", "aspect_ratio_histogram",
-    "tile_mosaic_layout",
-    "k_anonymity_audit", "l_diversity_audit", "shard_rebalance_flows",
-    "d8_flow_directions", "d8_flow_accumulation", "d8_watershed_labels",
-    "bivariate_moran_terms", "gearys_c_cells",
-    "cross_source_dup_matrix", "bootstrap_mean_replicates",
-    "permutation_test_events", "benford_digit_audit",
-    "km_session_survival", "user_range_size_by_cell",
-    "activity_weighted_value", "rake_keyword_scores",
-    "vocab_loo_contribution", "mannwhitney_u_events",
-    "kruskal_rank_sums", "spearman_value_hour", "url_canonical_dedup",
-    "wilcoxon_signed_rank_users", "friedman_rank_sums",
-    "kendall_tau_terms",
-    "general_g_cells",
-    # new round-4 operators (second session): rectangle-overlap spatial
-    # join, DSIR importance scores, image-ANN plumbing certification
+    # ---- window tier (first ~50 = the driver correctness gate): the two
+    # round-5 rows (lifecycle round-trip, lang-id certification) then the
+    # never-driver-checked oracle queries, oldest debt first (VERDICT r4 #1;
+    # driver-green union r1-r4 = 155, debt = 142) ----
+    "etl_lifecycle_bbox", "lang_id_pred_certified",
+    "friedman_rank_sums", "kendall_tau_terms", "general_g_cells",
     "rect_overlap_doc_pairs", "dsir_importance_topk",
-    "image_hash_topk_certified", "nn_spacing_province",
-    "str_rtree_leaves", "kmv_distinct_by_type", "table_checksum_ranges",
-    "cell_image_doc_join", "pq_code_assign_certified",
-    "corridor_doc_counts", "time_pruned_read", "neyman_allocation_sample",
-    "image_transcode_verify", "skyline_orders",
-    # round-4 third session: spatial statistics + space-time cube
+    "image_hash_topk_certified", "nn_spacing_province", "str_rtree_leaves",
+    "kmv_distinct_by_type", "table_checksum_ranges", "cell_image_doc_join",
+    "pq_code_assign_certified", "corridor_doc_counts", "time_pruned_read",
+    "neyman_allocation_sample", "image_transcode_verify", "skyline_orders",
     "mann_kendall_cells", "local_moran_cells", "ntile_event_buckets",
     "hard_negative_topk", "kcore_docs", "cell_sssp_weighted",
-    "segment_cell_density", "hybrid_rrf_topk",
-    "cusum_change_cells", "cell_lang_impurity", "rag_chunk_layout",
-    "rendezvous_shards", "knox_space_time", "theil_sen_cells",
-    "event_type_lift", "bpe_top_merges", "sobel_gradient_cells",
-    # round-4 fourth session: link prediction, sequence motifs,
-    # training-mix allocation, semantic dedup
-    "link_pred_common_neighbors", "event_trigram_motifs",
-    "temperature_mix_allocation", "semdedup_reps",
-    # round-4 fifth session: content-compliance scans, geohash curve,
-    # phash hamming join, compaction planning
+    "segment_cell_density", "hybrid_rrf_topk", "cusum_change_cells",
+    "cell_lang_impurity", "rag_chunk_layout", "rendezvous_shards",
+    "knox_space_time", "theil_sen_cells", "event_type_lift", "bpe_top_merges",
+    "sobel_gradient_cells", "link_pred_common_neighbors",
+    "event_trigram_motifs", "temperature_mix_allocation", "semdedup_reps",
     "pii_scan_counts", "url_domain_counts", "chi2_token_lang",
-    "geohash_cell_counts", "geohash_prefix_rollup",
-    "image_phash_hamming_pairs", "compaction_plan",
+    "geohash_cell_counts", "geohash_prefix_rollup", "compaction_plan",
     "image_compression_stats", "image_neardup_psnr_verified",
     "ttl_dedup_events", "selfjoin_size_users", "cell_median_value",
     "lateness_audit", "cell_layer_corr_terms", "ks_drift_doc_lengths",
     "nearest_road_segment", "join_count_stats", "ivm_cell_counts",
-    "quad_rollup_7_to_3", "zonemap_prune_stats",
-    "time_weighted_avg_user", "interarrival_histogram",
-    "sde_moments_by_province", "source_vocab_overlap",
-    "label_centroid_sums", "dwithin_image_doc_pairs",
+    "quad_rollup_7_to_3", "zonemap_prune_stats", "time_weighted_avg_user",
+    "interarrival_histogram", "sde_moments_by_province",
+    "source_vocab_overlap", "label_centroid_sums", "dwithin_image_doc_pairs",
     "latency_percentiles_by_type", "vector_tile_manifest",
-    "cross_k_image_doc", "gfunction_nn_counts",
-    "hilbert_coverage_gaps", "label_smoothing_audit",
-    "image_content_dedup", "seasonality_matrix",
+    "cross_k_image_doc", "gfunction_nn_counts", "hilbert_coverage_gaps",
+    "label_smoothing_audit", "image_content_dedup", "seasonality_matrix",
     "user_acquisition_curve", "tile_concentration_topk",
     "ship_latency_by_priority", "dedup_method_agreement",
-    "storage_tiering_plan",
-    "reverse_nn_supplier_counts", "knn_label_predict",
-    "trajectory_hausdorff_pairs", "mad_event_outliers",
-    "phrase_match_counts", "dwell_time_by_type",
-    "group_split_audit", "province_adjacency_pairs",
+    "storage_tiering_plan", "reverse_nn_supplier_counts", "knn_label_predict",
+    "trajectory_hausdorff_pairs", "mad_event_outliers", "phrase_match_counts",
+    "dwell_time_by_type", "group_split_audit", "province_adjacency_pairs",
     "node_clustering_coeff", "length_bucket_padding",
-    "token_fertility_by_lang", "rate_limit_violations",
-    "burst_hours_by_type", "degree_assortativity_terms",
-    "acf_cell_hourly", "ffill_event_values",
-    "trailing_7d_active_users", "winsorized_value_stats",
-    "image_resize_plan", "ngram_novelty_curve", "top1pct_user_share",
-    # re-prove in-window: implementation changed this round (semi-join
-    # unigram attach replaced the full-vocab driver dict)
-    "bigram_collocations",
-    # remaining never-driver-green, strongest/core first
-    "cosine_neardup_pairs_lsh", "training_corpus_counts",
-    "vocab_top_tokens", "token_doc_freq", "event_value_percentiles",
-    "repetition_stats", "span_dedup_stats", "tfidf_top_terms",
-    "image_phash_components", "inverted_index_shard",
+    "token_fertility_by_lang", "rate_limit_violations", "burst_hours_by_type",
+    "degree_assortativity_terms", "acf_cell_hourly", "ffill_event_values",
+    "trailing_7d_active_users", "winsorized_value_stats", "image_resize_plan",
+    "ngram_novelty_curve", "top1pct_user_share", "cosine_neardup_pairs_lsh",
+    "training_corpus_counts", "vocab_top_tokens", "token_doc_freq",
+    "event_value_percentiles", "repetition_stats", "span_dedup_stats",
+    "tfidf_top_terms", "image_phash_components", "inverted_index_shard",
     "local_supplier_volume", "quality_gate_p90", "profile_lineitem",
     "zonal_image_stats", "focal_density_3x3", "province_cover_cells",
     "weighted_sample_docs", "cell_majority_lang", "knn_interpolated_chars",
@@ -138,49 +97,66 @@ _DRIVER_PRIORITY = [
     "orders_by_mktsegment_native", "bloom_semijoin_orders",
     "filtered_events_time_range", "filtered_docs_province", "get_by_id",
     "hits_count", "sorted_page_docs",
-    # ---- overflow: driver-green in r1–r3 (and re-proven every run by
+    # ---- overflow: driver-green in r1-r4 (re-proven every run by
     # tests/test_oracle_sweep.py at the driver's own sf) ----
-    "topk_orders_per_segment", "knn_cell_exact_nearest",
-    "dbscan_doc_clusters", "cell_blob_stats", "image_patch_stats",
-    "morans_i_cells", "ripley_k_pairs", "hilbert_order_docs",
-    "adaptive_quadtree_leaves", "pagerank_docs", "typo_token_pairs",
-    "funnel_conversion", "snapshot_diff_events", "embedding_covariance",
-    "idw_interpolated_chars", "capped_sample_per_lang", "cell_trend_hourly",
-    "contour_case_counts", "cell_hop_distance", "cohort_retention",
-    "supplier_ship_islands", "trailing_user_values", "props_json_stats",
-    "simplified_trajectories", "triangle_count_docs",
-    "dist_to_nearest_supplier", "curve_locality_compare",
-    "bbox_cover_ranges", "event_value_outliers", "event_rollup_cube",
-    "label_scatter_stats", "trajectory_crossings", "province_gini_cells",
-    "step_bearing_rose", "stay_point_anchors", "od_matrix_cells",
-    "hilbert_systematic_sample", "phash_family_representatives",
-    "hilbert_pruned_read", "semivariogram_chars", "hotspot_gi_cells",
-    "colocation_lang_pairs", "cell_change_detection",
-    "value_percent_rank", "shard_plan_cells",
+    "image_decode_verify", "knn_cogroup_nearest", "hll_distinct_users",
+    "audio_features", "asof_view_purchase", "s2_cell_counts",
+    "s2_rollup_11_to_6", "s2_range_query", "s2_cell_extents",
+    "caption_integrity", "heavy_hitter_tokens", "ann_topk_ivf_full_probe",
+    "bbox_query_page", "ann_topk_lsh_certified", "kmeans_assign_certified",
+    "basket_part_pairs_topk", "returned_item_topk",
+    "referential_integrity_audit", "emerging_hotspot_classes",
+    "orders_by_mktsegment_sortmerge", "str_rtree_range_query",
+    "repeat_plan_sources", "raster_crosstab_classes",
+    "image_phash_hamming_sub", "image_municipality_counts",
+    "phash_threshold_sweep", "aspect_ratio_histogram", "tile_mosaic_layout",
+    "k_anonymity_audit", "l_diversity_audit", "shard_rebalance_flows",
+    "d8_flow_directions", "d8_flow_accumulation", "d8_watershed_labels",
+    "bivariate_moran_terms", "gearys_c_cells", "cross_source_dup_matrix",
+    "bootstrap_mean_replicates", "permutation_test_events",
+    "benford_digit_audit", "km_session_survival", "user_range_size_by_cell",
+    "activity_weighted_value", "rake_keyword_scores",
+    "vocab_loo_contribution", "mannwhitney_u_events", "kruskal_rank_sums",
+    "spearman_value_hour", "url_canonical_dedup",
+    "wilcoxon_signed_rank_users", "image_phash_hamming_pairs",
+    "bigram_collocations", "topk_orders_per_segment",
+    "knn_cell_exact_nearest", "dbscan_doc_clusters", "cell_blob_stats",
+    "image_patch_stats", "morans_i_cells", "ripley_k_pairs",
+    "hilbert_order_docs", "adaptive_quadtree_leaves", "pagerank_docs",
+    "typo_token_pairs", "funnel_conversion", "snapshot_diff_events",
+    "embedding_covariance", "idw_interpolated_chars",
+    "capped_sample_per_lang", "cell_trend_hourly", "contour_case_counts",
+    "cell_hop_distance", "cohort_retention", "supplier_ship_islands",
+    "trailing_user_values", "props_json_stats", "simplified_trajectories",
+    "triangle_count_docs", "dist_to_nearest_supplier",
+    "curve_locality_compare", "bbox_cover_ranges", "event_value_outliers",
+    "event_rollup_cube", "label_scatter_stats", "trajectory_crossings",
+    "province_gini_cells", "step_bearing_rose", "stay_point_anchors",
+    "od_matrix_cells", "hilbert_systematic_sample",
+    "phash_family_representatives", "hilbert_pruned_read",
+    "semivariogram_chars", "hotspot_gi_cells", "colocation_lang_pairs",
+    "cell_change_detection", "value_percent_rank", "shard_plan_cells",
     "minhash_dedup_clusters", "simhash_near_pairs", "hex_cell_counts",
-    "dwithin_doc_pairs",
-    "individual_count_events", "collection_id_part",
-    "tumbling_hour_events",
-    "topk_orders", "upsert_events", "pricing_summary", "tile_polygons",
-    "session_windows_events", "sliding_2h_1h_events",
+    "dwithin_doc_pairs", "individual_count_events", "collection_id_part",
+    "tumbling_hour_events", "topk_orders", "upsert_events", "pricing_summary",
+    "tile_polygons", "session_windows_events", "sliding_2h_1h_events",
     "orders_by_mktsegment", "supplier_nation_broadcast",
-    "distinct_event_types", "filtered_docs_bbox",
-    "cell_assign", "tile_counts", "pip_province", "pip_municipality_ely",
-    "province_counts", "pip_lineitem_province_counts", "geom_split_counts",
+    "distinct_event_types", "filtered_docs_bbox", "cell_assign",
+    "tile_counts", "pip_province", "pip_municipality_ely", "province_counts",
+    "pip_lineitem_province_counts", "geom_split_counts",
     "merge_similar_lineitem", "dedup_events_latest", "dedup_docs_first",
     "knn_nearest_occurrence", "image_phash_dedup", "image_tile_counts",
     "video_frame_stats", "text_stats", "ngram_jaccard_pairs",
-    "cosine_neardup_pairs",
-    "tile_bbox", "hot_cells", "tile_counts_salted", "tile_rollup_9_to_7",
-    "quality_freq_events", "table_dates_events", "median_event_value",
-    "median_value_by_type", "event_hour_pivot", "event_lag_gaps",
-    "rollup_geom_counts", "doc_fingerprint_dedup", "doc_rolling_fingerprint",
-    "sample_docs_10pct", "train_val_split_counts", "stratified_docs_by_lang",
-    "bpe_token_counts", "ann_topk_dot",
-    # rows-only (no SQL twin by nature; justified in COVERAGE.md) last
-    "lang_id_pred",
-    "ann_topk_lsh_sharded", "ann_topk_ivf", "kmeans_embedding_clusters",
-    "image_ann_neardup",
+    "cosine_neardup_pairs", "tile_bbox", "hot_cells", "tile_counts_salted",
+    "tile_rollup_9_to_7", "quality_freq_events", "table_dates_events",
+    "median_event_value", "median_value_by_type", "event_hour_pivot",
+    "event_lag_gaps", "rollup_geom_counts", "doc_fingerprint_dedup",
+    "doc_rolling_fingerprint", "sample_docs_10pct", "train_val_split_counts",
+    "stratified_docs_by_lang", "bpe_token_counts", "ann_topk_dot",
+    # rows-only (no SQL twin by nature; each certified via an exact
+    # sibling; justified in COVERAGE.md) last
+    "lang_id_pred", "ann_topk_lsh_sharded", "ann_topk_ivf",
+    "kmeans_embedding_clusters", "image_ann_neardup",
 ]
 
 

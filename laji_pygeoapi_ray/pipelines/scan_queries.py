@@ -369,14 +369,21 @@ def str_rtree_range_query(sf_dir: str):
     pruning bug that drops a leaf shows up as a value mismatch, not just
     a stats drift (the index-correctness invariant: every point in the
     rect lies in a leaf whose MBR intersects it). Scale shape: the
-    directory is ≤ S² rows (driver-held); refine is a broadcast
-    leaf-set filter + per-batch partial counts — points never shuffle
-    for the query (the build's two rank shuffles are the index cost,
-    paid once and reused by every query)."""
+    built index is SPILLED once to Parquet (the persisted-index medium —
+    at scale the build is paid once and every query reads the same
+    files; the leaf-bucketed writer gives each file a narrow leaf
+    range); the directory is ≤ S² rows (driver-held); refine reads with
+    a ``leaf IN (...)`` pushdown filter, so row groups of
+    non-intersecting leaves are pruned by statistics and never leave
+    disk — points never shuffle for the query."""
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
-    pts = _str_leaf_points(sf_dir).materialize()
-    d = _str_directory(pts).to_pandas()
+    from ..state.spill import spill_checkpoint
+
+    read_pts = spill_checkpoint(_str_leaf_points(sf_dir),
+                                "str_rtree_index")
+    d = _str_directory(read_pts()).to_pandas()
     cand = d[(d["max_x"] >= STRQ_X0) & (d["min_x"] <= STRQ_X1)
              & (d["max_y"] >= STRQ_Y0) & (d["min_y"] <= STRQ_Y1)]
     leaf_set = np.sort(cand["leaf"].to_numpy(np.int64))
@@ -385,8 +392,7 @@ def str_rtree_range_query(sf_dir: str):
     def refine(t: pa.Table) -> pa.Table:
         ls = ray.get(ref)
         leaf = t["leaf"].to_numpy(zero_copy_only=False)
-        if not len(ls):           # no leaf intersects the rect: 0 hits
-            return pa.table({"h": pa.array([0], pa.int64())})
+        # belt-and-braces: file pruning already dropped foreign leaves
         pos = np.searchsorted(ls, leaf)
         in_leaf = (pos < len(ls)) & (ls[np.minimum(pos, len(ls) - 1)]
                                      == leaf)
@@ -396,9 +402,16 @@ def str_rtree_range_query(sf_dir: str):
                & (y >= STRQ_Y0) & (y <= STRQ_Y1))
         return pa.table({"h": pa.array([int(hit.sum())], pa.int64())})
 
-    n_hits = sum(pc.sum(b["h"]).as_py() or 0
-                 for b in pts.map_batches(refine, batch_format="pyarrow")
-                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not len(leaf_set):         # no leaf intersects the rect: 0 hits
+        n_hits = 0
+    else:
+        pruned = read_pts(filter=pads.field("leaf").isin(
+            [int(v) for v in leaf_set]))
+        n_hits = sum(pc.sum(b["h"]).as_py() or 0
+                     for b in pruned
+                     .map_batches(refine, batch_format="pyarrow")
+                     .iter_batches(batch_size=None,
+                                   batch_format="pyarrow"))
     return pa.table({
         "n_leaves": pa.array([len(d)], pa.int64()),
         "n_leaves_scanned": pa.array([len(cand)], pa.int64()),

@@ -868,13 +868,20 @@ def quality_gate_p90(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"],
                          "n_tokens": pc.cast(n, pa.int64())})
 
-    proj = ds.map_batches(counts, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
-    n = proj.count()
-    vals, _ = kth_values_2pass(proj, "n_tokens",
+    # the projection is corpus-proportional (a row per doc) and feeds
+    # FOUR scans (count, the 2-pass order statistic, the final gate) —
+    # spill it ONCE to Parquet instead of pinning it in the object store
+    # (state/spill.py convention; doubles as a resume point)
+    from ..state.spill import spill_checkpoint
+
+    read_proj = spill_checkpoint(
+        ds.map_batches(counts, batch_format="pyarrow",
+                       zero_copy_batch=True), "quality_gate_proj")
+    n = read_proj().count()
+    vals, _ = kth_values_2pass(read_proj(), "n_tokens",
                                [(n - 1) * QG_PCT // 100])
     thresh = int(vals[0])
-    return proj.map_batches(
+    return read_proj().map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_tokens"], thresh)),
         batch_format="pyarrow")
 
@@ -1960,9 +1967,14 @@ def ngram_novelty_curve(sf_dir: str):
     from ..stages.shuffle import grouped_apply, partial_group_counts
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # LAZY on purpose: the exploded (doc, gram) table is LARGER than the
+    # corpus, so neither object-store materialize nor a Parquet spill is
+    # the right checkpoint — both consumers below reduce immediately, so
+    # re-executing the cheap scan+vectorized-explode lineage twice is the
+    # scale-right tradeoff (recompute < store when output > input)
     grams = docs.map_batches(
         simdedup.shingle_explode(n=NOVELTY_N), batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
+        zero_copy_batch=True)
 
     # per-bucket distinct-gram occurrences (doc side, no gram shuffle)
     occ = grams.map_batches(

@@ -28,9 +28,14 @@ SPILL_ROOT = os.environ.get("LAJI_RAY_SPILL_DIR", "/tmp/laji_ray_spill")
 
 def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None):
     """Write ``ds`` once to partitioned Parquet under a fresh directory
-    and return a function ``read(columns=None) -> Dataset`` so each
-    consumer re-reads exactly the columns it needs. The producer lineage
-    executes exactly once (certified by
+    and return a function ``read(columns=None, filter=None) -> Dataset``
+    so each consumer re-reads exactly the columns it needs — and, with a
+    pyarrow dataset ``filter`` expression on a physical column, only the
+    row groups whose statistics intersect it (how a persisted index,
+    e.g. the STR R-tree leaf layout, serves selective queries without
+    scanning the whole spill; hive ``partition_cols`` is deliberately
+    NOT used — its read-back retypes partition keys as strings). The
+    producer lineage executes exactly once (certified by
     tests/test_round4f_kernels.py::test_spill_checkpoint_single_execution).
     """
     import ray.data as rd
@@ -41,7 +46,12 @@ def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None):
         ds = ds.select_columns(columns)
     ds.write_parquet(path)
 
-    def read(columns: list[str] | None = None):
-        return rd.read_parquet(path, columns=columns)
+    def read(columns: list[str] | None = None, filter=None):
+        kw = {}
+        if columns is not None:
+            kw["columns"] = columns
+        if filter is not None:
+            kw["filter"] = filter
+        return rd.read_parquet(path, **kw)
 
     return read

@@ -252,10 +252,15 @@ def _str_leaf_points(sf_dir: str):
                                    "y": pd.Series([], dtype="float64"),
                                    "slice": pd.Series([], dtype="int64")}))
 
-    # materialize: the slice shuffle feeds BOTH the y-count pass and the
-    # leaf pass — without this the hash shuffle re-executes per consumer
-    sliced = grouped_apply(base, ["xpart"], slice_assign,
-                           num_buckets=16).materialize()
+    # spill, don't pin: the slice shuffle feeds BOTH the y-count pass and
+    # the leaf pass (without a checkpoint the hash shuffle re-executes
+    # per consumer), and its output is corpus-proportional — Parquet is
+    # the scale-safe checkpoint medium (state/spill.py convention)
+    from ..state.spill import spill_checkpoint
+
+    sliced = spill_checkpoint(
+        grouped_apply(base, ["xpart"], slice_assign, num_buckets=16),
+        "str_sliced")()
 
     def ytag(t: pa.Table) -> pa.Table:
         y = t["y"].to_numpy(zero_copy_only=False)
@@ -576,10 +581,12 @@ def ntile_event_buckets(sf_dir: str):
                          "vpart": pa.array(vp)})
 
     # 16 blocks before the bucketed shuffle: Ray's sort-based groupby
-    # mirrors input block count (100k rows in 2 read blocks sort serially)
+    # mirrors input block count (100k rows in 2 read blocks sort serially).
+    # LAZY on purpose: vtag is a pure same-width projection of the pruned
+    # 2-column scan, so re-executing it for each of the two passes costs
+    # less I/O than pinning or spilling a same-sized table
     base = ds.map_batches(vtag, batch_format="pyarrow",
-                          zero_copy_batch=True).repartition(16) \
-        .materialize()
+                          zero_copy_batch=True).repartition(16)
     counts = _part_counts(base, "vpart")
     n_total = sum(counts.values())
     offs, acc = {}, 0
@@ -702,8 +709,15 @@ def length_bucket_padding(sf_dir: str):
     from ..stages.shuffle import grouped_apply
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    tok = token_counts(docs).materialize()
-    counts = _part_counts(tok, "n_tokens")
+    # spill, don't pin: the (doc, n_tokens) projection is docs-
+    # proportional and MUCH narrower than its source (re-scanning would
+    # re-read the wide text column per consumer); two passes re-read
+    # the Parquet
+    from ..state.spill import spill_checkpoint
+
+    read_tok = spill_checkpoint(token_counts(docs), "lbp_tok")
+    tok = read_tok()
+    counts = _part_counts(read_tok(), "n_tokens")
     offs, acc = {}, 0
     for ln in sorted(counts):
         offs[ln] = acc

@@ -968,16 +968,26 @@ def event_type_lift(sf_dir: str):
     from ..stages.shuffle import grouped_apply, partial_group_counts
 
     ds = read_table(sf_dir, "events", ["user_id", "event_type"])
-    ut = partial_group_counts(ds, ["user_id", "event_type"]) \
-        .select_columns(["user_id", "event_type"]).materialize()
+    # spill, don't pin: the distinct (user, type) table is the product
+    # of a real shuffle (re-running it per consumer would triple the
+    # exchange) and is users-proportional — Parquet checkpoint, three
+    # column-pruned re-reads
+    from ..state.spill import spill_checkpoint
 
-    tc = partial_group_counts(ut, ["event_type"]).to_pandas()
+    read_ut = spill_checkpoint(
+        partial_group_counts(ds, ["user_id", "event_type"])
+        .select_columns(["user_id", "event_type"]), "lift_ut")
+    ut = read_ut()
+
+    tc = partial_group_counts(read_ut(columns=["event_type"]),
+                              ["event_type"]).to_pandas()
     if len(tc) > TYPE_CARD_MAX:
         raise RuntimeError(
             f"event_type_lift: {len(tc)} distinct types > TYPE_CARD_MAX "
             f"({TYPE_CARD_MAX}) — switch the marginal attach to hash_join")
     counts = dict(zip(tc["event_type"], tc["n"].astype(np.int64)))
-    n_users = partial_group_counts(ut, ["user_id"]).count()
+    n_users = partial_group_counts(read_ut(columns=["user_id"]),
+                                   ["user_id"]).count()
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         outa, outb = [], []
@@ -1498,10 +1508,17 @@ def top1pct_user_share(sf_dir: str):
     from ..stages.shuffle import grouped_apply, partial_group_counts
 
     ev = read_table(sf_dir, "events", ["user_id"])
-    cnt = partial_group_counts(ev, ["user_id"], count_col="n") \
-        .materialize()
-    n_users = cnt.count()
-    agg = cnt.aggregate(Sum("n", alias_name="s"))
+    # spill, don't pin: the per-user count table is a shuffle product
+    # (re-running per consumer would triple the exchange) and is
+    # users-proportional; three consumers re-read the Parquet
+    from ..state.spill import spill_checkpoint
+
+    read_cnt = spill_checkpoint(
+        partial_group_counts(ev, ["user_id"], count_col="n"),
+        "topshare_cnt")
+    cnt = read_cnt()
+    n_users = read_cnt(columns=["user_id"]).count()
+    agg = read_cnt(columns=["n"]).aggregate(Sum("n", alias_name="s"))
     sum_total = int(agg["s"])
     k = int(-(-n_users * TOPSHARE_PCT // 100))   # ceil
 

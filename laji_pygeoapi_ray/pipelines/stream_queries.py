@@ -772,7 +772,11 @@ def event_value_outliers(sf_dir: str):
             "event_type": t["event_type"],
             "q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))})
 
-    qd = ev.map_batches(quant, batch_format="pyarrow").materialize()
+    # LAZY on purpose: the quantized projection is the SAME width as the
+    # pruned 2-column source scan, so re-executing the cheap scan+quantize
+    # for each of the two passes costs less I/O than any checkpoint
+    # medium (spill would write a same-sized table and read it twice)
+    qd = ev.map_batches(quant, batch_format="pyarrow")
 
     def moments(t: pa.Table) -> pa.Table:
         q = t["q"].to_numpy(zero_copy_only=False)
@@ -1408,12 +1412,20 @@ def trailing_7d_active_users(sf_dir: str):
                        "user_id": pc.cast(t["user_id"], pa.int64())})
         return tt.group_by(["day", "user_id"]).aggregate([])
 
-    du = ev.map_batches(day_user, batch_format="pyarrow").materialize()
+    # spill, don't pin: the distinct (day, user) projection is
+    # users×days-proportional and feeds TWO consumers (the observed-day
+    # extraction and the window expansion) — Parquet streams the
+    # producer once without holding the table in the object store
+    from ..state.spill import spill_checkpoint
+
+    read_du = spill_checkpoint(
+        ev.map_batches(day_user, batch_format="pyarrow"), "wau_du")
+    du = read_du()
 
     # observed report days (small: one row per distinct day)
     days = np.sort(np.unique(np.concatenate(
         [b["day"].to_numpy(zero_copy_only=False)
-         for b in du.select_columns(["day"])
+         for b in read_du(columns=["day"])
          .iter_batches(batch_format="pyarrow")])))
     days_ref = ray.put(days)
 

@@ -2166,9 +2166,16 @@ def trajectory_crossings(sf_dir: str):
             "ax": ax[keep], "ay": ay[keep],
             "bx": bx[keep], "by": by[keep]})
 
-    segs = grouped_apply(rows, ["user_id"], make_segments,
-                         num_buckets=16).materialize()
-    n_segments = segs.count()
+    # spill, don't pin: the segment table is a shuffle product
+    # (per-user cogroup) and events-proportional; two consumers
+    # (count + cell cover) re-read the Parquet
+    from ..state.spill import spill_checkpoint
+
+    read_segs = spill_checkpoint(
+        grouped_apply(rows, ["user_id"], make_segments,
+                      num_buckets=16), "traj_segs")
+    segs = read_segs()
+    n_segments = read_segs(columns=["seg_id"]).count()
 
     def cover(t: pa.Table) -> pa.Table:
         ax = t["ax"].to_numpy(zero_copy_only=False)

@@ -613,18 +613,27 @@ def knox_space_time(sf_dir: str):
         return pa.table({"id": pa.array(eid), "x": pa.array(x),
                          "y": pa.array(y), "t": pa.array(ts)})
 
-    pts = ds.map_batches(prep, batch_format="pyarrow",
-                         zero_copy_batch=True).materialize()
-    n_pts = pts.count()
+    # spill, don't pin: the prepped point table feeds FOUR consumers
+    # (count, the pair cogroup, both endpoint-time attaches) and the
+    # pair table is a shuffle product feeding two — Parquet checkpoints
+    # for both (state/spill.py convention), column-pruned re-reads
+    from ..state.spill import spill_checkpoint
+
+    read_pts = spill_checkpoint(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), "knox_pts")
+    n_pts = read_pts(columns=["id"]).count()
     n_pairs = n_pts * (n_pts - 1) // 2
 
     # --- spatial pairs (exactly-once grid cogroup)
-    pairs = dwithin_pairs(pts.select_columns(["id", "x", "y"]), KNOX_R,
-                          res=DW_RES, num_buckets=32).materialize()
-    n_space = pairs.count()
+    read_pairs = spill_checkpoint(
+        dwithin_pairs(read_pts(columns=["id", "x", "y"]), KNOX_R,
+                      res=DW_RES, num_buckets=32), "knox_pairs")
+    pairs = read_pairs()
+    n_space = read_pairs(columns=["id_a"]).count()
 
     # --- joint count: attach both endpoint times, filter |Δt| ≤ τ
-    times = pts.select_columns(["id", "t"])
+    times = read_pts(columns=["id", "t"])
     ta = times.map_batches(lambda t: t.rename_columns(["id_a", "ta"]),
                            batch_format="pyarrow")
     tb = times.map_batches(lambda t: t.rename_columns(["id_b", "tb"]),
@@ -661,7 +670,8 @@ def knox_space_time(sf_dir: str):
             rows.append(int((hi - rank - 1)[hm_s].sum()))
         return pd.DataFrame({"c": pd.Series(rows, dtype="int64")})
 
-    scat = pts.map_batches(tscatter, batch_format="pyarrow")
+    scat = read_pts(columns=["id", "t"]).map_batches(
+        tscatter, batch_format="pyarrow")
     tparts = grouped_apply(scat, ["bucket"], tcount, num_buckets=16)
     n_time = int(tparts.aggregate(Sum("c", alias_name="c"))["c"] or 0)
 

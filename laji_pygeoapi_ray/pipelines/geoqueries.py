@@ -2173,7 +2173,10 @@ def trajectory_crossings(sf_dir: str):
 
     read_segs = spill_checkpoint(
         grouped_apply(rows, ["user_id"], make_segments,
-                      num_buckets=16), "traj_segs")
+                      num_buckets=16), "traj_segs",
+        schema=pa.schema([("seg_id", pa.int64()), ("ax", pa.float64()),
+                          ("ay", pa.float64()), ("bx", pa.float64()),
+                          ("by", pa.float64())]))
     segs = read_segs()
     n_segments = read_segs(columns=["seg_id"]).count()
 

@@ -1561,7 +1561,9 @@ def etl_lifecycle_bbox(sf_dir: str):
     lifecycle must be correct for the page to hash-match; caption
     equality through write+read certifies the north rule's byte-for-byte
     caption invariant on the serving surface."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from ..sources.parquet import read_cell_pruned
@@ -1569,6 +1571,10 @@ def etl_lifecycle_bbox(sf_dir: str):
     from .query import bbox_query
 
     out_dir = tempfile.mkdtemp(prefix="laji_ray_lifecycle_")
+    # the served page below is a lazy Dataset over out_dir — clean up at
+    # process exit (after consumption), not here; repeated invocations
+    # within one process otherwise leak a full ETL output tree per run
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     manifest = run_etl(sf_dir, out_dir, shards=4)
     assert all(s["status"] == "done"
                for s in manifest.data["shards"].values())

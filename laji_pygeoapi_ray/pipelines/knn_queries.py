@@ -621,14 +621,18 @@ def knox_space_time(sf_dir: str):
 
     read_pts = spill_checkpoint(
         ds.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True), "knox_pts")
+                       zero_copy_batch=True), "knox_pts",
+        schema=pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                          ("y", pa.float64()), ("t", pa.int64())]))
     n_pts = read_pts(columns=["id"]).count()
     n_pairs = n_pts * (n_pts - 1) // 2
 
     # --- spatial pairs (exactly-once grid cogroup)
     read_pairs = spill_checkpoint(
         dwithin_pairs(read_pts(columns=["id", "x", "y"]), KNOX_R,
-                      res=DW_RES, num_buckets=32), "knox_pairs")
+                      res=DW_RES, num_buckets=32), "knox_pairs",
+        schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("d2", pa.float64())]))
     pairs = read_pairs()
     n_space = read_pairs(columns=["id_a"]).count()
 

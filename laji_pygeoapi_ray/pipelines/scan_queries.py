@@ -10,6 +10,8 @@ no single-worker ordered pass.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -305,6 +307,48 @@ def _str_leaf_points(sf_dir: str):
     return grouped_apply(tagged, ["part2"], leaf_assign, num_buckets=16)
 
 
+STRIDX_VERSION = 1
+
+
+def _str_index_layout(sf_dir: str) -> str:
+    """Idempotent persisted STR index (the `_events_day_layout` pattern):
+    the leaf-assigned point table is BUILT ONCE per corpus into a
+    deterministic directory and every STR query — leaves directory and
+    range query alike, across repeated invocations — reads the same
+    files. This is what makes the docstring claim 'the build is paid
+    once' true as implemented: a per-call ``spill_checkpoint`` would
+    rebuild and re-spill the corpus-sized table on every query. Files
+    are written per leaf-bucket block, so each carries a narrow ``leaf``
+    range and row-group statistics serve ``leaf IN (...)`` pushdown."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    tag = hashlib.md5(f"{sf_dir}v{STRIDX_VERSION}".encode()) \
+        .hexdigest()[:12]
+    out = f"/tmp/laji_ray_str_index/{tag}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _str_leaf_points(sf_dir).write_parquet(tmp)
+    if not any(e.name != "_DONE" for e in os.scandir(tmp)):
+        # empty corpus: Ray's sink skips empty blocks — persist the
+        # (statically known) schema so read-back stays typed
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({"leaf": pa.array([], pa.int64()),
+                                 "x": pa.array([], pa.float64()),
+                                 "y": pa.array([], pa.float64())}),
+                       os.path.join(tmp, "empty.parquet"))
+    os.replace(tmp, out)
+    open(marker, "w").close()
+    return out
+
+
 def _str_directory(leaves):
     """Leaf directory (leaf, n, MBR) — the R-tree leaf level (≤ S² rows)."""
     from ray.data.aggregate import Count, Max, Min
@@ -327,8 +371,13 @@ def str_rtree_leaves(sf_dir: str):
     slices → rank-by-y within slice → S leaves per slice; output is the
     leaf directory (leaf id, count, MBR), i.e. the R-tree leaf level.
     Build machinery in ``_str_leaf_points`` (two-pass distributed ranks,
-    no global sort); SQL twin: the same ranks via window functions."""
-    return _str_directory(_str_leaf_points(sf_dir))
+    no global sort), persisted once per corpus by ``_str_index_layout``
+    and shared with the range query; SQL twin: the same ranks via window
+    functions."""
+    import ray.data as rd
+
+    return _str_directory(
+        rd.read_parquet(_str_index_layout(sf_dir)))
 
 
 # query rectangle (inside the Finnish bbox, off-grid so leaf MBRs
@@ -374,20 +423,25 @@ def str_rtree_range_query(sf_dir: str):
     pruning bug that drops a leaf shows up as a value mismatch, not just
     a stats drift (the index-correctness invariant: every point in the
     rect lies in a leaf whose MBR intersects it). Scale shape: the
-    built index is SPILLED once to Parquet (the persisted-index medium —
-    at scale the build is paid once and every query reads the same
-    files; the leaf-bucketed writer gives each file a narrow leaf
-    range); the directory is ≤ S² rows (driver-held); refine reads with
-    a ``leaf IN (...)`` pushdown filter, so row groups of
-    non-intersecting leaves are pruned by statistics and never leave
-    disk — points never shuffle for the query."""
+    built index is PERSISTED once per corpus (``_str_index_layout`` —
+    idempotent deterministic directory, shared with ``str_rtree_leaves``
+    and across repeated queries, so the build is genuinely paid once and
+    every query reads the same files; the leaf-bucketed writer gives
+    each file a narrow leaf range); the directory is ≤ S² rows
+    (driver-held); refine reads with a ``leaf IN (...)`` pushdown
+    filter, so row groups of non-intersecting leaves are pruned by
+    statistics and never leave disk — points never shuffle for the
+    query."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
+    import ray.data as rd
 
-    from ..state.spill import spill_checkpoint
+    idx_path = _str_index_layout(sf_dir)
 
-    read_pts = spill_checkpoint(_str_leaf_points(sf_dir),
-                                "str_rtree_index")
+    def read_pts(filter=None):
+        kw = {"filter": filter} if filter is not None else {}
+        return rd.read_parquet(idx_path, **kw)
+
     d = _str_directory(read_pts()).to_pandas()
     cand = d[(d["max_x"] >= STRQ_X0) & (d["min_x"] <= STRQ_X1)
              & (d["max_y"] >= STRQ_Y0) & (d["min_y"] <= STRQ_Y1)]

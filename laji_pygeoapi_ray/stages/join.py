@@ -399,9 +399,20 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
         hot_rows = df[ishot].merge(hdim, on=on, how="inner")
         hot_rows["__hot"] = np.int8(1)
         # round-robin bucket: the whole point — a hot key's rows spread
-        # uniformly instead of hashing into one giant bucket
-        hot_rows["__bucket"] = (np.arange(len(hot_rows)) % nb) \
-            .astype(np.int64)
+        # uniformly instead of hashing into one giant bucket. The start
+        # offset is salted per batch (splitmix of the batch's first key
+        # and size): restarting at 0 every batch would concentrate the
+        # hot mass in the low buckets whenever per-batch hot counts are
+        # below nb. Bucket choice never affects the result rows — hot
+        # rows pass through the exchange untouched.
+        if len(hot_rows):
+            seed = np.array([np.int64(df[on].iloc[0])
+                             ^ np.int64(len(df))]).astype(np.uint64)
+            off = int(BloomFilter._mix(seed, 1)[0] % np.uint64(nb))
+            hot_rows["__bucket"] = ((np.arange(len(hot_rows)) + off)
+                                    % nb).astype(np.int64)
+        else:
+            hot_rows["__bucket"] = np.empty(0, np.int64)
         cold = _null_fill(df[~ishot].copy(deep=False), dim_extra)
         cold["__hot"] = np.int8(0)
         cold = add_bucket(cold, [on], nb)

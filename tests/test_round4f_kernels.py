@@ -320,3 +320,64 @@ def test_spill_checkpoint_single_execution():
     pd.testing.assert_frame_equal(one, df)
     assert two.columns.tolist() == ["b"]    # column-pruned re-read
     assert int(two["b"].sum()) == int(df["b"].sum())
+
+
+def test_spill_checkpoint_empty_producer_keeps_schema():
+    """Ray's parquet sink skips empty blocks (zero files written), which
+    used to make every column-pruned re-read of an EMPTY spilled
+    intermediate crash with KeyError — with schema= the checkpoint
+    persists a zero-row typed file so consumers get a typed empty
+    dataset (the knox/trajectory zero-pair edge); without it, read()
+    raises a CLEAR error instead of the KeyError."""
+    import pyarrow as pa
+    import pytest
+
+    from laji_pygeoapi_ray.state.spill import spill_checkpoint
+
+    df = pd.DataFrame({"a": np.arange(100, dtype=np.int64),
+                       "b": np.arange(100, dtype=np.float64)})
+    ds = (ray.data.from_pandas(df).repartition(4)
+          .filter(lambda r: r["a"] < 0))        # empty result
+    read = spill_checkpoint(
+        ds, "unit_empty",
+        schema=pa.schema([("a", pa.int64()), ("b", pa.float64())]))
+    pruned = read(columns=["a"])        # KeyError before the fix
+    s = pruned.schema()
+    assert s.names == ["a"] and str(s.types[0]) == "int64"
+    assert pruned.count() == 0
+    full = read()
+    assert set(full.schema().names) == {"a", "b"} and full.count() == 0
+    # schema unknowable (UDF lineage) and producer empty: loud error
+    ds2 = (ray.data.from_pandas(df).repartition(4)
+           .filter(lambda r: r["a"] < 0))
+    read2 = spill_checkpoint(ds2, "unit_empty_untyped")
+    with pytest.raises(RuntimeError, match="schema"):
+        read2(columns=["a"])
+
+
+def test_spill_checkpoint_cleans_up_at_exit():
+    """Every spill dir is registered for removal at process exit and the
+    module sweeps dirs older than 6 h — a query invocation must not leak
+    a corpus-proportional Parquet copy per run (ADVICE r5)."""
+    import os
+    import time
+
+    from laji_pygeoapi_ray.state import spill
+
+    df = pd.DataFrame({"a": np.arange(10, dtype=np.int64)})
+    read = spill_checkpoint_path = None
+    read = spill.spill_checkpoint(ray.data.from_pandas(df), "unit_gc")
+    # the fresh dir exists now and is registered with atexit
+    live = [e.path for e in os.scandir(spill.SPILL_ROOT)
+            if "unit_gc-" in e.name]
+    assert live
+    # stale-sweep removes an old dir
+    stale = os.path.join(spill.SPILL_ROOT, "unit_stale-deadbeef")
+    os.makedirs(stale, exist_ok=True)
+    old = time.time() - 7 * 3600
+    os.utime(stale, (old, old))
+    spill._sweep_stale()
+    assert not os.path.exists(stale)
+    # atexit hook removes the live dir when invoked
+    spill._cleanup(live[0])
+    assert not os.path.exists(live[0])

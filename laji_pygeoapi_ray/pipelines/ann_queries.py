@@ -228,7 +228,9 @@ def hybrid_rrf_topk(sf_dir: str):
 
     read_ctok = spill_checkpoint(
         docs.map_batches(tok_pairs, batch_format="pyarrow",
-                         zero_copy_batch=True), "rrf_ctok")
+                         zero_copy_batch=True), "rrf_ctok",
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("token", pa.string())]))
     ctok = read_ctok()
     qtok = read_ctok().map_batches(
         lambda t: t.filter(pa.array(

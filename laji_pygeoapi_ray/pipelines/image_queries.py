@@ -216,7 +216,11 @@ def image_ann_neardup(sf_dir: str):
     # the right checkpoint medium, and the spill doubles as a resume point)
     from ..state.spill import spill_checkpoint
 
-    read_emb = spill_checkpoint(emb, "img_ann_emb")
+    read_emb = spill_checkpoint(
+        emb, "img_ann_emb",
+        schema=pa.schema([("vec_id", pa.int64()),
+                          ("embedding",
+                           pa.list_(pa.float32(), 64))]))
     qdf = read_emb().map_batches(
         lambda df: df[df["vec_id"] % 20 == 0],
         batch_format="pandas").to_pandas()

@@ -262,7 +262,9 @@ def _str_leaf_points(sf_dir: str):
 
     sliced = spill_checkpoint(
         grouped_apply(base, ["xpart"], slice_assign, num_buckets=16),
-        "str_sliced")()
+        "str_sliced",
+        schema=pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                          ("y", pa.float64()), ("slice", pa.int64())]))()
 
     def ytag(t: pa.Table) -> pa.Table:
         y = t["y"].to_numpy(zero_copy_only=False)
@@ -319,24 +321,40 @@ def _str_index_layout(sf_dir: str) -> str:
     once' true as implemented: a per-call ``spill_checkpoint`` would
     rebuild and re-spill the corpus-sized table on every query. Files
     are written per leaf-bucket block, so each carries a narrow ``leaf``
-    range and row-group statistics serve ``leaf IN (...)`` pushdown."""
+    range and row-group statistics serve ``leaf IN (...)`` pushdown.
+
+    Placement follows the spill convention: the root honors
+    ``LAJI_RAY_SPILL_DIR`` and the build REFUSES the node-local default
+    on a multi-node cluster (``spill._require_shared_root`` — remote
+    write tasks' files would be invisible to the driver re-read, which
+    here would stamp ``_DONE`` on a silently partial index). Lives
+    beside, not under, the spill root: checkpoints are per-process
+    scratch, the index is a persistent artifact the 6 h sweep must not
+    reap. Promotion is concurrency-safe: each builder writes a unique
+    tmp dir and claims the final path with an atomic ``os.rename``;
+    losers defer to the winner's ``_DONE`` marker (no pre-emptive
+    rmtree of a dir another process may have just promoted)."""
     import hashlib
     import shutil
+    import time as _time
+    import uuid as _uuid
 
-    import ray.data
+    from ..state.spill import _require_shared_root
 
     tag = hashlib.md5(f"{sf_dir}v{STRIDX_VERSION}".encode()) \
         .hexdigest()[:12]
-    out = f"/tmp/laji_ray_str_index/{tag}"
+    root = os.path.join(os.environ.get("LAJI_RAY_SPILL_DIR", "/tmp"),
+                        "laji_ray_str_index")
+    out = os.path.join(root, tag)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+    _require_shared_root()
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
     _str_leaf_points(sf_dir).write_parquet(tmp)
-    if not any(e.name != "_DONE" for e in os.scandir(tmp)):
+    if not any(os.scandir(tmp)):
         # empty corpus: Ray's sink skips empty blocks — persist the
         # (statically known) schema so read-back stays typed
         import pyarrow.parquet as pq
@@ -344,9 +362,30 @@ def _str_index_layout(sf_dir: str) -> str:
                                  "x": pa.array([], pa.float64()),
                                  "y": pa.array([], pa.float64())}),
                        os.path.join(tmp, "empty.parquet"))
-    os.replace(tmp, out)
-    open(marker, "w").close()
-    return out
+    for wait in (0.0, 0.5, 1.0, 2.0, 4.0, 8.0):
+        _time.sleep(wait)
+        if os.path.exists(marker):          # another builder won
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out
+        try:
+            os.rename(tmp, out)             # atomic claim
+            open(marker, "w").close()
+            return out
+        except OSError:
+            continue    # out exists: a winner is mid-promotion — wait
+            #             for its marker on the next iteration
+    # patience exhausted and still no marker: `out` is a stale partial
+    # from a crashed build — clear it and claim
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+        open(marker, "w").close()
+        return out
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(marker):          # raced another recoverer
+            return out
+        raise
 
 
 def _str_directory(leaves):
@@ -769,7 +808,10 @@ def length_bucket_padding(sf_dir: str):
     # the Parquet
     from ..state.spill import spill_checkpoint
 
-    read_tok = spill_checkpoint(token_counts(docs), "lbp_tok")
+    read_tok = spill_checkpoint(
+        token_counts(docs), "lbp_tok",
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_tokens", pa.int64())]))
     tok = read_tok()
     counts = _part_counts(read_tok(), "n_tokens")
     offs, acc = {}, 0

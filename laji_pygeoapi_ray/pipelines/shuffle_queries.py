@@ -976,7 +976,9 @@ def event_type_lift(sf_dir: str):
 
     read_ut = spill_checkpoint(
         partial_group_counts(ds, ["user_id", "event_type"])
-        .select_columns(["user_id", "event_type"]), "lift_ut")
+        .select_columns(["user_id", "event_type"]), "lift_ut",
+        schema=pa.schema([("user_id", pa.int64()),
+                          ("event_type", pa.string())]))
     ut = read_ut()
 
     tc = partial_group_counts(read_ut(columns=["event_type"]),
@@ -1515,7 +1517,8 @@ def top1pct_user_share(sf_dir: str):
 
     read_cnt = spill_checkpoint(
         partial_group_counts(ev, ["user_id"], count_col="n"),
-        "topshare_cnt")
+        "topshare_cnt",
+        schema=pa.schema([("user_id", pa.int64()), ("n", pa.int64())]))
     cnt = read_cnt()
     n_users = read_cnt(columns=["user_id"]).count()
     agg = read_cnt(columns=["n"]).aggregate(Sum("n", alias_name="s"))

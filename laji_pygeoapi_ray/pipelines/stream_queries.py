@@ -1419,7 +1419,8 @@ def trailing_7d_active_users(sf_dir: str):
     from ..state.spill import spill_checkpoint
 
     read_du = spill_checkpoint(
-        ev.map_batches(day_user, batch_format="pyarrow"), "wau_du")
+        ev.map_batches(day_user, batch_format="pyarrow"), "wau_du",
+        schema=pa.schema([("day", pa.int64()), ("user_id", pa.int64())]))
     du = read_du()
 
     # observed report days (small: one row per distinct day)

@@ -876,7 +876,9 @@ def quality_gate_p90(sf_dir: str):
 
     read_proj = spill_checkpoint(
         ds.map_batches(counts, batch_format="pyarrow",
-                       zero_copy_batch=True), "quality_gate_proj")
+                       zero_copy_batch=True), "quality_gate_proj",
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_tokens", pa.int64())]))
     n = read_proj().count()
     vals, _ = kth_values_2pass(read_proj(), "n_tokens",
                                [(n - 1) * QG_PCT // 100])

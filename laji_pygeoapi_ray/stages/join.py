@@ -21,7 +21,8 @@ import ray
 from .shuffle import grouped_apply
 
 
-def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None):
+def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None,
+               force_nullable_int=()):
     """Tag both sides with ``__side`` and union into one dataset with the
     column-union schema (typed null-fill; int columns absent on one side
     carried as pandas nullable Int64/UInt64 so values above 2^53 survive).
@@ -29,7 +30,15 @@ def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None):
     (tagged, lcols, rcols, types, all_cols). Pass ``left_schema`` /
     ``right_schema`` (ray Schema or pa.Schema — anything with
     .names/.types) when known to skip the ``Dataset.schema()`` limit-1
-    probe, which costs a prefix execution of the lineage."""
+    probe, which costs a prefix execution of the lineage.
+
+    ``force_nullable_int``: integer columns that are PRESENT on both
+    sides but may carry nulls (e.g. ``skew_split_join``'s null-filled
+    dim columns on cold fact rows). Such columns would otherwise take
+    the plain ``to_pandas()`` path, which converts int-with-nulls to
+    float64 — silently rounding values above 2^53 (packed cell ids).
+    Listing them here carries them as pandas nullable Int64/UInt64
+    end-to-end instead."""
     lschema = left_schema if left_schema is not None else left_ds.schema()
     rschema = (right_schema if right_schema is not None
                else right_ds.schema())
@@ -52,7 +61,8 @@ def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None):
     # pandas nullable Int64 end-to-end instead; columns present on both
     # sides (the join keys in particular) keep the fast numpy path.
     int_nullable = [c for c in all_cols
-                    if (c not in lcols or c not in rcols)
+                    if ((c not in lcols or c not in rcols)
+                        or c in force_nullable_int)
                     and pa.types.is_integer(types[c])]
 
     def tag(side: int, present: list[str]):
@@ -74,11 +84,13 @@ def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None):
                             if pa.types.is_unsigned_integer(types[c])
                             else np.int64)
                     if c in present:
-                        vals = t[c].to_numpy(zero_copy_only=False)
+                        # fill nulls IN ARROW first: to_numpy on an int
+                        # column with nulls yields float64 (NaN-filled),
+                        # which would round the non-null values > 2^53
                         mask = pc.is_null(t[c]).to_numpy(
                             zero_copy_only=False)
-                        if mask.any():
-                            vals = np.where(mask, 0, vals)
+                        vals = pc.fill_null(t[c], 0).to_numpy(
+                            zero_copy_only=False)
                         data[c] = pd.arrays.IntegerArray(
                             vals.astype(np_t), mask=mask.copy())
                     else:
@@ -98,12 +110,18 @@ def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None):
 
 
 def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
-              num_buckets: int | None = None):
+              num_buckets: int | None = None,
+              left_schema=None, right_schema=None):
     """Partitioned hash join on ``on`` (columns present on both sides;
     non-key column names must not collide — pre-rename). ``num_buckets``
     defaults to ``shuffle.default_num_buckets()`` (~2× cluster cores,
-    floor 16) so the shuffle fan-out tracks the cluster, not a constant."""
-    tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
+    floor 16) so the shuffle fan-out tracks the cluster, not a constant.
+    Pass ``left_schema`` / ``right_schema`` when known statically to
+    skip ``_tag_union``'s limit-1 ``Dataset.schema()`` probes (a prefix
+    execution of each lineage)."""
+    tagged, lcols, rcols, types, all_cols = _tag_union(
+        left_ds, right_ds, left_schema=left_schema,
+        right_schema=right_schema)
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0][lcols]
@@ -277,15 +295,20 @@ def range_boundaries(ds, col: str, num_ranges: int, *,
 
 
 def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
-                    num_ranges: int = 16):
+                    num_ranges: int = 16,
+                    left_schema=None, right_schema=None):
     """RANGE-partitioned sort-merge join on one numeric key — the third
     join backend next to ``hash_join`` (hash-bucketed) and
     ``broadcast_join`` (no shuffle), certified against the same oracle by
     orders_by_mktsegment_sortmerge. Boundaries come from ONE weighted-
     sample pass over the LEFT key (approximate equal-count, so a skewed
-    key space still balances) — so the left lineage executes exactly
-    twice (boundary scan + join scan), never three times, and nothing is
-    materialized; both sides tag ranges with the identical searchsorted,
+    key space still balances) — so the left lineage executes twice
+    (boundary scan + join scan), never three times, and nothing is
+    materialized. Pass ``left_schema`` / ``right_schema`` when known
+    statically to also skip ``_tag_union``'s limit-1 ``Dataset.schema()``
+    probes (a prefix execution of each lineage — with them the left side
+    really is exactly two full scans and the right exactly one).
+    Both sides tag ranges with the identical searchsorted,
     so co-location is exact wherever the boundaries land; each range
     sorts its two slices by key and merges. Unlike the hash backend the
     output arrives range-ORDERED by key — the property a downstream
@@ -293,7 +316,9 @@ def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
     exploit without re-sorting."""
     from .shuffle import cast_columns
 
-    tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
+    tagged, lcols, rcols, types, all_cols = _tag_union(
+        left_ds, right_ds, left_schema=left_schema,
+        right_schema=right_schema)
     bounds = range_boundaries(left_ds, on, num_ranges)
     bref = ray.put(bounds)
 
@@ -434,10 +459,15 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
     dim_ds = rd.from_arrow(dim_table)
     # schemas are statically known — passing them skips _tag_union's
     # Dataset.schema() limit-1 probes, so the fact lineage executes
-    # exactly once (the route pass)
+    # exactly once (the route pass). dim_extra int columns are
+    # null-filled on cold fact rows yet PRESENT on both union sides, so
+    # they must be declared force_nullable_int — the default to_pandas
+    # path would float64-round packed ids above 2^53.
     tagged, lcols, rcols, ttypes, all_cols = _tag_union(
         routed, dim_ds, left_schema=combined,
-        right_schema=dim_table.schema)
+        right_schema=dim_table.schema,
+        force_nullable_int=[c for c in dim_extra
+                            if pa.types.is_integer(types[c])])
 
     def bucket_fn(df: "pd.DataFrame") -> "pd.DataFrame":
         done = df[(df["__side"] == 0) & (df["__hot"] == 1)][out_cols]

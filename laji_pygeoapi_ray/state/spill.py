@@ -42,24 +42,60 @@ import uuid
 SPILL_ROOT = os.environ.get("LAJI_RAY_SPILL_DIR", "/tmp/laji_ray_spill")
 
 _STALE_AFTER_S = 6 * 3600
+_DEAD_GRACE_S = 60
 _swept = False
+_live_by_tag: dict[str, str] = {}   # this process's newest dir per tag
 
 
 def _cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def _owner_pid(dirname: str) -> int | None:
+    """Spill dirs are named ``{tag}-{pid}-{uuid}``; return the embedded
+    owner pid, or None for unparseable (legacy) names."""
+    parts = dirname.rsplit("-", 2)
+    if len(parts) == 3 and parts[1].isdigit():
+        return int(parts[1])
+    return None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True                 # exists, owned by someone else
+
+
 def _sweep_stale() -> None:
-    """Best-effort removal of spill dirs older than 6 h (leftovers of
-    killed processes — live processes clean their own via atexit)."""
+    """Best-effort removal of leftover spill dirs. A dir whose OWNER
+    process (pid embedded in the name) is still alive is never touched —
+    age alone must not reap a >6 h-running producer's checkpoint out
+    from under it. Owner-dead dirs go after a short grace (to dodge a
+    just-created-dir race); unparseable legacy names keep the 6 h age
+    rule. Single-node semantics: pids are only meaningful on the node
+    that owns SPILL_ROOT, which is exactly the default-/tmp case this
+    sweep exists for (a shared LAJI_RAY_SPILL_DIR on a real cluster is
+    operator-managed storage; the sweep still only removes clearly-dead
+    or ancient dirs)."""
     global _swept
     _swept = True
     try:
         now = time.time()
         for ent in os.scandir(SPILL_ROOT):
             try:
-                if ent.is_dir() and now - ent.stat().st_mtime \
-                        > _STALE_AFTER_S:
+                if not ent.is_dir():
+                    continue
+                age = now - ent.stat().st_mtime
+                pid = _owner_pid(ent.name)
+                if pid is not None and _pid_alive(pid):
+                    continue        # owner still running: never reap
+                stale = (age > _DEAD_GRACE_S if pid is not None
+                         else age > _STALE_AFTER_S)
+                if stale:
                     shutil.rmtree(ent.path, ignore_errors=True)
             except OSError:
                 pass
@@ -117,9 +153,19 @@ def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None,
     _require_shared_root()
     if not _swept:
         _sweep_stale()
-    path = os.path.join(SPILL_ROOT, f"{tag}-{uuid.uuid4().hex[:12]}")
+    path = os.path.join(
+        SPILL_ROOT, f"{tag}-{os.getpid()}-{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
     atexit.register(_cleanup, path)
+    # in-process reclamation for LONG-LIVED processes (a serving loop
+    # answering the same query repeatedly): re-spilling a tag supersedes
+    # the previous checkpoint — its readers were consumed within that
+    # invocation — so drop the old dir now instead of accumulating one
+    # corpus-proportional copy per request until process exit
+    prev = _live_by_tag.get(tag)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    _live_by_tag[tag] = path
     if columns:
         ds = ds.select_columns(columns)
         if schema is not None:

@@ -189,7 +189,11 @@ def test_d8_pit_branch_planted(tmp_path):
 def test_skew_split_join_equals_plain_join():
     """skew_split_join (hot keys broadcast, cold keys hash-bucketed)
     equals a plain pandas merge on zipf-skewed keys, including when the
-    hot set covers none / some / all rows."""
+    hot set covers none / some / all rows. The dim carries an int column
+    ABOVE 2^53 (a packed cell id shape): cold-row null-fill makes it a
+    present-on-both-sides nullable int through the tagged union, where a
+    pandas float64 conversion would silently round it — values must
+    survive bit-exact (the force_nullable_int path)."""
     from laji_pygeoapi_ray.stages.join import skew_split_join
 
     rng = np.random.default_rng(13)
@@ -197,15 +201,17 @@ def test_skew_split_join_equals_plain_join():
     big = pd.DataFrame({"k": keys,
                         "v": rng.integers(0, 10**6, len(keys))})
     dim = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
-                        "name": [f"n{i}" for i in range(100)]})
-    want = (big.merge(dim, on="k")[["k", "v", "name"]]
+                        "name": [f"n{i}" for i in range(100)],
+                        "cell": (1 << 60) + 2 * np.arange(100) + 1})
+    want = (big.merge(dim, on="k")[["k", "v", "name", "cell"]]
             .sort_values(["k", "v"]).reset_index(drop=True))
     for hot in ([], [0, 1, 2], list(range(100))):
         got = skew_split_join(
             ray.data.from_pandas(big).repartition(4), dim, on="k",
             hot_keys=np.array(hot, np.int64)).to_pandas()
-        got = (got[["k", "v", "name"]].sort_values(["k", "v"])
+        got = (got[["k", "v", "name", "cell"]].sort_values(["k", "v"])
                .reset_index(drop=True))
+        got["cell"] = got["cell"].astype(np.int64)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
@@ -285,8 +291,10 @@ def test_skew_split_join_single_scan_no_materialize():
         ds, dim, on="k", hot_keys=np.array([0, 1], np.int64),
         fact_schema=pa.schema([("k", pa.int64()),
                                ("v", pa.int64())])).to_pandas()
-    want = big.merge(dim, on="k")
-    assert len(out) == len(want)
+    want = (big.merge(dim, on="k").sort_values(["k", "v"])
+            .reset_index(drop=True))
+    out = out.sort_values(["k", "v"]).reset_index(drop=True)[want.columns]
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
     assert len(os.listdir(mark_dir)) == 4  # once per block, once total
 
 
@@ -356,28 +364,48 @@ def test_spill_checkpoint_empty_producer_keeps_schema():
 
 
 def test_spill_checkpoint_cleans_up_at_exit():
-    """Every spill dir is registered for removal at process exit and the
-    module sweeps dirs older than 6 h — a query invocation must not leak
-    a corpus-proportional Parquet copy per run (ADVICE r5)."""
+    """Spill-dir lifecycle: atexit removal, OWNER-AWARE stale sweep (a
+    dir whose owning pid is alive is never reaped no matter its age — a
+    >6 h-running producer must not lose its checkpoint to a second
+    process's sweep; a dead owner's dir goes after a short grace), and
+    same-tag re-spill reclamation (a long-lived serving process answering
+    the same query repeatedly holds at most ONE live dir per tag)."""
     import os
     import time
 
     from laji_pygeoapi_ray.state import spill
 
     df = pd.DataFrame({"a": np.arange(10, dtype=np.int64)})
-    read = spill_checkpoint_path = None
     read = spill.spill_checkpoint(ray.data.from_pandas(df), "unit_gc")
     # the fresh dir exists now and is registered with atexit
     live = [e.path for e in os.scandir(spill.SPILL_ROOT)
-            if "unit_gc-" in e.name]
-    assert live
-    # stale-sweep removes an old dir
+            if e.name.startswith("unit_gc-")]
+    assert live and f"-{os.getpid()}-" in live[0]
+    # same-tag re-spill supersedes: the old dir is reclaimed in-process
+    read2 = spill.spill_checkpoint(ray.data.from_pandas(df), "unit_gc")
+    assert not os.path.exists(live[0])
+    assert read2().count() == 10
+    # legacy-named (no pid) old dir: 6 h age rule removes it
     stale = os.path.join(spill.SPILL_ROOT, "unit_stale-deadbeef")
     os.makedirs(stale, exist_ok=True)
     old = time.time() - 7 * 3600
     os.utime(stale, (old, old))
+    # dead-owner dir: reaped after the grace period regardless of age
+    dead = os.path.join(spill.SPILL_ROOT, "unit_dead-999999999-cafe")
+    os.makedirs(dead, exist_ok=True)
+    os.utime(dead, (time.time() - 120, time.time() - 120))
+    # LIVE-owner dir OLDER than 6 h: must survive the sweep
+    mine = os.path.join(spill.SPILL_ROOT,
+                        f"unit_mine-{os.getpid()}-beef")
+    os.makedirs(mine, exist_ok=True)
+    os.utime(mine, (old, old))
     spill._sweep_stale()
     assert not os.path.exists(stale)
+    assert not os.path.exists(dead)
+    assert os.path.exists(mine)     # alive owner: never reaped
+    spill._cleanup(mine)
     # atexit hook removes the live dir when invoked
-    spill._cleanup(live[0])
-    assert not os.path.exists(live[0])
+    cur = [e.path for e in os.scandir(spill.SPILL_ROOT)
+           if e.name.startswith("unit_gc-")]
+    spill._cleanup(cur[0])
+    assert not os.path.exists(cur[0])

@@ -311,7 +311,7 @@ def _srp_planes(d: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
 
 def cosine_pairs_lsh(emb_ds, *, tau2: tuple[int, int] = (361, 400),
                      scale: float = 1000.0, n_bits: int = 4,
-                     n_tables: int = 64, seed: int = 42,
+                     n_tables: int = 128, seed: int = 42,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      num_buckets: int = 64, group_cap: int = 65536):
     """Full-corpus cosine near-dup sweep — NO broadcast side: sign-random-
@@ -327,10 +327,14 @@ def cosine_pairs_lsh(emb_ds, *, tau2: tuple[int, int] = (361, 400),
     O(n²) matmul, no whole-corpus object.
 
     Recall is probabilistic in general (P[collide] = 1-(1-(1-θ/π)^B)^T);
-    the defaults (B=4, T=64) are sized for the synthetic fixture's LOW
-    τ (cos ≥ 0.3, θ≈72°) where hyperplane LSH is weakest — at real
-    near-dup thresholds (τ ≥ 0.9, θ ≤ 26°) a handful of tables gives the
-    same recall and the T-fold explode shrinks accordingly. Buckets
+    the defaults (B=4, T=128) are sized for the synthetic fixture's LOW
+    τ (cos ≥ 0.3, θ≈72°) where hyperplane LSH is weakest — a borderline
+    τ=0.3 pair misses one table with prob ≈0.873, so T=128 leaves a
+    per-pair miss prob of ~3e-8 (T=64's ~1.7e-4 measurably dropped ONE
+    of the 14,931 qualifying pairs on the sf0.1 fixture — the full
+    3-sf sweep now verifies exactness empirically). At real near-dup
+    thresholds (τ ≥ 0.9, θ ≤ 26°) a handful of tables gives the same
+    recall and the T-fold explode shrinks accordingly. Buckets
     larger than ``group_cap`` (degenerate codes) are skipped, mirroring
     minhash's stop-bucket pruning (`simdedup.py`)."""
     from .shuffle import grouped_apply

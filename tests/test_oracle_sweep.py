@@ -6,12 +6,42 @@ its DuckDB twin at the driver's own scale factor (sf0.01), so each one
 carries machine-checkable proof regardless of where it lands in the
 driver's window. One parametrized test per query — a failure names the
 query directly.
+
+Cross-scale mode: ``LAJI_SWEEP_SF_DIR=/root/testdata/sf0.1 pytest
+tests/test_oracle_sweep.py`` re-runs the whole sweep at another scale
+factor (run once per round; it caught the T=64 SRP-LSH recall miss that
+sf0.01 was too small to expose). The image-family queries are SKIPPED
+there: their oracle SQL strings embed the fixed sf0.01 image-corpus
+path (``image_queries.ORACLE_N`` — a static SQL string cannot receive
+``sf_dir``) while the engine side scales with ``sf_dir``, so comparing
+at any other sf mismatches BY DESIGN, not by defect.
 """
 from __future__ import annotations
+
+import os
 
 import pytest
 
 from tests.conftest import SF_ORACLE, assert_query_matches_oracle
+
+SF_SWEEP = os.environ.get("LAJI_SWEEP_SF_DIR", SF_ORACLE)
+
+# Oracle pinned to the ORACLE_N=2000 (sf0.01) image corpus — the engine
+# side follows sf_dir, so these only compare equal at SF_ORACLE. (The
+# other image queries — image_phash_components, image_phash_hamming_sub
+# — restrict themselves to a fixed img_no subset, which is sf-invariant
+# because image content is index-deterministic, so they stay in.)
+IMAGE_PINNED = frozenset({
+    "aspect_ratio_histogram", "caption_integrity", "caption_stats",
+    "cell_image_doc_join", "cross_k_image_doc", "dedup_method_agreement",
+    "dwithin_image_doc_pairs", "etl_lifecycle_bbox", "image_augment_stats",
+    "image_compression_stats", "image_content_dedup", "image_decode_verify",
+    "image_hash_topk_certified", "image_municipality_counts",
+    "image_neardup_psnr_verified", "image_patch_stats", "image_phash_dedup",
+    "image_phash_hamming_pairs", "image_resize_plan", "image_tile_counts",
+    "image_transcode_verify", "phash_threshold_sweep", "tile_mosaic_layout",
+    "training_corpus_counts", "zonal_image_stats",
+})
 
 
 def _oracle_names() -> list[str]:
@@ -25,4 +55,6 @@ def _oracle_names() -> list[str]:
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_oracle_sweep(name: str):
-    assert_query_matches_oracle(name, SF_ORACLE)
+    if SF_SWEEP != SF_ORACLE and name in IMAGE_PINNED:
+        pytest.skip("oracle SQL embeds the fixed sf0.01 image corpus")
+    assert_query_matches_oracle(name, SF_SWEEP)

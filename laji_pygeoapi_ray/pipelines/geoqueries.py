@@ -2174,9 +2174,11 @@ def trajectory_crossings(sf_dir: str):
     read_segs = spill_checkpoint(
         grouped_apply(rows, ["user_id"], make_segments,
                       num_buckets=16), "traj_segs",
-        schema=pa.schema([("seg_id", pa.int64()), ("ax", pa.float64()),
-                          ("ay", pa.float64()), ("bx", pa.float64()),
-                          ("by", pa.float64())]))
+        # micro-degree coords are int64 (make_segments emits qx/qy
+        # int64) — the sentinel schema must match the non-empty dtype
+        schema=pa.schema([("seg_id", pa.int64()), ("ax", pa.int64()),
+                          ("ay", pa.int64()), ("bx", pa.int64()),
+                          ("by", pa.int64())]))
     segs = read_segs()
     n_segments = read_segs(columns=["seg_id"]).count()
 

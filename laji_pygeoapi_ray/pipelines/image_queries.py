@@ -1574,10 +1574,17 @@ def etl_lifecycle_bbox(sf_dir: str):
     from .etl import run_etl, run_maintenance
     from .query import bbox_query
 
-    out_dir = tempfile.mkdtemp(prefix="laji_ray_lifecycle_")
     # the served page below is a lazy Dataset over out_dir — clean up at
-    # process exit (after consumption), not here; repeated invocations
-    # within one process otherwise leak a full ETL output tree per run
+    # process exit (after consumption), not here. Repeated invocations
+    # within one long-lived process SUPERSEDE the previous run's tree
+    # (its lazy page was consumed within that invocation — the
+    # spill_checkpoint _live_by_tag pattern), so disk usage stays
+    # bounded at one ETL tree instead of one per request.
+    prev = getattr(etl_lifecycle_bbox, "_live_dir", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    out_dir = tempfile.mkdtemp(prefix="laji_ray_lifecycle_")
+    etl_lifecycle_bbox._live_dir = out_dir
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     manifest = run_etl(sf_dir, out_dir, shards=4)
     assert all(s["status"] == "done"

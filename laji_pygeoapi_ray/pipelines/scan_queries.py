@@ -327,19 +327,24 @@ def _str_index_layout(sf_dir: str) -> str:
     ``LAJI_RAY_SPILL_DIR`` and the build REFUSES the node-local default
     on a multi-node cluster (``spill._require_shared_root`` — remote
     write tasks' files would be invisible to the driver re-read, which
-    here would stamp ``_DONE`` on a silently partial index). Lives
-    beside, not under, the spill root: checkpoints are per-process
-    scratch, the index is a persistent artifact the 6 h sweep must not
-    reap. Promotion is concurrency-safe: each builder writes a unique
-    tmp dir and claims the final path with an atomic ``os.rename``;
-    losers defer to the winner's ``_DONE`` marker (no pre-emptive
-    rmtree of a dir another process may have just promoted)."""
+    here would stamp ``_DONE`` on a silently partial index). The index
+    is a PERSISTENT artifact, not per-process scratch: the spill sweep
+    only ever touches ``{tag}-{pid}-{uuid}``-named checkpoint dirs, so
+    the index tree is safe whether it sits beside the default spill
+    root (/tmp) or nested under a user-provided one. Crashed builders'
+    ``*.tmp.*`` leftovers (corpus-sized) are reaped here under the same
+    ``spill._reap_ok`` policy. Promotion is concurrency-safe: each
+    builder writes a unique tmp dir and claims the final path with an
+    atomic ``os.rename``; losers defer to the winner's ``_DONE`` marker
+    (no pre-emptive rmtree of a dir another process may have just
+    promoted)."""
     import hashlib
     import shutil
     import time as _time
     import uuid as _uuid
 
-    from ..state.spill import _require_shared_root
+    from ..state.spill import (_reap_ok, _require_shared_root,
+                               write_empty_sentinel)
 
     tag = hashlib.md5(f"{sf_dir}v{STRIDX_VERSION}".encode()) \
         .hexdigest()[:12]
@@ -351,17 +356,33 @@ def _str_index_layout(sf_dir: str) -> str:
         return out
     _require_shared_root()
     os.makedirs(root, exist_ok=True)
+    # reap corpus-sized tmp dirs leaked by crashed/killed builders (the
+    # spill sweep never scans this root); same conservative policy —
+    # locally-dead owner after a short grace on the default root, 6 h
+    # age otherwise
+    try:
+        now = _time.time()
+        for ent in os.scandir(root):
+            try:
+                if not ent.is_dir() or ".tmp." not in ent.name:
+                    continue
+                pid_s = ent.name.split(".tmp.", 1)[1].split(".", 1)[0]
+                pid = int(pid_s) if pid_s.isdigit() else None
+                if pid != os.getpid() and _reap_ok(
+                        pid, now - ent.stat().st_mtime):
+                    shutil.rmtree(ent.path, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
     tmp = f"{out}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
     os.makedirs(tmp)
     _str_leaf_points(sf_dir).write_parquet(tmp)
     if not any(os.scandir(tmp)):
-        # empty corpus: Ray's sink skips empty blocks — persist the
-        # (statically known) schema so read-back stays typed
-        import pyarrow.parquet as pq
-        pq.write_table(pa.table({"leaf": pa.array([], pa.int64()),
-                                 "x": pa.array([], pa.float64()),
-                                 "y": pa.array([], pa.float64())}),
-                       os.path.join(tmp, "empty.parquet"))
+        # empty corpus: keep the re-read typed (statically known schema)
+        write_empty_sentinel(tmp, pa.schema([("leaf", pa.int64()),
+                                             ("x", pa.float64()),
+                                             ("y", pa.float64())]))
     for wait in (0.0, 0.5, 1.0, 2.0, 4.0, 8.0):
         _time.sleep(wait)
         if os.path.exists(marker):          # another builder won

@@ -425,14 +425,22 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
         hot_rows["__hot"] = np.int8(1)
         # round-robin bucket: the whole point — a hot key's rows spread
         # uniformly instead of hashing into one giant bucket. The start
-        # offset is salted per batch (splitmix of the batch's first key
-        # and size): restarting at 0 every batch would concentrate the
-        # hot mass in the low buckets whenever per-batch hot counts are
-        # below nb. Bucket choice never affects the result rows — hot
-        # rows pass through the exchange untouched.
+        # offset is salted per batch from sampled ROW CONTENT (first /
+        # middle / last row, all columns): restarting at 0 every batch
+        # would concentrate the hot mass in the low buckets whenever
+        # per-batch hot counts are below nb, and a (first-key, size)
+        # salt degenerates the same way on a fact table CLUSTERED by the
+        # hot key — every full batch then shares one key and one length,
+        # so all of them would land on the identical offset. Content
+        # sampling stays deterministic (same data + batching → same
+        # buckets) while distinct batches of one clustered key diverge.
+        # Bucket choice never affects the result rows — hot rows pass
+        # through the exchange untouched.
         if len(hot_rows):
-            seed = np.array([np.int64(df[on].iloc[0])
-                             ^ np.int64(len(df))]).astype(np.uint64)
+            samp = df.iloc[[0, len(df) // 2, len(df) - 1]]
+            seed = np.array([pd.util.hash_pandas_object(
+                samp, index=False).to_numpy(np.uint64).sum()
+                ^ np.uint64(len(df))])
             off = int(BloomFilter._mix(seed, 1)[0] % np.uint64(nb))
             hot_rows["__bucket"] = ((np.arange(len(hot_rows)) + off)
                                     % nb).astype(np.int64)

@@ -70,17 +70,33 @@ def _pid_alive(pid: int) -> bool:
         return True                 # exists, owned by someone else
 
 
+def _reap_ok(pid: int | None, age: float) -> bool:
+    """Shared reap policy for leftover scratch dirs (spill checkpoints
+    and STR-index tmp builds). Pid liveness is only evidence on the
+    node-local DEFAULT root — on a user-provided ``LAJI_RAY_SPILL_DIR``
+    (shared storage) the owner may live on ANOTHER node / pid namespace,
+    where ``os.kill(pid, 0)`` raising says nothing, so a dead-looking
+    pid must NOT shortcut the grace period (it would reap a live remote
+    driver's checkpoint 60 s after creation). Policy: local root +
+    dead owner → short grace; everything else → the conservative 6 h
+    age rule, and a locally-ALIVE owner pid is never reaped."""
+    if pid is not None and _pid_alive(pid):
+        return False                # owner (or a pid twin) running here
+    if pid is not None and "LAJI_RAY_SPILL_DIR" not in os.environ:
+        return age > _DEAD_GRACE_S  # local root: pid evidence is real
+    return age > _STALE_AFTER_S
+
+
 def _sweep_stale() -> None:
-    """Best-effort removal of leftover spill dirs. A dir whose OWNER
-    process (pid embedded in the name) is still alive is never touched —
-    age alone must not reap a >6 h-running producer's checkpoint out
-    from under it. Owner-dead dirs go after a short grace (to dodge a
-    just-created-dir race); unparseable legacy names keep the 6 h age
-    rule. Single-node semantics: pids are only meaningful on the node
-    that owns SPILL_ROOT, which is exactly the default-/tmp case this
-    sweep exists for (a shared LAJI_RAY_SPILL_DIR on a real cluster is
-    operator-managed storage; the sweep still only removes clearly-dead
-    or ancient dirs)."""
+    """Best-effort removal of leftover spill dirs. ONLY directories
+    matching this module's ``{tag}-{pid}-{uuid}`` naming are candidates
+    — anything else under the root (e.g. the persistent STR-index tree
+    when LAJI_RAY_SPILL_DIR nests it inside) is a foreign artifact the
+    sweep must never touch. Reaping follows ``_reap_ok``: a dir whose
+    owner pid is alive is never removed; owner-dead dirs go after a
+    short grace on the node-local default root (where pids are
+    meaningful), and only after the 6 h age bound on a shared root
+    (where a dead-looking pid may be a live remote driver)."""
     global _swept
     _swept = True
     try:
@@ -89,18 +105,28 @@ def _sweep_stale() -> None:
             try:
                 if not ent.is_dir():
                     continue
-                age = now - ent.stat().st_mtime
                 pid = _owner_pid(ent.name)
-                if pid is not None and _pid_alive(pid):
-                    continue        # owner still running: never reap
-                stale = (age > _DEAD_GRACE_S if pid is not None
-                         else age > _STALE_AFTER_S)
-                if stale:
+                if pid is None:
+                    continue        # not a spill dir: never touch
+                if _reap_ok(pid, now - ent.stat().st_mtime):
                     shutil.rmtree(ent.path, ignore_errors=True)
             except OSError:
                 pass
     except OSError:
         pass
+
+
+def write_empty_sentinel(path: str, schema) -> None:
+    """Ray's parquet sink skips empty blocks, so an empty producer
+    writes ZERO files and any column-pruned re-read crashes untyped.
+    Drop a zero-row file carrying the statically-known schema so the
+    directory re-reads typed — the single implementation of the
+    empty-spill contract (spill checkpoints and the persisted STR index
+    both use it)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(schema.empty_table(),
+                   os.path.join(path, "empty.parquet"))
 
 
 def _require_shared_root() -> None:
@@ -147,7 +173,6 @@ def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None,
     still ends up empty-and-untyped, ``read`` raises a clear error
     instead of the former KeyError."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     _require_shared_root()
@@ -180,8 +205,7 @@ def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None,
             schema = None
     ds.write_parquet(path)
     if not any(os.scandir(path)) and schema is not None:
-        pq.write_table(schema.empty_table(),
-                       os.path.join(path, "empty.parquet"))
+        write_empty_sentinel(path, schema)
 
     def read(columns: list[str] | None = None, filter=None):
         if not any(os.scandir(path)):

@@ -367,9 +367,12 @@ def test_spill_checkpoint_cleans_up_at_exit():
     """Spill-dir lifecycle: atexit removal, OWNER-AWARE stale sweep (a
     dir whose owning pid is alive is never reaped no matter its age — a
     >6 h-running producer must not lose its checkpoint to a second
-    process's sweep; a dead owner's dir goes after a short grace), and
-    same-tag re-spill reclamation (a long-lived serving process answering
-    the same query repeatedly holds at most ONE live dir per tag)."""
+    process's sweep; a locally-dead owner's dir goes after a short grace
+    on the node-local default root, but only after the 6 h age bound on
+    a SHARED root, where the pid may belong to a live driver on another
+    node; non-spill-named dirs are never touched at all), and same-tag
+    re-spill reclamation (a long-lived serving process answering the
+    same query repeatedly holds at most ONE live dir per tag)."""
     import os
     import time
 
@@ -385,8 +388,10 @@ def test_spill_checkpoint_cleans_up_at_exit():
     read2 = spill.spill_checkpoint(ray.data.from_pandas(df), "unit_gc")
     assert not os.path.exists(live[0])
     assert read2().count() == 10
-    # legacy-named (no pid) old dir: 6 h age rule removes it
-    stale = os.path.join(spill.SPILL_ROOT, "unit_stale-deadbeef")
+    # NON-spill-named dir (no embedded pid): a foreign artifact — e.g.
+    # the persisted STR index nested under a user spill root — that the
+    # sweep must NEVER touch, however old
+    stale = os.path.join(spill.SPILL_ROOT, "unit_foreign-deadbeef")
     os.makedirs(stale, exist_ok=True)
     old = time.time() - 7 * 3600
     os.utime(stale, (old, old))
@@ -400,10 +405,30 @@ def test_spill_checkpoint_cleans_up_at_exit():
     os.makedirs(mine, exist_ok=True)
     os.utime(mine, (old, old))
     spill._sweep_stale()
-    assert not os.path.exists(stale)
+    assert os.path.exists(stale)    # foreign name: never touched
     assert not os.path.exists(dead)
     assert os.path.exists(mine)     # alive owner: never reaped
     spill._cleanup(mine)
+    spill._cleanup(stale)
+    # on a SHARED root (LAJI_RAY_SPILL_DIR set) pid liveness is
+    # cross-node-meaningless: a dead-LOOKING owner only goes after the
+    # full 6 h age bound, never the short grace
+    os.environ["LAJI_RAY_SPILL_DIR"] = spill.SPILL_ROOT
+    try:
+        recent_dead = os.path.join(spill.SPILL_ROOT,
+                                   "unit_rdead-999999999-f00d")
+        os.makedirs(recent_dead, exist_ok=True)
+        os.utime(recent_dead, (time.time() - 120, time.time() - 120))
+        old_dead = os.path.join(spill.SPILL_ROOT,
+                                "unit_odead-999999999-f00e")
+        os.makedirs(old_dead, exist_ok=True)
+        os.utime(old_dead, (old, old))
+        spill._sweep_stale()
+        assert os.path.exists(recent_dead)   # maybe a live remote owner
+        assert not os.path.exists(old_dead)  # ancient: reaped
+        spill._cleanup(recent_dead)
+    finally:
+        del os.environ["LAJI_RAY_SPILL_DIR"]
     # atexit hook removes the live dir when invoked
     cur = [e.path for e in os.scandir(spill.SPILL_ROOT)
            if e.name.startswith("unit_gc-")]

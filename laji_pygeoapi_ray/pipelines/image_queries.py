@@ -8,6 +8,8 @@ over points derived from the parsed image number. Rows-only: the full
 decode-verify pipeline (PSNR needs the codec, no SQL twin)."""
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1525,6 +1527,9 @@ LIFE_X0, LIFE_Y0, LIFE_X1, LIFE_Y1 = 24.6, 60.0, 25.4, 60.45
 LIFE_LIMIT, LIFE_OFFSET = 10, 2
 
 
+_LIFECYCLE_LOCAL = threading.local()
+
+
 def _lifecycle_sql() -> str:
     from ..state import fixtures
 
@@ -1576,15 +1581,17 @@ def etl_lifecycle_bbox(sf_dir: str):
 
     # the served page below is a lazy Dataset over out_dir — clean up at
     # process exit (after consumption), not here. Repeated invocations
-    # within one long-lived process SUPERSEDE the previous run's tree
-    # (its lazy page was consumed within that invocation — the
-    # spill_checkpoint _live_by_tag pattern), so disk usage stays
-    # bounded at one ETL tree instead of one per request.
-    prev = getattr(etl_lifecycle_bbox, "_live_dir", None)
+    # SUPERSEDE the previous run's tree (its lazy page was consumed
+    # within that invocation — the spill_checkpoint _live_by_tag
+    # pattern), so a long-lived serving process holds one ETL tree per
+    # THREAD instead of one per request; per-thread state because a
+    # concurrent request on another thread must not rmtree a tree whose
+    # ETL/maintenance/page is still mid-flight.
+    prev = getattr(_LIFECYCLE_LOCAL, "live_dir", None)
     if prev is not None:
         shutil.rmtree(prev, ignore_errors=True)
     out_dir = tempfile.mkdtemp(prefix="laji_ray_lifecycle_")
-    etl_lifecycle_bbox._live_dir = out_dir
+    _LIFECYCLE_LOCAL.live_dir = out_dir
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     manifest = run_etl(sf_dir, out_dir, shards=4)
     assert all(s["status"] == "done"

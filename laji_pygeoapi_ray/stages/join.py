@@ -12,6 +12,9 @@ For small right sides prefer ``broadcast_join`` (dict/merge against a
 """
 from __future__ import annotations
 
+import itertools
+import os as _os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -19,6 +22,11 @@ import pyarrow.compute as pc
 import ray
 
 from .shuffle import grouped_apply
+
+# per-WORKER-PROCESS batch sequence for the skew-join hot-bucket salt
+# (module state lives in each worker, not in the pickled closure — a
+# closure-level counter would restart at 0 in every task)
+_ROUTE_SEQ = itertools.count()
 
 
 def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None,
@@ -426,21 +434,33 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
         # round-robin bucket: the whole point — a hot key's rows spread
         # uniformly instead of hashing into one giant bucket. The start
         # offset is salted per batch from sampled ROW CONTENT (first /
-        # middle / last row, all columns): restarting at 0 every batch
+        # middle / last row, all columns) XOR a per-worker monotonic
+        # sequence XOR the worker pid: restarting at 0 every batch
         # would concentrate the hot mass in the low buckets whenever
-        # per-batch hot counts are below nb, and a (first-key, size)
-        # salt degenerates the same way on a fact table CLUSTERED by the
-        # hot key — every full batch then shares one key and one length,
-        # so all of them would land on the identical offset. Content
-        # sampling stays deterministic (same data + batching → same
-        # buckets) while distinct batches of one clustered key diverge.
-        # Bucket choice never affects the result rows — hot rows pass
-        # through the exchange untouched.
+        # per-batch hot counts are below nb; a (first-key, size) salt
+        # degenerates the same way on a fact table CLUSTERED by the hot
+        # key (every full batch shares one key and one length); and
+        # content alone STILL degenerates when the clustered hot key's
+        # payload columns are constant — byte-identical batches hash to
+        # one offset. The (pid, sequence) term makes every batch's
+        # offset distinct across workers and across batches within a
+        # worker, at the cost of bucket PLACEMENT being scheduling-
+        # dependent — acceptable because bucket choice never affects
+        # the result rows (hot rows pass through the exchange
+        # untouched); only the result's row content must be
+        # deterministic, and it is.
         if len(hot_rows):
+            # resolve the sequence through sys.modules, NOT the closure:
+            # cloudpickle snapshots a nested function's referenced
+            # globals by value, which would hand every task a fresh
+            # copy of the counter frozen at graph-build time
+            from laji_pygeoapi_ray.stages import join as _self
             samp = df.iloc[[0, len(df) // 2, len(df) - 1]]
             seed = np.array([pd.util.hash_pandas_object(
                 samp, index=False).to_numpy(np.uint64).sum()
-                ^ np.uint64(len(df))])
+                ^ np.uint64(len(df))
+                ^ (np.uint64(_os.getpid()) << np.uint64(24))
+                ^ np.uint64(next(_self._ROUTE_SEQ))])
             off = int(BloomFilter._mix(seed, 1)[0] % np.uint64(nb))
             hot_rows["__bucket"] = ((np.arange(len(hot_rows)) + off)
                                     % nb).astype(np.int64)

@@ -35,6 +35,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -44,7 +45,10 @@ SPILL_ROOT = os.environ.get("LAJI_RAY_SPILL_DIR", "/tmp/laji_ray_spill")
 _STALE_AFTER_S = 6 * 3600
 _DEAD_GRACE_S = 60
 _swept = False
-_live_by_tag: dict[str, str] = {}   # this process's newest dir per tag
+# this process's newest dir per (thread, tag): keyed by thread so a
+# concurrent request on another thread re-spilling the SAME tag never
+# reaps a checkpoint whose consumers are still mid-flight
+_live_by_tag: dict[tuple[int, str], str] = {}
 
 
 def _cleanup(path: str) -> None:
@@ -186,11 +190,13 @@ def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None,
     # answering the same query repeatedly): re-spilling a tag supersedes
     # the previous checkpoint — its readers were consumed within that
     # invocation — so drop the old dir now instead of accumulating one
-    # corpus-proportional copy per request until process exit
-    prev = _live_by_tag.get(tag)
+    # corpus-proportional copy per request until process exit. Keyed by
+    # thread: another thread's same-tag checkpoint may still be live.
+    key = (threading.get_ident(), tag)
+    prev = _live_by_tag.get(key)
     if prev is not None:
         shutil.rmtree(prev, ignore_errors=True)
-    _live_by_tag[tag] = path
+    _live_by_tag[key] = path
     if columns:
         ds = ds.select_columns(columns)
         if schema is not None:

@@ -413,6 +413,7 @@ def test_spill_checkpoint_cleans_up_at_exit():
     # on a SHARED root (LAJI_RAY_SPILL_DIR set) pid liveness is
     # cross-node-meaningless: a dead-LOOKING owner only goes after the
     # full 6 h age bound, never the short grace
+    prev_root = os.environ.get("LAJI_RAY_SPILL_DIR")
     os.environ["LAJI_RAY_SPILL_DIR"] = spill.SPILL_ROOT
     try:
         recent_dead = os.path.join(spill.SPILL_ROOT,
@@ -428,7 +429,10 @@ def test_spill_checkpoint_cleans_up_at_exit():
         assert not os.path.exists(old_dead)  # ancient: reaped
         spill._cleanup(recent_dead)
     finally:
-        del os.environ["LAJI_RAY_SPILL_DIR"]
+        if prev_root is None:
+            del os.environ["LAJI_RAY_SPILL_DIR"]
+        else:
+            os.environ["LAJI_RAY_SPILL_DIR"] = prev_root
     # atexit hook removes the live dir when invoked
     cur = [e.path for e in os.scandir(spill.SPILL_ROOT)
            if e.name.startswith("unit_gc-")]

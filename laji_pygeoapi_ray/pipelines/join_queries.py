@@ -43,8 +43,7 @@ def orders_by_mktsegment(sf_dir: str):
     """Large-large partitioned hash join (orders ⋈ customer on custkey,
     one shuffle on the hashed key) followed by a grouped aggregate."""
     return _orders_mktsegment_agg(
-        sf_dir, lambda o, c: hash_join(o, c, on=["o_custkey"],
-                                       num_buckets=16))
+        sf_dir, lambda o, c: hash_join(o, c, on=["o_custkey"]))
 
 
 @register("supplier_nation_broadcast", sql="""
@@ -181,7 +180,7 @@ def local_supplier_volume(sf_dir: str):
         .rename_columns(["o_orderkey", "c_custkey"]),
         batch_format="pyarrow")
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    oc = hash_join(orders, cust, on=["c_custkey"], num_buckets=16)
+    oc = hash_join(orders, cust, on=["c_custkey"])
     oc = oc.map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
                         batch_format="pyarrow")
 
@@ -191,7 +190,7 @@ def local_supplier_volume(sf_dir: str):
     li = li.map_batches(lambda t: t.rename_columns(
         ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow")
-    ol = hash_join(li, oc, on=["o_orderkey"], num_buckets=32)
+    ol = hash_join(li, oc, on=["o_orderkey"])
 
     # dimension collapse: suppkey → (nationkey, nation name) for in-region
     # suppliers only, broadcast once
@@ -274,8 +273,7 @@ def orders_left_join_building(sf_dir: str):
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
                    .select(["c_custkey", "c_nationkey"]),
         batch_format="pyarrow")
-    j = hash_join(orders, cust, on=["c_custkey"], how="left",
-                  num_buckets=16)
+    j = hash_join(orders, cust, on=["c_custkey"], how="left")
     return j.map_batches(
         lambda t: t.select(["o_orderkey", "o_totalprice", "c_nationkey"]),
         batch_format="pyarrow")
@@ -355,7 +353,7 @@ def ship_latency_by_priority(sf_dir: str):
             "priority": t["o_orderpriority"]}),
             batch_format="pyarrow")
 
-    joined = hash_join(li, od, on=["l_orderkey"], num_buckets=32)
+    joined = hash_join(li, od, on=["l_orderkey"])
 
     def partial(t: pa.Table) -> pa.Table:
         days = ((t["ship_t"].to_numpy(zero_copy_only=False)
@@ -440,7 +438,7 @@ def basket_part_pairs_topk(sf_dir: str):
         return d.groupby(["pa", "pb"], as_index=False).size() \
             .rename(columns={"size": "n"})
 
-    pairs = grouped_apply(li, ["l_orderkey"], per_order, num_buckets=32)
+    pairs = grouped_apply(li, ["l_orderkey"], per_order)
 
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["pa", "pb"], as_index=False)["n"].sum()
@@ -523,7 +521,7 @@ def returned_item_topk(sf_dir: str):
                          "rev": pa.array(cents * dpct)})
 
     li = li.map_batches(to_rev, batch_format="pyarrow")
-    joined = hash_join(li, orders, on=["o_orderkey"], num_buckets=16)
+    joined = hash_join(li, orders, on=["o_orderkey"])
 
     def partial_sum(t: pa.Table) -> pa.Table:
         part = (t.select(["o_custkey", "rev"]).group_by(["o_custkey"])

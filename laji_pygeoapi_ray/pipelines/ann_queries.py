@@ -294,7 +294,7 @@ def hybrid_rrf_topk(sf_dir: str):
 
         joined = ctok.map_batches(score_scan, batch_format="pyarrow")
     else:
-        joined = hash_join(ctok, qtok, on=["token"], num_buckets=16)
+        joined = hash_join(ctok, qtok, on=["token"])
         joined = joined.map_batches(
             lambda t: (lambda f: pa.table({
                 "query_id": f["query_id"], "doc_id": f["doc_id"],
@@ -316,7 +316,7 @@ def hybrid_rrf_topk(sf_dir: str):
                              "cand_id": df["doc_id"].astype("int64"),
                              "rk": df["rk"].astype("int64")})
 
-    trank = grouped_apply(sc, ["query_id"], toprank, num_buckets=8)
+    trank = grouped_apply(sc, ["query_id"], toprank)
     trank = trank.map_batches(lambda t: t, batch_format="pyarrow")
 
     # --- fuse
@@ -341,7 +341,7 @@ def hybrid_rrf_topk(sf_dir: str):
         return df.astype({"query_id": "int64", "cand_id": "int64",
                           "rrf_int": "int64", "fused_rank": "int64"})
 
-    return grouped_apply(fused, ["query_id"], final, num_buckets=8)
+    return grouped_apply(fused, ["query_id"], final)
 
 
 COS_SUB = 250          # subset bound for the exact all-pairs query

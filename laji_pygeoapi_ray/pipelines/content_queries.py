@@ -366,7 +366,7 @@ def source_vocab_overlap(sf_dir: str):
 
     dedup = ds.map_batches(pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-    partials = grouped_apply(dedup, ["token"], per_token, num_buckets=32)
+    partials = grouped_apply(dedup, ["token"], per_token)
     agg = partials.groupby(["src_a", "src_b"]).aggregate(
         Sum("n", alias_name="n")).take_all()     # ≤ |sources|² rows
     vocab = {r["src_a"]: int(r["n"]) for r in agg if r["src_b"] == ""}

@@ -64,7 +64,7 @@ def build_training_corpus(sf_dir: str, out_dir: str | None = None):
 
     # visual exact-dup removal: keep-first per phash
     ds = dedup_keep_latest(ds, ["phash"], ["image_id"],
-                           descending=False, num_buckets=32)
+                           descending=False)
     ds = counters.counted(ds, "after_dedup")
 
     ds = train_val_split(ds, 80, id_col="img_no")

@@ -185,7 +185,7 @@ def run_maintenance(out_dir: str) -> dict:
                                                 "*.parquet")))
     ds = ray.data.read_parquet(shard_files)
     deduped = dedup_keep_latest(ds, ["phash"], ["image_id"],
-                                descending=False, num_buckets=32)
+                                descending=False)
     # tile-ordered output layout (SURVEY.md §2.7: global sort by cell id) —
     # queries that prune by cell then touch contiguous row groups — under a
     # province=<name> hive partition per region: the reference's
@@ -340,7 +340,7 @@ def run_incremental_ingest(input_path, out_dir: str) -> dict:
     all_files = sorted(glob.glob(os.path.join(out_dir, "deltas", "*",
                                               "*.parquet")))
     merged = dedup_keep_latest(ray.data.read_parquet(all_files),
-                               ["event_id"], ["ts"], num_buckets=32)
+                               ["event_id"], ["ts"])
     current = os.path.join(out_dir, "current")
     tmp = current + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)

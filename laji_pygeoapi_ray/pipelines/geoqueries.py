@@ -232,7 +232,7 @@ def tile_counts_salted(sf_dir: str):
                         batch_format="pyarrow", zero_copy_batch=True)
     spec = MergeSpec(groupby=[f"cell{RES}"], order=["doc_id"],
                      sum=["n_chars"], count_col="n")
-    out = merge_salted(ds, spec, salt_mod=8, num_buckets=16)
+    out = merge_salted(ds, spec, salt_mod=8)
 
     def finish(df):
         import pandas as pd
@@ -356,7 +356,7 @@ def cell_majority_lang(sf_dir: str):
         return out.rename(columns={key: "cell7", "lang": "majority_lang"})[
             ["cell7", "majority_lang", "n"]]
 
-    return grouped_apply(cnt, [key], bucket_fn, num_buckets=8)
+    return grouped_apply(cnt, [key], bucket_fn)
 
 
 # --------------------------------------------------------- HEX (H3-analogue)
@@ -754,8 +754,7 @@ def dbscan_doc_clusters(sf_dir: str):
     from ..stages.dbscan import dbscan, quantized_points
     pts = quantized_points(read_table(sf_dir, "documents", ["doc_id"]),
                            "doc_id")
-    return dbscan(pts, eps_u=DBSCAN_EPS_U, minpts=DBSCAN_MINPTS,
-                  num_buckets=16)
+    return dbscan(pts, eps_u=DBSCAN_EPS_U, minpts=DBSCAN_MINPTS)
 
 
 # ------------------------------------------------------- raster blob labeling
@@ -827,18 +826,17 @@ def cell_blob_stats(sf_dir: str):
 
     cand = cnt.select_columns([key]).map_batches(
         nbr_candidates, batch_format="pyarrow")
-    edges = hash_join(cand, cnt.select_columns([key]), on=[key],
-                      num_buckets=16).map_batches(
+    edges = hash_join(cand, cnt.select_columns([key]), on=[key]).map_batches(
         lambda t: t.rename_columns(["id_a", "id_b"]),
         batch_format="pyarrow")
 
     ids = cnt.select_columns([key]).map_batches(
         lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
-    labels = cluster_pairs_ds(edges, ids, id_col="id", num_buckets=16)
+    labels = cluster_pairs_ds(edges, ids, id_col="id")
     lab = hash_join(
         labels.map_batches(lambda t: t.rename_columns([key, "blob_id"]),
                            batch_format="pyarrow"),
-        cnt, on=[key], num_buckets=16)
+        cnt, on=[key])
 
     def add_xy(t: pa.Table) -> pa.Table:
         cell = t[key].to_numpy(zero_copy_only=False)
@@ -955,7 +953,7 @@ def morans_i_cells(sf_dir: str):
     nbr = _rook_neighbor_sums(cnt, key, n)
     joined = hash_join(nbr.map_batches(
         lambda t: t.rename_columns([key, "sx"]), batch_format="pyarrow"),
-        cnt, on=[key], num_buckets=16)
+        cnt, on=[key])
 
     def cross_partial(t: pa.Table) -> pa.Table:
         v = (t["sx"].to_numpy(zero_copy_only=False)
@@ -1034,7 +1032,7 @@ def local_moran_cells(sf_dir: str):
 
     nbr = _rook_neighbor_sums(cnt, key, n).map_batches(
         lambda t: t.rename_columns([key, "nsum"]), batch_format="pyarrow")
-    joined = hash_join(cnt, nbr, on=[key], how="left", num_buckets=16)
+    joined = hash_join(cnt, nbr, on=[key], how="left")
 
     def finish(t: pa.Table) -> pa.Table:
         cell = t[key].to_numpy(zero_copy_only=False)
@@ -1180,8 +1178,7 @@ def adaptive_quadtree_leaves(sf_dir: str):
             batch_format="pyarrow")
         parents = p if parents is None else parents.union(p)
 
-    joined = hash_join(allcells, parents, on=["pcell"], how="left",
-                       num_buckets=16)
+    joined = hash_join(allcells, parents, on=["pcell"], how="left")
 
     def leaves(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1359,7 +1356,7 @@ def mann_kendall_cells(sf_dir: str):
         return pd.DataFrame(rows, columns=["cell5", "n_hours", "mk_s",
                                            "var18"]).astype(np.int64)
 
-    return grouped_apply(ct, ["cell"], mk_bucket, num_buckets=32,
+    return grouped_apply(ct, ["cell"], mk_bucket,
                          out_dtypes={c: pa.int64() for c in
                                      ("cell5", "n_hours", "mk_s", "var18")})
 
@@ -1429,7 +1426,7 @@ def cusum_change_cells(sf_dir: str):
             "cell5", "n_hours", "n_events", "cusum_max", "t_at", "k_at"]
         ).astype(np.int64)
 
-    return grouped_apply(ct, ["cell"], cusum_bucket, num_buckets=32,
+    return grouped_apply(ct, ["cell"], cusum_bucket,
                          out_dtypes={c: pa.int64() for c in
                                      ("cell5", "n_hours", "n_events",
                                       "cusum_max", "t_at", "k_at")})
@@ -1500,7 +1497,7 @@ def theil_sen_cells(sf_dir: str):
         return out.astype({"cell5": "int64", "n_hours": "int64",
                            "n_pairs": "int64", "ts_slope": "float64"})
 
-    return grouped_apply(ct, ["cell"], ts_bucket, num_buckets=32,
+    return grouped_apply(ct, ["cell"], ts_bucket,
                          out_dtypes={"cell5": pa.int64(),
                                      "n_hours": pa.int64(),
                                      "n_pairs": pa.int64(),
@@ -1636,7 +1633,7 @@ def sobel_gradient_cells(sf_dir: str):
                                     Sum("gy", alias_name="gy"))
             .map_batches(lambda t: t.rename_columns([key, "gx", "gy"]),
                          batch_format="pyarrow"))
-    joined = hash_join(cnt, grad, on=[key], how="left", num_buckets=16)
+    joined = hash_join(cnt, grad, on=[key], how="left")
 
     def finish(t: pa.Table) -> pa.Table:
         gx = pc.fill_null(pc.cast(t["gx"], pa.int64()), 0)
@@ -2172,8 +2169,7 @@ def trajectory_crossings(sf_dir: str):
     from ..state.spill import spill_checkpoint
 
     read_segs = spill_checkpoint(
-        grouped_apply(rows, ["user_id"], make_segments,
-                      num_buckets=16), "traj_segs",
+        grouped_apply(rows, ["user_id"], make_segments), "traj_segs",
         # micro-degree coords are int64 (make_segments emits qx/qy
         # int64) — the sentinel schema must match the non-empty dtype
         schema=pa.schema([("seg_id", pa.int64()), ("ax", pa.int64()),
@@ -2256,8 +2252,7 @@ def trajectory_crossings(sf_dir: str):
         return pd.DataFrame({"c": pd.Series([total], dtype="int64")})
 
     from ray.data.aggregate import Sum
-    agg = grouped_apply(exploded, ["cell"], per_cell,
-                        num_buckets=16).aggregate(
+    agg = grouped_apply(exploded, ["cell"], per_cell).aggregate(
         Sum("c", alias_name="n_crossings"))
     return pd.DataFrame({
         "n_segments": np.array([n_segments], np.int64),
@@ -2802,7 +2797,7 @@ def corridor_doc_counts(sf_dir: str):
                              "bx": bx[keep], "by": by[keep]})
 
     segs = grouped_apply(ev.map_batches(to_rows, batch_format="pyarrow"),
-                         ["user_id"], make_segments, num_buckets=16)
+                         ["user_id"], make_segments)
 
     def seg_cover(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
@@ -2882,9 +2877,9 @@ def corridor_doc_counts(sf_dir: str):
                                  "doc_id": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
-    cands = grouped_apply(tagged, ["cell"], per_cell, num_buckets=16)
+    cands = grouped_apply(tagged, ["cell"], per_cell)
     dedup = grouped_apply(cands, ["user_id", "doc_id"],
-                          lambda df: df.drop_duplicates(), num_buckets=16)
+                          lambda df: df.drop_duplicates())
     return partial_group_counts(dedup, ["user_id"], count_col="n_docs")
 
 
@@ -3043,7 +3038,7 @@ def province_adjacency_pairs(sf_dir: str):
         return pd.DataFrame({"province_a": a, "province_b": b}) \
             .drop_duplicates()
 
-    pairs = grouped_apply(sc, ["key"], pair_up, num_buckets=16)
+    pairs = grouped_apply(sc, ["key"], pair_up)
     return pairs.groupby(["province_a", "province_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas")
 
@@ -3113,7 +3108,7 @@ def acf_cell_hourly(sf_dir: str):
             "n_pairs": same.astype(np.int64), "s_lag": lag})
         return out.groupby("cell5", as_index=False).sum()
 
-    partials = grouped_apply(ct, ["cell"], per_bucket, num_buckets=16)
+    partials = grouped_apply(ct, ["cell"], per_bucket)
     agg = partials.groupby("cell5").aggregate(
         Sum("n_hours", alias_name="n_hours"),
         Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
@@ -3251,7 +3246,7 @@ def cell_median_value(sf_dir: str):
         return pd.DataFrame({"cell5": c[start], "n": n.astype(np.int64),
                              "med": med})
 
-    return grouped_apply(ds, ["cell5"], per_bucket, num_buckets=32)
+    return grouped_apply(ds, ["cell5"], per_bucket)
 
 
 # ------------------------------------------------- two-layer raster algebra
@@ -3307,7 +3302,7 @@ def cell_layer_corr_terms(sf_dir: str):
     eb = partial_group_counts(ev, ["cell5"]).map_batches(
         lambda t: t.rename_columns(["cell5", "b"]), batch_format="pyarrow")
 
-    joined = hash_join(da, eb, on=["cell5"], how="outer", num_buckets=16)
+    joined = hash_join(da, eb, on=["cell5"], how="outer")
 
     def moments(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -3673,7 +3668,7 @@ def vector_tile_manifest(sf_dir: str):
                           "n_features": pd.Series([], dtype=np.int64),
                           "tile_bytes": pd.Series([], dtype=np.int64)})
 
-    return grouped_apply(ds, ["cell5"], per_bucket, num_buckets=32)
+    return grouped_apply(ds, ["cell5"], per_bucket)
 
 
 # --------------------------------------------------- G-function (NN ECDF)
@@ -3718,7 +3713,7 @@ def gfunction_nn_counts(sf_dir: str):
     ds = _docs_points(sf_dir).map_batches(
         lambda t: t.select(["doc_id", "x", "y"]).rename_columns(
             ["id", "x", "y"]), batch_format="pyarrow")
-    pairs = dwithin_pairs(ds, GF_RMAX, res=GF_RES, num_buckets=32)
+    pairs = dwithin_pairs(ds, GF_RMAX, res=GF_RES)
 
     both = pairs.map_batches(
         lambda t: pa.table({
@@ -3908,7 +3903,7 @@ def label_smoothing_audit(sf_dir: str):
                             kind="mergesort")
         return df.drop_duplicates("cell5")[["cell5", "lang"]]
 
-    mj = grouped_apply(lc, ["cell5"], majority, num_buckets=16)
+    mj = grouped_apply(lc, ["cell5"], majority)
     mask = (1 << cells.IY_SHIFT) - 1
 
     def fold(t: pa.Table) -> pa.Table:
@@ -4288,7 +4283,7 @@ def emerging_hotspot_classes(sf_dir: str):
             out[col] = out[col].astype(np.int64)
         return out
 
-    return grouped_apply(sc, ["cell"], classify, num_buckets=32,
+    return grouped_apply(sc, ["cell"], classify,
                          out_dtypes={c: pa.int64() for c in
                                      ("cell5", "n_days", "n_hot",
                                       "hot_last", "mk_s", "var18")})
@@ -4362,8 +4357,7 @@ def raster_crosstab_classes(sf_dir: str):
     eb = partial_group_counts(ev, ["cell5"]).map_batches(
         lambda t: t.rename_columns(["cell5", "b"]), batch_format="pyarrow")
 
-    joined = hash_join(da, eb, on=["cell5"], how="outer",
-                       num_buckets=16).to_pandas()
+    joined = hash_join(da, eb, on=["cell5"], how="outer").to_pandas()
     assert len(joined) <= n_cells
     import pandas as pd
     a = joined["a"].fillna(0).to_numpy(np.int64)
@@ -4575,7 +4569,7 @@ def d8_flow_directions(sf_dir: str):
         return pd.DataFrame(rows, columns=["cell4", "dir", "drop"]) \
             .astype(np.int64)
 
-    return grouped_apply(sc, ["cell"], finish, num_buckets=16,
+    return grouped_apply(sc, ["cell"], finish,
                          out_dtypes={c: pa.int64() for c in
                                      ("cell4", "dir", "drop")})
 
@@ -4833,7 +4827,7 @@ def bivariate_moran_terms(sf_dir: str):
     joined = hash_join(
         nbr_b.map_batches(lambda t: t.rename_columns([key, "sx"]),
                           batch_format="pyarrow"),
-        cnt_a, on=[key], num_buckets=16)
+        cnt_a, on=[key])
 
     def cross_part(t: pa.Table) -> pa.Table:
         v = (t["sx"].to_numpy(zero_copy_only=False)
@@ -4941,7 +4935,7 @@ def gearys_c_cells(sf_dir: str):
     joined = hash_join(
         nbr.map_batches(lambda t: t.rename_columns([key, "sx"]),
                         batch_format="pyarrow"),
-        cnt, on=[key], num_buckets=16)
+        cnt, on=[key])
 
     def cross_part(t: pa.Table) -> pa.Table:
         v = (t["sx"].to_numpy(zero_copy_only=False)
@@ -5014,7 +5008,7 @@ def user_range_size_by_cell(sf_dir: str):
         batch_format="pyarrow").materialize()
 
     rng = partial_group_counts(pairs, ["user_id"], count_col="rng")
-    joined = hash_join(pairs, rng, on=["user_id"], num_buckets=16)
+    joined = hash_join(pairs, rng, on=["user_id"])
 
     def bucketed(t: pa.Table) -> pa.Table:
         r = t["rng"].to_numpy(zero_copy_only=False)
@@ -5091,7 +5085,7 @@ def general_g_cells(sf_dir: str):
     joined = hash_join(
         nbr.map_batches(lambda t: t.rename_columns([key, "sx"]),
                         batch_format="pyarrow"),
-        cnt, on=[key], num_buckets=16)
+        cnt, on=[key])
 
     def cross_part(t: pa.Table) -> pa.Table:
         v = (t["sx"].to_numpy(zero_copy_only=False)

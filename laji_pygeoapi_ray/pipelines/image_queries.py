@@ -78,7 +78,7 @@ def image_phash_dedup(sf_dir: str):
         df["cluster_id"] = df.groupby("phash")["image_id"].transform("min")
         return df
 
-    return grouped_apply(ds, ["phash"], attach_min, num_buckets=32)
+    return grouped_apply(ds, ["phash"], attach_min)
 
 
 def _img_no_sql() -> str:
@@ -678,7 +678,7 @@ def phash_family_representatives(sf_dir: str):
                             "cluster_id": pc.cast(t["cluster_id"],
                                                   pa.int64())}),
         batch_format="pyarrow")
-    joined = hash_join(lab, meta, on=["img_no"], num_buckets=8)
+    joined = hash_join(lab, meta, on=["img_no"])
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cluster_id", "cap_len", "img_no"],
@@ -694,7 +694,7 @@ def phash_family_representatives(sf_dir: str):
             "cap_len": out["cap_len"].astype("int64"),
             "family_size": out["family_size"].astype("int64")})
 
-    return grouped_apply(joined, ["cluster_id"], pick, num_buckets=8)
+    return grouped_apply(joined, ["cluster_id"], pick)
 
 
 HTOPK_K, HTOPK_MOD = 5, 20
@@ -794,7 +794,7 @@ def cell_image_doc_join(sf_dir: str):
     nd = partial_group_counts(
         docs.map_batches(derive_docs, batch_format="pyarrow"),
         ["cell7"], count_col="n_doc")
-    j = hash_join(ni, nd, on=["cell7"], num_buckets=16)
+    j = hash_join(ni, nd, on=["cell7"])
     return j.map_batches(lambda t: t.select(["cell7", "n_img", "n_doc"]),
                          batch_format="pyarrow")
 
@@ -966,8 +966,7 @@ def _hamming_pairs_ds(sf_dir: str, tau: int = HAM_TAU,
                              "no_b": np.concatenate(out_b),
                              "dist": np.concatenate(out_d)})
 
-    return grouped_apply(exploded, ["band", "bits"], bucket_pairs,
-                         num_buckets=32)
+    return grouped_apply(exploded, ["band", "bits"], bucket_pairs)
 
 
 @register("image_compression_stats", sql=lambda: f"""
@@ -1054,7 +1053,7 @@ def image_neardup_psnr_verified(sf_dir: str):
         a_side,
         imgs.map_batches(lambda t: t.rename_columns(["img_no", "bytes_a"]),
                          batch_format="pyarrow"),
-        on=["img_no"], num_buckets=32)
+        on=["img_no"])
     b_side = with_a.map_batches(
         lambda t: pa.table({"no_a": t["img_no"], "img_no": t["no_b"],
                             "dist": t["dist"], "bytes_a": t["bytes_a"]}),
@@ -1063,7 +1062,7 @@ def image_neardup_psnr_verified(sf_dir: str):
         b_side,
         imgs.map_batches(lambda t: t.rename_columns(["img_no", "bytes_b"]),
                          batch_format="pyarrow"),
-        on=["img_no"], num_buckets=32)
+        on=["img_no"])
 
     def verify(t: pa.Table) -> pa.Table:
         # Low-entropy hash spaces make Hamming clusters QUADRATIC in
@@ -1150,7 +1149,7 @@ def dwithin_image_doc_pairs(sf_dir: str):
     pairs = dwithin_cross_pairs(
         imgs.map_batches(img_pts, batch_format="pyarrow"),
         docs.map_batches(doc_pts, batch_format="pyarrow"),
-        XD_RADIUS, res=XD_RES, num_buckets=32)
+        XD_RADIUS, res=XD_RES)
     return pairs.map_batches(
         lambda t: t.rename_columns(["img_no", "doc_id", "d2"]),
         batch_format="pyarrow")
@@ -1211,7 +1210,7 @@ def cross_k_image_doc(sf_dir: str):
     pairs = dwithin_cross_pairs(
         imgs.map_batches(img_pts, batch_format="pyarrow"),
         docs.map_batches(doc_pts, batch_format="pyarrow"),
-        rmax, res=XD_RES, num_buckets=32)
+        rmax, res=XD_RES)
 
     def bucket_counts(t: pa.Table) -> pa.Table:
         d2 = t["d2"].to_numpy(zero_copy_only=False)
@@ -1266,7 +1265,7 @@ def image_content_dedup(sf_dir: str):
         df["cluster_id"] = df.groupby("h")["image_id"].transform("min")
         return df[["image_id", "cluster_id"]]
 
-    return grouped_apply(keyed, ["h"], attach_min, num_buckets=32)
+    return grouped_apply(keyed, ["h"], attach_min)
 
 
 @register("dedup_method_agreement", sql=lambda: f"""
@@ -1513,7 +1512,7 @@ def tile_mosaic_layout(sf_dir: str):
             "gx": df["slot"].to_numpy(np.int64) % 2,
             "gy": df["slot"].to_numpy(np.int64) // 2})
 
-    return grouped_apply(pts, ["cell7"], bucket, num_buckets=16,
+    return grouped_apply(pts, ["cell7"], bucket,
                          out_dtypes={c: pa.int64() for c in
                                      ("cell7", "img_no", "w", "h",
                                       "slot", "gx", "gy")})

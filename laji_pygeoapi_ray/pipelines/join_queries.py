@@ -447,8 +447,7 @@ def basket_part_pairs_topk(sf_dir: str):
                           kind="mergesort")
         return g.head(BASKET_TOPK)
 
-    winners = grouped_apply(pairs, ["pa", "pb"], bucket_topk,
-                            num_buckets=8).to_pandas()
+    winners = grouped_apply(pairs, ["pa", "pb"], bucket_topk).to_pandas()
     winners = winners.sort_values(["n", "pa", "pb"],
                                   ascending=[False, True, True],
                                   kind="mergesort").head(BASKET_TOPK)

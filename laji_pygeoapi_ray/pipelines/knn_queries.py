@@ -83,8 +83,7 @@ def knn_cogroup_nearest(sf_dir: str):
     from ..stages.knn import knn_cell_cogroup
 
     qds = rd.from_pandas(_query_points(sf_dir))
-    return knn_cell_cogroup(_points_ds(sf_dir), qds, res=3, k=K, ring=1,
-                            num_buckets=16)
+    return knn_cell_cogroup(_points_ds(sf_dir), qds, res=3, k=K, ring=1)
 
 
 @register("knn_cell_exact_nearest", sql=_knn_sql)
@@ -95,7 +94,7 @@ def knn_cell_exact_nearest(sf_dir: str):
     from ..stages.knn import knn_cell_exact
 
     return knn_cell_exact(_points_ds(sf_dir), _query_points(sf_dir),
-                          res=7, k=K, ring=1, num_buckets=8)
+                          res=7, k=K, ring=1)
 
 
 DW_RADIUS = 0.25     # degrees; ~mean NN spacing of the derived points
@@ -121,8 +120,7 @@ def dwithin_doc_pairs(sf_dir: str):
     shuffle, no O(n²) scan; the oracle IS the O(n²) scan."""
     from ..stages.knn import dwithin_pairs
 
-    return dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
-                         num_buckets=32)
+    return dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES)
 
 
 def _knn_interp_sql() -> str:
@@ -167,7 +165,7 @@ def knn_interpolated_chars(sf_dir: str):
                    .rename_columns(["query_id", "doc_id"]),
         batch_format="pyarrow")
     docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-    j = hash_join(pairs, docs, on=["doc_id"], num_buckets=8)
+    j = hash_join(pairs, docs, on=["doc_id"])
     agg = j.groupby("query_id").aggregate(
         Sum("n_chars", alias_name="sum_chars"), Count(alias_name="k"))
 
@@ -225,7 +223,7 @@ def ripley_k_pairs(sf_dir: str):
     area = np.float64(points._W) * np.float64(points._H)
     n_pts = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), rmax, res=5, num_buckets=32)
+    pairs = dwithin_pairs(_points_ds(sf_dir), rmax, res=5)
 
     def bin_partial(t: pa.Table) -> pa.Table:
         d2 = t["d2"].to_numpy(zero_copy_only=False)
@@ -291,8 +289,7 @@ def pagerank_docs(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.pagerank import integer_pagerank
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
-                          num_buckets=32)
+    pairs = dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES)
 
     def both(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -303,8 +300,7 @@ def pagerank_docs(sf_dir: str):
     edges = pairs.map_batches(both, batch_format="pyarrow")
     ids = read_table(sf_dir, "documents", ["doc_id"])
     pr = integer_pagerank(edges, ids, id_col="doc_id", iters=PR_ITERS,
-                          base=PR_BASE, damp_num=PR_NUM, damp_den=PR_DEN,
-                          num_buckets=16)
+                          base=PR_BASE, damp_num=PR_NUM, damp_den=PR_DEN)
     return pr.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "pr": pc.cast(t["rank"], pa.int64())}),
@@ -367,7 +363,7 @@ def idw_interpolated_chars(sf_dir: str):
 
     pairs = knn.map_batches(weights, batch_format="pyarrow")
     docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-    j = hash_join(pairs, docs, on=["doc_id"], num_buckets=8)
+    j = hash_join(pairs, docs, on=["doc_id"])
 
     def wy(t: pa.Table) -> pa.Table:
         w = t["w"].to_numpy(zero_copy_only=False)
@@ -427,8 +423,8 @@ def triangle_count_docs(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.shuffle import grouped_apply
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
-                          num_buckets=32).select_columns(["id_a", "id_b"])
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS,
+                          res=TRI_RES).select_columns(["id_a", "id_b"])
     edges = pairs.materialize()
     n_edges = edges.count()
 
@@ -448,14 +444,14 @@ def triangle_count_docs(sf_dir: str):
         return pd.DataFrame({"id_a": np.concatenate(out_b),
                              "id_b": np.concatenate(out_c)})
 
-    w = grouped_apply(edges, ["id_a"], wedges, num_buckets=16)
+    w = grouped_apply(edges, ["id_a"], wedges)
     w = w.map_batches(
         lambda t: t.append_column("is_wedge",
                                   pa.array(np.ones(len(t), np.int64))),
         batch_format="pyarrow")
     n_wedges = w.count()
 
-    closed = hash_join(w, edges, on=["id_a", "id_b"], num_buckets=16)
+    closed = hash_join(w, edges, on=["id_a", "id_b"])
     n_tri = closed.count()
 
     return pd.DataFrame({"n_edges": np.array([n_edges], np.int64),
@@ -512,8 +508,7 @@ def kcore_docs(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.shuffle import partial_group_counts
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES,
-                          num_buckets=32)
+    pairs = dwithin_pairs(_points_ds(sf_dir), DW_RADIUS, res=DW_RES)
 
     def both(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -532,11 +527,11 @@ def kcore_docs(sf_dir: str):
         if keep.count() == deg.count():
             out = deg
             break
-        e = hash_join(e, keep, on=["src"], num_buckets=16)
+        e = hash_join(e, keep, on=["src"])
         e = hash_join(
             e, keep.map_batches(lambda t: t.rename_columns(["dst"]),
                                 batch_format="pyarrow"),
-            on=["dst"], num_buckets=16).repartition(8).materialize()
+            on=["dst"]).repartition(8).materialize()
     else:
         raise RuntimeError(
             f"kcore_docs did not converge within {KC_ROUNDS} rounds — "
@@ -630,7 +625,7 @@ def knox_space_time(sf_dir: str):
     # --- spatial pairs (exactly-once grid cogroup)
     read_pairs = spill_checkpoint(
         dwithin_pairs(read_pts(columns=["id", "x", "y"]), KNOX_R,
-                      res=DW_RES, num_buckets=32), "knox_pairs",
+                      res=DW_RES), "knox_pairs",
         schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                           ("d2", pa.float64())]))
     pairs = read_pairs()
@@ -642,8 +637,8 @@ def knox_space_time(sf_dir: str):
                            batch_format="pyarrow")
     tb = times.map_batches(lambda t: t.rename_columns(["id_b", "tb"]),
                            batch_format="pyarrow")
-    j = hash_join(hash_join(pairs, ta, on=["id_a"], num_buckets=8),
-                  tb, on=["id_b"], num_buckets=8)
+    j = hash_join(hash_join(pairs, ta, on=["id_a"]),
+                  tb, on=["id_b"])
     n_both = j.map_batches(
         lambda t: t.filter(pc.less_equal(
             pc.abs(pc.subtract(t["ta"], t["tb"])), KNOX_TAU)),
@@ -731,7 +726,7 @@ def semivariogram_chars(sf_dir: str):
     rmax = RIPLEY_RADII[-1]
     r2s = np.array([np.float64(r) * np.float64(r) for r in RIPLEY_RADII])
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), rmax, res=5, num_buckets=32)
+    pairs = dwithin_pairs(_points_ds(sf_dir), rmax, res=5)
     docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
     a = pairs.map_batches(
         lambda t: pa.table({"doc_id": pc.cast(t["id_a"], pa.int64()),
@@ -739,13 +734,13 @@ def semivariogram_chars(sf_dir: str):
                             "d2": t["d2"]}), batch_format="pyarrow")
     ja = hash_join(a, docs.map_batches(
         lambda t: t.rename_columns(["doc_id", "za"]),
-        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+        batch_format="pyarrow"), on=["doc_id"])
     jb = ja.map_batches(
         lambda t: pa.table({"doc_id": t["id_b"], "za": t["za"],
                             "d2": t["d2"]}), batch_format="pyarrow")
     jab = hash_join(jb, docs.map_batches(
         lambda t: t.rename_columns(["doc_id", "zb"]),
-        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+        batch_format="pyarrow"), on=["doc_id"])
 
     def bin_partial(t: pa.Table) -> pa.Table:
         d2 = t["d2"].to_numpy(zero_copy_only=False)
@@ -808,8 +803,7 @@ def colocation_lang_pairs(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.shuffle import partial_group_counts
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), CL_RADIUS, res=5,
-                          num_buckets=32)
+    pairs = dwithin_pairs(_points_ds(sf_dir), CL_RADIUS, res=5)
     docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
     a = pairs.map_batches(
         lambda t: pa.table({"doc_id": pc.cast(t["id_a"], pa.int64()),
@@ -817,13 +811,13 @@ def colocation_lang_pairs(sf_dir: str):
         batch_format="pyarrow")
     ja = hash_join(a, docs.map_batches(
         lambda t: t.rename_columns(["doc_id", "la"]),
-        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+        batch_format="pyarrow"), on=["doc_id"])
     jb = ja.map_batches(
         lambda t: pa.table({"doc_id": t["id_b"], "la": t["la"]}),
         batch_format="pyarrow")
     jab = hash_join(jb, docs.map_batches(
         lambda t: t.rename_columns(["doc_id", "lb"]),
-        batch_format="pyarrow"), on=["doc_id"], num_buckets=16)
+        batch_format="pyarrow"), on=["doc_id"])
 
     def canon(t: pa.Table) -> pa.Table:
         la = t["la"].to_numpy(zero_copy_only=False)
@@ -888,7 +882,7 @@ def rect_overlap_doc_pairs(sf_dir: str):
                          "y1": y - hh, "y2": y + hh})
 
     rects = ds.map_batches(to_rects, batch_format="pyarrow")
-    return rect_overlap_pairs(rects, res=RECT_RES, num_buckets=32)
+    return rect_overlap_pairs(rects, res=RECT_RES)
 
 
 # ----------------------------------- per-province NN spacing (Clark–Evans)
@@ -937,7 +931,7 @@ def nn_spacing_province(sf_dir: str):
     from ..sources.parquet import default_pool
 
     nn = knn_cell_cogroup(_points_ds(sf_dir), _points_ds(sf_dir),
-                          res=3, k=1, ring=1, num_buckets=16)
+                          res=3, k=1, ring=1)
 
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         q = np.floor(df["d2"].to_numpy(np.float64)
@@ -950,7 +944,7 @@ def nn_spacing_province(sf_dir: str):
         assign.PIPAssigner, batch_format="pyarrow", batch_size=16384,
         concurrency=default_pool(), num_cpus=1) \
         .select_columns(["doc_id", "province"])
-    joined = hash_join(nnq, prov, on=["doc_id"], num_buckets=16)
+    joined = hash_join(nnq, prov, on=["doc_id"])
     agg = joined.groupby("province").aggregate(
         Count(alias_name="n"), Sum("d2q", alias_name="sum_d2q"))
     return agg.map_batches(
@@ -1006,8 +1000,8 @@ def link_pred_common_neighbors(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.shuffle import grouped_apply, partial_group_counts
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
-                          num_buckets=32).select_columns(["id_a", "id_b"])
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS,
+                          res=TRI_RES).select_columns(["id_a", "id_b"])
     edges = pairs.materialize()
 
     both = edges.map_batches(
@@ -1047,7 +1041,7 @@ def link_pred_common_neighbors(sf_dir: str):
                              "cn": cnt.astype(np.int64),
                              "edge": np.zeros(len(st), np.int64)})
 
-    wedges = grouped_apply(both, ["v"], wedge_counts, num_buckets=16)
+    wedges = grouped_apply(both, ["v"], wedge_counts)
     etag = edges.map_batches(
         lambda t: t.append_column(
             "cn", pa.array(np.zeros(len(t), np.int64))).append_column(
@@ -1063,7 +1057,7 @@ def link_pred_common_neighbors(sf_dir: str):
         return g[["id_a", "id_b", "cn"]].astype("int64")
 
     cand = grouped_apply(wedges.union(etag), ["id_a", "id_b"],
-                         bucket_topk, num_buckets=16)
+                         bucket_topk)
     top = cand.to_pandas().sort_values(
         ["cn", "id_a", "id_b"],
         ascending=[False, True, True]).head(LP_K).reset_index(drop=True)
@@ -1135,8 +1129,8 @@ def node_clustering_coeff(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.shuffle import grouped_apply, partial_group_counts
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
-                          num_buckets=32).select_columns(["id_a", "id_b"])
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS,
+                          res=TRI_RES).select_columns(["id_a", "id_b"])
     edges = pairs.materialize()
 
     both = edges.map_batches(
@@ -1166,12 +1160,12 @@ def node_clustering_coeff(sf_dir: str):
                              "id_a": np.concatenate(out_b),
                              "id_b": np.concatenate(out_c)})
 
-    w = grouped_apply(both, ["v"], wedges, num_buckets=16)
-    closed = hash_join(w, edges, on=["id_a", "id_b"], num_buckets=16)
+    w = grouped_apply(both, ["v"], wedges)
+    closed = hash_join(w, edges, on=["id_a", "id_b"])
     tri = partial_group_counts(closed.select_columns(["v"]), ["v"],
                                count_col="n_triangles")
     deg = partial_group_counts(both, ["v"], count_col="degree")
-    out = hash_join(tri, deg, on=["v"], num_buckets=8)
+    out = hash_join(tri, deg, on=["v"])
     return out.map_batches(
         lambda t: pa.table({
             "doc_id": t["v"],
@@ -1219,8 +1213,8 @@ def degree_assortativity_terms(sf_dir: str):
     from ..stages.knn import dwithin_pairs
     from ..stages.shuffle import partial_group_counts
 
-    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS, res=TRI_RES,
-                          num_buckets=32).select_columns(["id_a", "id_b"])
+    pairs = dwithin_pairs(_points_ds(sf_dir), TRI_RADIUS,
+                          res=TRI_RES).select_columns(["id_a", "id_b"])
     edges = pairs.materialize()
     both = edges.map_batches(
         lambda t: pa.table({
@@ -1233,8 +1227,8 @@ def degree_assortativity_terms(sf_dir: str):
                          batch_format="pyarrow")
     db = deg.map_batches(lambda t: t.rename_columns(["id_b", "db"]),
                          batch_format="pyarrow")
-    j = hash_join(hash_join(edges, da, on=["id_a"], num_buckets=16),
-                  db, on=["id_b"], num_buckets=16)
+    j = hash_join(hash_join(edges, da, on=["id_a"]),
+                  db, on=["id_b"])
 
     def partial(t: pa.Table) -> pa.Table:
         a = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -261,7 +261,7 @@ def _str_leaf_points(sf_dir: str):
     from ..state.spill import spill_checkpoint
 
     sliced = spill_checkpoint(
-        grouped_apply(base, ["xpart"], slice_assign, num_buckets=16),
+        grouped_apply(base, ["xpart"], slice_assign),
         "str_sliced",
         schema=pa.schema([("id", pa.int64()), ("x", pa.float64()),
                           ("y", pa.float64()), ("slice", pa.int64())]))()
@@ -306,7 +306,7 @@ def _str_leaf_points(sf_dir: str):
                                    "x": pd.Series([], dtype="float64"),
                                    "y": pd.Series([], dtype="float64")}))
 
-    return grouped_apply(tagged, ["part2"], leaf_assign, num_buckets=16)
+    return grouped_apply(tagged, ["part2"], leaf_assign)
 
 
 STRIDX_VERSION = 1
@@ -726,7 +726,7 @@ def ntile_event_buckets(sf_dir: str):
                                    "value": pd.Series([], dtype="float64")}))
 
     from ray.data.aggregate import Count, Max, Min
-    rows = grouped_apply(base, ["vpart"], bucket_assign, num_buckets=16)
+    rows = grouped_apply(base, ["vpart"], bucket_assign)
     agg = rows.groupby("bucket").aggregate(
         Count(alias_name="n"),
         Min("value", alias_name="min_value"),
@@ -852,7 +852,7 @@ def length_bucket_padding(sf_dir: str):
                 else pd.DataFrame({"batch_id": pd.Series([], dtype="int64"),
                                    "n": pd.Series([], dtype="int64")}))
 
-    rows = grouped_apply(tok, ["n_tokens"], assign_batches, num_buckets=16)
+    rows = grouped_apply(tok, ["n_tokens"], assign_batches)
     agg = rows.groupby("batch_id").aggregate(
         Count(alias_name="n_docs"), Max("n", alias_name="max_len"),
         Sum("n", alias_name="sum_len"))
@@ -1014,7 +1014,7 @@ def lateness_audit(sf_dir: str):
             max_lateness_us=("max_lateness_us", "max"))
 
     from ray.data.aggregate import Sum
-    partials = grouped_apply(ds, ["part"], per_part, num_buckets=16)
+    partials = grouped_apply(ds, ["part"], per_part)
     agg = partials.groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("n_late", alias_name="n_late"),

@@ -180,7 +180,7 @@ def topk_orders_per_segment(sf_dir: str):
     cust = cust.map_batches(
         lambda t: t.rename_columns(["o_custkey", "mktsegment"]),
         batch_format="pyarrow")
-    joined = hash_join(orders, cust, on=["o_custkey"], num_buckets=16)
+    joined = hash_join(orders, cust, on=["o_custkey"])
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["mktsegment", "o_totalprice", "o_orderkey"],
@@ -295,7 +295,7 @@ def event_lag_gaps(sf_dir: str):
         })
         return out
 
-    out = grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)
+    out = grouped_apply(ds, ["user_id"], bucket_fn)
 
     def nullify(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -387,8 +387,7 @@ def hll_distinct_users(sf_dir: str):
         lambda t: pa.table({"user_id": pc.unique(t["user_id"])}),
         batch_format="pyarrow")
     exact = grouped_apply(partials, ["user_id"],
-                          lambda df: df.drop_duplicates(),
-                          num_buckets=16).count()
+                          lambda df: df.drop_duplicates()).count()
     return pa.table({
         "exact_distinct_users": pa.array([exact], pa.int64()),
         "hll_within_5pct": pa.array([abs(est - exact) <= 0.05 * exact],
@@ -606,7 +605,7 @@ def user_travel_stats(sf_dir: str):
             n_steps=("s", "sum"), travel_q=("t", "sum"))
         return g
 
-    return grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)
+    return grouped_apply(ds, ["user_id"], bucket_fn)
 
 
 # --------------------------------------------------- gaps-and-islands
@@ -692,7 +691,7 @@ def supplier_ship_islands(sf_dir: str):
                              "covered_days": gg["covered_days"]
                              .astype("int64")})
 
-    return grouped_apply(ds, ["l_suppkey"], islands, num_buckets=16)
+    return grouped_apply(ds, ["l_suppkey"], islands)
 
 
 # --------------------------------------------- trajectory simplification
@@ -737,7 +736,7 @@ def simplified_trajectories(sf_dir: str):
             "endpoints_ok": pd.Series(out_e, dtype="int64"),
             "within_tol_ok": pd.Series(out_w, dtype="int64")})
 
-    return grouped_apply(ds, ["user_id"], per_user, num_buckets=16)
+    return grouped_apply(ds, ["user_id"], per_user)
 
 
 # ---------------------------------------------------- bearing rose (octants)
@@ -814,7 +813,7 @@ def step_bearing_rose(sf_dir: str):
         return pd.DataFrame({"octant": nz.astype("int64"),
                              "n": cnt[nz]})
 
-    partials = grouped_apply(ds, ["user_id"], steps, num_buckets=16)
+    partials = grouped_apply(ds, ["user_id"], steps)
 
     from ray.data.aggregate import Sum
     out = partials.groupby("octant").aggregate(Sum("n", alias_name="n"))
@@ -882,7 +881,7 @@ def stay_point_anchors(sf_dir: str):
         return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
                              "n_anchors": g["size"].astype("int64")})
 
-    return grouped_apply(ds, ["user_id"], anchors, num_buckets=16)
+    return grouped_apply(ds, ["user_id"], anchors)
 
 
 # ------------------------------------------------------------- OD matrix
@@ -925,7 +924,7 @@ def od_matrix_cells(sf_dir: str):
         keep = o != d
         return pd.DataFrame({"o_cell": o[keep], "d_cell": d[keep]})
 
-    trans = grouped_apply(ds, ["user_id"], steps, num_buckets=16)
+    trans = grouped_apply(ds, ["user_id"], steps)
     agg = partial_group_counts(trans, ["o_cell", "d_cell"])
     return agg.map_batches(
         lambda t: t.select(["o_cell", "d_cell", "n"]),
@@ -1007,7 +1006,7 @@ def event_type_lift(sf_dir: str):
         return pd.DataFrame({"ta": np.concatenate(outa),
                              "tb": np.concatenate(outb)})
 
-    pr = grouped_apply(ut, ["user_id"], pairs, num_buckets=16)
+    pr = grouped_apply(ut, ["user_id"], pairs)
     pcnt = partial_group_counts(pr, ["ta", "tb"], count_col="n_both")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1092,7 +1091,7 @@ def segment_cell_density(sf_dir: str):
         return pd.DataFrame({"x1": qx[:-1][same], "y1": qy[:-1][same],
                              "x2": qx[1:][same], "y2": qy[1:][same]})
 
-    seg = grouped_apply(ds, ["user_id"], segs, num_buckets=16)
+    seg = grouped_apply(ds, ["user_id"], segs)
 
     def rasterize(t: pa.Table) -> pa.Table:
         x1 = t["x1"].to_numpy(zero_copy_only=False)
@@ -1156,7 +1155,7 @@ def kmv_distinct_by_type(sf_dir: str):
         .group_by(["event_type", "user_id"]).aggregate([]),
         batch_format="pyarrow")
     dedup = grouped_apply(pair_partials, ["event_type", "user_id"],
-                          lambda df: df.drop_duplicates(), num_buckets=16)
+                          lambda df: df.drop_duplicates())
     exact_rows = dedup.groupby("event_type").count().take_all()
     exact = {r["event_type"]: int(r["count()"]) for r in exact_rows}
 
@@ -1530,7 +1529,7 @@ def top1pct_user_share(sf_dir: str):
                             ascending=[False, True]).head(k)
         return df[["user_id", "n"]].astype("int64")
 
-    top = grouped_apply(cnt, ["user_id"], local_topk, num_buckets=16) \
+    top = grouped_apply(cnt, ["user_id"], local_topk) \
         .to_pandas()
     top = top.sort_values(["n", "user_id"],
                           ascending=[False, True]).head(k)
@@ -2101,7 +2100,7 @@ def friedman_rank_sums(sf_dir: str):
         return (d.groupby("event_type", as_index=False)
                 .agg(n_blocks=("one", "sum"), ranksum2=("mr2", "sum")))
 
-    parts = grouped_apply(p, ["user_id"], block_rank, num_buckets=16)
+    parts = grouped_apply(p, ["user_id"], block_rank)
     agg = (parts.groupby("event_type")
            .aggregate(Sum("n_blocks", alias_name="n_blocks"),
                       Sum("ranksum2", alias_name="ranksum2")))

@@ -336,7 +336,7 @@ def running_user_totals(sf_dir: str):
         return df[["event_id", "user_id", "ts", "running_cents",
                    "event_no"]]
 
-    return grouped_apply(ds, ["user_id"], bucket_fn, num_buckets=16)
+    return grouped_apply(ds, ["user_id"], bucket_fn)
 
 
 VALUE_FLOOR = 200.0   # sparsifies the sets so the difference is non-empty
@@ -375,7 +375,7 @@ def viewers_never_purchased(sf_dir: str):
         out = sorted(viewers - buyers)
         return pd.DataFrame({"user_id": pd.array(out, dtype="int64")})
 
-    return grouped_apply(dist, ["user_id"], bucket_fn, num_buckets=16)
+    return grouped_apply(dist, ["user_id"], bucket_fn)
 
 
 @register("event_sliding_window_join", sql=f"""
@@ -417,7 +417,7 @@ def event_sliding_window_join(sf_dir: str):
 
     w = ev.map_batches(wins, batch_format="pyarrow")
     w = grouped_apply(w, ["event_type", "win_start_hour"],
-                      lambda df: df.drop_duplicates(), num_buckets=8)
+                      lambda df: df.drop_duplicates())
 
     def bounds(df: pd.DataFrame) -> pd.DataFrame:
         s = df["win_start_hour"].to_numpy("int64") * US_PER_HOUR
@@ -502,7 +502,7 @@ def funnel_conversion(sf_dir: str):
              if rows else np.zeros(3, np.int64))
         return pd.DataFrame({"s1": [a[0]], "s2": [a[1]], "s3": [a[2]]})
 
-    partials = grouped_apply(ds, ["user_id"], per_user, num_buckets=16)
+    partials = grouped_apply(ds, ["user_id"], per_user)
     agg = partials.aggregate(Sum("s1", alias_name="n_step1"),
                              Sum("s2", alias_name="n_step2"),
                              Sum("s3", alias_name="n_step3"))
@@ -558,8 +558,7 @@ def snapshot_diff_events(sf_dir: str):
 
     old = ev.map_batches(mk_old, batch_format="pyarrow")
     new = ev.map_batches(mk_new, batch_format="pyarrow")
-    joined = hash_join(old, new, on=["event_id"], how="outer",
-                       num_buckets=16)
+    joined = hash_join(old, new, on=["event_id"], how="outer")
 
     def classify(t: pa.Table) -> pa.Table:
         vo, vn = t["value_old"], t["value_new"]
@@ -623,7 +622,7 @@ def cohort_retention(sf_dir: str):
             "age_days": (df["day"] - cohort).astype("int64")})
 
     rows = grouped_apply(ev.map_batches(to_day, batch_format="pyarrow"),
-                         ["user_id"], ages, num_buckets=16)
+                         ["user_id"], ages)
     agg = partial_group_counts(rows, ["cohort_day", "age_days"],
                                count_col="n_users")
     return agg.map_batches(
@@ -692,7 +691,7 @@ def trailing_user_values(sf_dir: str):
             "trail_q": trail_q.astype("int64"),
             "trail_n": trail_n.astype("int64")})
 
-    return grouped_apply(ds, ["user_id"], trail, num_buckets=16)
+    return grouped_apply(ds, ["user_id"], trail)
 
 
 # -------------------------------------------------- JSON property extract
@@ -1000,7 +999,7 @@ def event_trigram_motifs(sf_dir: str):
                              "c": ua[vals % k],
                              "n": cnts.astype(np.int64)})
 
-    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    partials = grouped_apply(ds, ["user_id"], per_bucket)
     agg = partials.groupby(["a", "b", "c"]).aggregate(
         Sum("n", alias_name="n"))
     df = agg.to_pandas().rename(columns=lambda s: s.replace("sum(n)", "n"))
@@ -1071,7 +1070,7 @@ def dwell_time_by_type(sf_dir: str):
             n_intervals=("n", "sum"), dwell_us=("d", "sum"))
         return g
 
-    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    partials = grouped_apply(ds, ["user_id"], per_bucket)
     agg = partials.groupby("event_type").aggregate(
         Sum("n_intervals", alias_name="n_intervals"),
         Sum("dwell_us", alias_name="dwell_us"))
@@ -1145,7 +1144,7 @@ def group_split_audit(sf_dir: str):
         s["leaked"] = leaked
         return s
 
-    b = grouped_apply(partials, ["user_id"], per_bucket, num_buckets=16)
+    b = grouped_apply(partials, ["user_id"], per_bucket)
     agg = b.groupby("split").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("n_users", alias_name="n_users"),
@@ -1211,7 +1210,7 @@ def rate_limit_violations(sf_dir: str):
                           "n_events": pd.Series([], dtype="int64"),
                           "n_violations": pd.Series([], dtype="int64")})
 
-    return grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    return grouped_apply(ds, ["user_id"], per_bucket)
 
 
 # --------------------------------------------------- burst detection
@@ -1362,7 +1361,7 @@ def ffill_event_values(sf_dir: str):
         return out.groupby("event_type", as_index=False).agg(
             n_filled=("n", "sum"), sum_q=("s", "sum"))
 
-    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    partials = grouped_apply(ds, ["user_id"], per_bucket)
     agg = partials.groupby("event_type").aggregate(
         Sum("n_filled", alias_name="n_filled"),
         Sum("sum_q", alias_name="sum_q"))
@@ -1455,8 +1454,7 @@ def trailing_7d_active_users(sf_dir: str):
     # dedup inside ONE shuffle keyed by (day, user) bucket hash, then
     # per-day partial counts summed
     dd = grouped_apply(cover, ["day", "user_id"],
-                       lambda df: df.drop_duplicates(["day", "user_id"]),
-                       num_buckets=16)
+                       lambda df: df.drop_duplicates(["day", "user_id"]))
     return partial_group_counts(dd, ["day"], count_col="active_users")
 
 
@@ -1509,8 +1507,7 @@ def ttl_dedup_events(sf_dir: str):
             keep[1:] = ~same | (t[1:] - t[:-1] > TTL_US)
         return df[keep]
 
-    return grouped_apply(ds, ["user_id", "event_type"], per_bucket,
-                         num_buckets=32)
+    return grouped_apply(ds, ["user_id", "event_type"], per_bucket)
 
 
 # --------------------------------------------- incremental view maintenance
@@ -1657,7 +1654,7 @@ def time_weighted_avg_user(sf_dir: str):
             "span_us": gap, "integral_cent_us": c * gap})
         return out.groupby("user_id", as_index=False).sum()
 
-    return grouped_apply(ds, ["user_id"], per_bucket, num_buckets=32)
+    return grouped_apply(ds, ["user_id"], per_bucket)
 
 
 # ------------------------------------------------ inter-arrival histogram
@@ -1729,8 +1726,7 @@ def interarrival_histogram(sf_dir: str):
         return g.rename(columns={"size": "n"})
 
     from ray.data.aggregate import Sum
-    partials = grouped_apply(ds, ["user_id", "event_type"], per_bucket,
-                             num_buckets=32)
+    partials = grouped_apply(ds, ["user_id", "event_type"], per_bucket)
     agg = partials.groupby(["event_type", "bucket"]).aggregate(
         Sum("n", alias_name="n"))
     return agg.map_batches(

@@ -60,7 +60,7 @@ def doc_fingerprint_dedup(sf_dir: str):
         return df
 
     from ..stages.shuffle import grouped_apply
-    return grouped_apply(ds, ["fp"], attach_min, num_buckets=32)
+    return grouped_apply(ds, ["fp"], attach_min)
 
 
 def _jacc_sql() -> str:
@@ -103,8 +103,7 @@ def ngram_jaccard_pairs(sf_dir: str):
               for i, t in zip(sub["doc_id"].to_pylist(),
                               sub["text"].to_pylist())}
     grams = ds.map_batches(simdedup.shingle_explode(), batch_format="pyarrow")
-    return simdedup.jaccard_pairs(grams, counts, threshold=0.0,
-                                  num_buckets=16)
+    return simdedup.jaccard_pairs(grams, counts, threshold=0.0)
 
 
 def _minhash_oracle() -> str:
@@ -605,7 +604,7 @@ def span_dedup_stats(sf_dir: str):
         return (out.groupby("doc_id", sort=False, as_index=False)
                 [["n_spans", "n_dup_spans"]].sum())
 
-    partial = grouped_apply(grams, ["gram"], bucket_fn, num_buckets=32)
+    partial = grouped_apply(grams, ["gram"], bucket_fn)
     # normalize to Arrow blocks before the union (grouped_apply emits
     # pandas blocks; the zeros side is Arrow — block types must agree)
     partial = partial.map_batches(lambda t: t, batch_format="pyarrow")
@@ -717,7 +716,7 @@ def tfidf_top_terms(sf_dir: str):
 
     tfds = sub.map_batches(tf_partial, batch_format="pyarrow")
 
-    joined = hash_join(tfds, dfds, on=["token"], num_buckets=16)
+    joined = hash_join(tfds, dfds, on=["token"])
 
     def score(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -734,7 +733,7 @@ def tfidf_top_terms(sf_dir: str):
         df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
         return df[df["rank"] <= TFIDF_K]
 
-    return grouped_apply(scored, ["doc_id"], topk, num_buckets=8,
+    return grouped_apply(scored, ["doc_id"], topk,
                          out_dtypes={"rank": pa.int64()})
 
 
@@ -794,7 +793,7 @@ def inverted_index_shard(sf_dir: str):
             "postings": g["s"].agg(",".join)}).reset_index()
         return out[["token", "df", "postings"]]
 
-    return grouped_apply(pairs_ds, ["token"], bucket, num_buckets=32,
+    return grouped_apply(pairs_ds, ["token"], bucket,
                          out_dtypes={"df": pa.int64()})
 
 
@@ -1128,7 +1127,7 @@ def typo_token_pairs(sf_dir: str):
                              "tok_b": pd.Series(out_b, dtype="string"),
                              "d": pd.Series(out_d, dtype="int64")})
 
-    pairs = grouped_apply(cand, ["key"], pairs_bucket, num_buckets=16)
+    pairs = grouped_apply(cand, ["key"], pairs_bucket)
     dedup = pairs.groupby(["tok_a", "tok_b"]).min("d")
 
     def strip(t: pa.Table) -> pa.Table:
@@ -2000,7 +1999,7 @@ def ngram_novelty_curve(sf_dir: str):
         return g.groupby("bucket", as_index=False).agg(
             n_new_grams=("gram", "size")).astype("int64")
 
-    nw = grouped_apply(pre, ["gram"], bucket_min, num_buckets=16)
+    nw = grouped_apply(pre, ["gram"], bucket_min)
     from ray.data.aggregate import Sum
     nw = nw.groupby("bucket").aggregate(
         Sum("n_new_grams", alias_name="n_new_grams"))
@@ -2197,7 +2196,7 @@ def cross_source_dup_matrix(sf_dir: str):
                .sum().rename(columns={"np": "n_dup_pairs"}))
         return out[out["n_dup_pairs"] > 0]
 
-    parts = grouped_apply(ds, ["fp"], bucket, num_buckets=32).to_pandas()
+    parts = grouped_apply(ds, ["fp"], bucket).to_pandas()
     if parts.empty:
         return pd.DataFrame({"source_a": pd.Series([], dtype=object),
                              "source_b": pd.Series([], dtype=object),
@@ -2357,7 +2356,7 @@ def vocab_loo_contribution(sf_dir: str):
             out["n_exclusive_tokens"].astype(np.int64)
         return out
 
-    parts = grouped_apply(dd, ["w"], bucket, num_buckets=16)
+    parts = grouped_apply(dd, ["w"], bucket)
     agg = (parts.groupby("source")
            .aggregate(Sum("n_exclusive_tokens",
                           alias_name="n_exclusive_tokens")))

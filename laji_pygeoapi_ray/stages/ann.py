@@ -200,7 +200,7 @@ def shard_corpus_refs(emb_ds, n_shards: int, *, id_col: str = "vec_id",
 
 
 def ann_topk_lsh(emb_ds, queries_ds, k: int, *, n_shards: int = 4,
-                 num_buckets: int = 16, **lsh_kw):
+                 num_buckets: int | None = None, **lsh_kw):
     """Sharded LSH ANN — the scale path: the corpus splits into
     ``n_shards`` object-store shards (no whole-corpus broadcast), each
     shard gets its own :class:`LshAnnIndex` actor pool that every query
@@ -313,7 +313,7 @@ def cosine_pairs_lsh(emb_ds, *, tau2: tuple[int, int] = (361, 400),
                      scale: float = 1000.0, n_bits: int = 4,
                      n_tables: int = 128, seed: int = 42,
                      id_col: str = "vec_id", emb_col: str = "embedding",
-                     num_buckets: int = 64, group_cap: int = 65536):
+                     num_buckets: int | None = None, group_cap: int = 65536):
     """Full-corpus cosine near-dup sweep — NO broadcast side: sign-random-
     projection LSH buckets + the exact integer rational-τ verifier inside
     each bucket (the scale path `cosine_threshold_pairs` documents).
@@ -417,7 +417,7 @@ def fit_ivf_centroids(sample: np.ndarray, n_lists: int,
 def ann_topk_ivf(emb_ds, queries: pd.DataFrame, k: int, *,
                  n_lists: int = 16, n_probe: int = 4,
                  id_col: str = "vec_id", emb_col: str = "embedding",
-                 num_buckets: int = 16):
+                 num_buckets: int | None = None):
     """IVF ANN — the learned-bucket scale path (complement to the LSH
     variant): a tiny deterministic k-means quantizer (broadcast) routes
     every corpus vector to its nearest list in one map_batches; each query

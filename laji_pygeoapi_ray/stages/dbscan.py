@@ -91,7 +91,7 @@ def _per_cell(df: pd.DataFrame, cell_fn, empty: dict) -> pd.DataFrame:
 
 
 def neighbor_counts(pts_ds, *, eps_u: int, minpts: int,
-                    num_buckets: int = 64):
+                    num_buckets: int | None = None):
     """(id, qx, qy) → + n_in_eps (self included) + is_core."""
     r2 = np.int64(eps_u) * np.int64(eps_u)
     scat = pts_ds.map_batches(_scatter(eps_u), batch_format="pyarrow",
@@ -118,7 +118,7 @@ def neighbor_counts(pts_ds, *, eps_u: int, minpts: int,
                          num_buckets=num_buckets)
 
 
-def core_edges(core_ds, *, eps_u: int, num_buckets: int = 64):
+def core_edges(core_ds, *, eps_u: int, num_buckets: int | None = None):
     """Core-core pairs within eps, each emitted exactly once (home copy of
     the smaller id)."""
     r2 = np.int64(eps_u) * np.int64(eps_u)
@@ -147,7 +147,7 @@ def core_edges(core_ds, *, eps_u: int, num_buckets: int = 64):
 
 
 def border_labels(core_lab_ds, border_ds, *, eps_u: int,
-                  num_buckets: int = 64):
+                  num_buckets: int | None = None):
     """Border points (non-core with ≥1 core neighbor) → MIN core-neighbor
     cluster label. core_lab_ds: (id, qx, qy, cluster_id); border_ds:
     (id, qx, qy)."""
@@ -197,7 +197,7 @@ def border_labels(core_lab_ds, border_ds, *, eps_u: int,
                          num_buckets=num_buckets)
 
 
-def dbscan(pts_ds, *, eps_u: int, minpts: int, num_buckets: int = 64):
+def dbscan(pts_ds, *, eps_u: int, minpts: int, num_buckets: int | None = None):
     """Full DBSCAN over an (id, qx, qy) dataset. Returns
     (id, qx, qy, n_in_eps, is_core, cluster_id) with cluster_id = min id
     of the core-connected component, border points labeled by MIN core

@@ -20,7 +20,8 @@ from .shuffle import grouped_apply
 
 
 def dedup_keep_latest(ds, key_cols: list[str], order_cols: list[str],
-                      *, descending: bool = True, num_buckets: int = 64):
+                      *, descending: bool = True,
+                      num_buckets: int | None = None):
     """Keep, per key tuple, the row that sorts FIRST by
     (order_cols DESC when ``descending`` — keep-latest — else ASC —
     keep-first) — ties broken by the last order column, so pass a unique

@@ -81,7 +81,7 @@ def knn_broadcast(points_ds, queries: "pa.Table | pd.DataFrame", k: int,
 
 
 def knn_cell_cogroup(points_ds, queries_ds, res: int, k: int,
-                     *, ring: int = 1, num_buckets: int = 64):
+                     *, ring: int = 1, num_buckets: int | None = None):
     """Scale path for LARGE query sets: a cell-cogrouped kNN join.
 
     Both sides shuffle ONCE by grid cell at resolution ``res``
@@ -193,7 +193,7 @@ def _safe_radius2(qx: np.ndarray, qy: np.ndarray, res: int,
 
 
 def knn_cell_exact_ds(points_ds, queries_ds, res: int, k: int,
-                      *, ring: int = 1, num_buckets: int = 64):
+                      *, ring: int = 1, num_buckets: int | None = None):
     """EXACT kNN via the cell-cogroup scale path + DISTRIBUTED certification:
 
     1. run :func:`knn_cell_cogroup` (one shuffle, ring-``ring`` candidates);
@@ -276,7 +276,7 @@ def knn_cell_exact_ds(points_ds, queries_ds, res: int, k: int,
 
 
 def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
-                   *, ring: int = 1, num_buckets: int = 64):
+                   *, ring: int = 1, num_buckets: int | None = None):
     """pandas-API convenience wrapper over :func:`knn_cell_exact_ds` for a
     small driver-side query table (the result is Q·k rows, bounded by the
     caller's own input)."""
@@ -286,7 +286,7 @@ def knn_cell_exact(points_ds, queries: "pd.DataFrame", res: int, k: int,
 
 
 def dwithin_pairs(points_ds, radius: float, *, res: int,
-                  num_buckets: int = 64):
+                  num_buckets: int | None = None):
     """``ST_DWithin`` radius SELF-JOIN: every pair (id_a < id_b) of points
     within euclidean distance ``radius`` — the literal PostGIS capability
     the north star names (the kNN operators above are its "k nearest"
@@ -371,7 +371,7 @@ def dwithin_pairs(points_ds, radius: float, *, res: int,
                          num_buckets=num_buckets)
 
 
-def rect_overlap_pairs(rects_ds, *, res: int, num_buckets: int = 64):
+def rect_overlap_pairs(rects_ds, *, res: int, num_buckets: int | None = None):
     """Rectangle OVERLAP self-join (``ST_Intersects`` on bounding boxes —
     the PBSM / partition-based-spatial-merge primitive; reference analogue:
     the PostGIS ``&&`` bbox operator its spatial filters rely on,
@@ -466,7 +466,7 @@ def rect_overlap_pairs(rects_ds, *, res: int, num_buckets: int = 64):
 
 
 def dwithin_cross_pairs(a_ds, b_ds, radius: float, *, res: int,
-                        num_buckets: int = 64):
+                        num_buckets: int | None = None):
     """``ST_DWithin`` radius join BETWEEN TWO TABLES: every (a, b) pair
     within euclidean ``radius`` — the cross-modal sibling of
     :func:`dwithin_pairs` (e.g. image points × occurrence documents, the

@@ -85,7 +85,8 @@ def merge_bucket(df: pd.DataFrame, spec: MergeSpec) -> pd.DataFrame:
     return pd.concat(parts, axis=1).reset_index(drop=True)
 
 
-def merge_similar(ds, spec: MergeSpec, *, num_buckets: int = 64):
+def merge_similar(ds, spec: MergeSpec, *,
+                  num_buckets: int | None = None):
     """Distributed merge: one shuffle on the hashed GROUPBY tuple, vectorized
     per-bucket aggregation."""
     return grouped_apply(ds, spec.groupby, lambda df: merge_bucket(df, spec),
@@ -93,7 +94,7 @@ def merge_similar(ds, spec: MergeSpec, *, num_buckets: int = 64):
 
 
 def merge_salted(ds, spec: MergeSpec, *, salt_mod: int = 16,
-                 num_buckets: int = 64):
+                 num_buckets: int | None = None):
     """Two-phase skew-tolerant merge (SURVEY.md §4 "Skew") for giant single
     keys (e.g. the Helsinki-cluster cell): phase 1 splits every group by a
     RANGE-salt of the primary order column and merges each (key, salt)
@@ -110,6 +111,10 @@ def merge_salted(ds, spec: MergeSpec, *, salt_mod: int = 16,
     """
     import pyarrow as pa
     from ray.data.aggregate import Max as RMax, Min as RMin
+
+    from .shuffle import default_num_buckets
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     order0 = spec.order[0]
     lohi = ds.aggregate(RMin(order0), RMax(order0))

@@ -30,7 +30,7 @@ from .shuffle import grouped_apply
 def integer_pagerank(edges_ds, ids_ds, *, id_col: str = "id",
                      iters: int = 3, base: int = 10 ** 9,
                      damp_num: int = 85, damp_den: int = 100,
-                     num_buckets: int = 16,
+                     num_buckets: int | None = None,
                      broadcast_threshold: int = 5_000_000):
     """edges_ds: directed (src, dst) — pass both directions for an
     undirected graph. ids_ds: one row per node (id_col). Returns a

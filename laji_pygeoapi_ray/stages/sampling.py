@@ -54,7 +54,7 @@ def train_val_split(ds, train_pct: int, *, id_col: str,
 
 
 def stratified_sample(ds, k: int, *, stratum_col: str, id_col: str,
-                      num_buckets: int = 16):
+                      num_buckets: int | None = None):
     """Per-stratum top-k by (hash, id): a deterministic stratified sample
     (k rows per group, hash order ≙ uniform-without-replacement). One
     bucketed shuffle on the stratum key; within each bucket a vectorized

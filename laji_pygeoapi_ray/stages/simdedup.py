@@ -79,11 +79,15 @@ def _pairs_from_groups(df: pd.DataFrame, key: str, id_col: str,
 
 
 def ngram_pair_intersections(ds, *, id_col: str = "doc_id",
-                             num_buckets: int = 32,
+                             num_buckets: int | None = None,
                              group_cap: int | None = None):
     """(id, gram) rows → (id_a, id_b, inter) with inter = |shared grams|.
     One shuffle on the gram hash; pair counts summed in a second small
     groupby."""
+    from .shuffle import default_num_buckets
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         pairs = _pairs_from_groups(df, "gram", id_col, group_cap)
         if pairs.empty:
@@ -103,7 +107,7 @@ def ngram_pair_intersections(ds, *, id_col: str = "doc_id",
 
 
 def jaccard_pairs(ds, counts: dict[int, int], *, id_col: str = "doc_id",
-                  threshold: float = 0.0, num_buckets: int = 32):
+                  threshold: float = 0.0, num_buckets: int | None = None):
     """Full n-gram Jaccard: intersections + broadcast per-doc shingle counts
     → jaccard = inter / (|A| + |B| − inter); keeps pairs > threshold."""
     inter = ngram_pair_intersections(ds, id_col=id_col,
@@ -122,7 +126,8 @@ def jaccard_pairs(ds, counts: dict[int, int], *, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       shingle_n: int = 3, bands: int = 16,
-                      group_cap: int | None = 256, num_buckets: int = 32,
+                      group_cap: int | None = 256,
+                      num_buckets: int | None = None,
                       dedupe: bool = True):
     """MinHash+LSH candidate pairs: signature → band buckets → explode
     (id, band_key) → groupby(band bucket) → pairs (deduped).
@@ -130,7 +135,10 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ``dedupe=False`` skips the final pair-dedup shuffle — correct whenever
     the consumer is idempotent under duplicate edges (min-label clustering
     is), saving one full exchange."""
+    from .shuffle import default_num_buckets
     from .text import minhash_stage
+
+    nb = num_buckets if num_buckets is not None else default_num_buckets()
 
     sigs = ds.map_batches(minhash_stage(text_col, shingle_n, bands),
                           batch_format="pyarrow")
@@ -150,7 +158,7 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return _pairs_from_groups(df, "band_key", id_col, group_cap)
 
     pairs = grouped_apply(exploded, ["band_key"], bucket_fn,
-                          num_buckets=num_buckets)
+                          num_buckets=nb)
 
     if not dedupe:
         return pairs
@@ -159,12 +167,12 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return df.drop_duplicates()
 
     return grouped_apply(pairs, ["id_a", "id_b"], dedup,
-                         num_buckets=max(8, num_buckets // 4))
+                         num_buckets=max(8, nb // 4))
 
 
 def hamming_pairs(hashed_ds, *, id_col: str, hash_col: str,
                   max_hamming: int = 8, band_bits: int = 16,
-                  num_buckets: int = 16):
+                  num_buckets: int | None = None):
     """Band-blocked Hamming near-dup pairs over an EXISTING int64 hash
     column (pigeonhole: Hamming < 64/band_bits bands ⇒ some band equal) —
     the generic core behind simhash_pairs, reusable for any 64-bit
@@ -209,14 +217,15 @@ def hamming_pairs(hashed_ds, *, id_col: str, hash_col: str,
 
     pairs = grouped_apply(exploded, ["band_key"], bucket_fn,
                           num_buckets=num_buckets)
+    # the surviving pair stream is far smaller than the banded explode,
+    # but still corpus-proportional — derive its fan-out too
     return grouped_apply(pairs, ["id_a", "id_b"],
-                         lambda df: df.drop_duplicates(),
-                         num_buckets=8)
+                         lambda df: df.drop_duplicates())
 
 
 def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 8, band_bits: int = 16,
-                  num_buckets: int = 16):
+                  num_buckets: int | None = None):
     """SimHash near-dup pairs: 64-bit simhash per doc, then the generic
     band-blocked :func:`hamming_pairs` (pigeonhole recall guarantee for
     Hamming < 64/band_bits; band_bits trades recall vs bucket size: 16
@@ -254,7 +263,7 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
 
 
 def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
-                     max_iters: int = 50, num_buckets: int = 16,
+                     max_iters: int = 50, num_buckets: int | None = None,
                      jump_from: int = 2, stats_out: dict | None = None):
     """Distributed near-dup clustering — iterative min-label propagation
     over the candidate-pair graph, all shuffles, NO driver-side pair
@@ -283,6 +292,13 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     resolution bits at 58+ were corrupted by exactly this).
     """
     import ray.data as rd
+
+    from .shuffle import default_num_buckets
+    caller_buckets = num_buckets
+    if num_buckets is None:
+        # fan-out for the single-pass stages over the raw (possibly
+        # corpus-proportional) pair stream: cluster-derived
+        num_buckets = default_num_buckets()
 
     def _check_nonneg(a: np.ndarray, b: np.ndarray) -> None:
         # the -1 side-tag sentinel requires non-negative ids; fail loudly
@@ -352,6 +368,17 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     edges = contracted.map_batches(both_dirs_pairs,
                                    batch_format="pyarrow")
     edges = edges.materialize()           # static across iterations
+
+    # The ITERATIVE stages pay per-task overhead every round, so size
+    # their fan-out to the contracted edge set (known: just materialized)
+    # rather than the cluster — ~100k rows per bucket, floored at 16 and
+    # capped at the cluster-derived default. Star-contracted dup graphs
+    # are tiny next to the corpus; a 4096-bucket loop over a few million
+    # label rows would be dominated by scheduling, not work. A
+    # caller-passed num_buckets overrides (tests pin small values).
+    if caller_buckets is None:
+        num_buckets = max(16, min(default_num_buckets(),
+                                  edges.count() // 100_000 + 1))
 
     # initial labels = min(self, direct neighbors), endpoints only — one
     # shuffle; star-shaped dup families are already at their fixpoint here

@@ -33,7 +33,7 @@ def add_window_column(ts_col: str, width_us: int = US_PER_HOUR,
 
 
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
-              right_ts: str, num_buckets: int = 32,
+              right_ts: str, num_buckets: int | None = None,
               right_tie: str | None = None):
     """As-of (backward, inclusive) join: for each left row, the latest right
     row with the same ``key`` and ``right_ts <= left_ts``.
@@ -157,7 +157,7 @@ def session_window_agg(df: pd.DataFrame, key: str, ts_col: str,
 
 
 def session_windows_ds(ds, key: str, ts_col: str, gap_us: int,
-                       *, num_buckets: int = 32):
+                       *, num_buckets: int | None = None):
     """Distributed session windows: one shuffle on the key hash, vectorized
     per-bucket sessionization."""
     return grouped_apply(ds, [key],
@@ -168,7 +168,8 @@ def session_windows_ds(ds, key: str, ts_col: str, gap_us: int,
 
 def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
                   start_col: str, end_col: str,
-                  id_cols: tuple = ("session_id",), num_buckets: int = 32):
+                  id_cols: tuple = ("session_id",),
+                  num_buckets: int | None = None):
     """Range join: each left row matched to the interval of the same
     ``key`` with ``start <= ts <= end`` (the brief's 'range join' operator
     Ray Data lacks).
@@ -244,7 +245,8 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
 def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
                       start_col: str, end_col: str,
                       id_cols: tuple = ("interval_id",),
-                      bin_us: int = US_PER_HOUR, num_buckets: int = 32):
+                      bin_us: int = US_PER_HOUR,
+                      num_buckets: int | None = None):
     """Range join, GENERAL case: emit EVERY interval of the same ``key``
     covering each left row (overlapping intervals allowed — the
     generalization of :func:`interval_join`'s disjoint contract).

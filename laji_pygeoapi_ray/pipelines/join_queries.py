@@ -592,7 +592,7 @@ def _audit_partials(parts, key_cols: list[str], finish, chk: str):
                              "n": pd.Series([finish(tot)],
                                             dtype=np.int64)})
 
-    return grouped_apply(parts, key_cols, bucket, num_buckets=8)
+    return grouped_apply(parts, key_cols, bucket)
 
 
 @register("referential_integrity_audit", sql="""

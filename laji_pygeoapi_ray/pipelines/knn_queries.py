@@ -671,7 +671,7 @@ def knox_space_time(sf_dir: str):
 
     scat = read_pts(columns=["id", "t"]).map_batches(
         tscatter, batch_format="pyarrow")
-    tparts = grouped_apply(scat, ["bucket"], tcount, num_buckets=16)
+    tparts = grouped_apply(scat, ["bucket"], tcount)
     n_time = int(tparts.aggregate(Sum("c", alias_name="c"))["c"] or 0)
 
     return pd.DataFrame({

@@ -1510,7 +1510,7 @@ def table_checksum_ranges(sf_dir: str):
             "n": pd.Series([n for _, n, _ in rows], dtype="int64"),
             "checksum": pd.Series([c for _, _, c in rows], dtype="uint64")})
 
-    return grouped_apply(part, ["range_id"], finish, num_buckets=8)
+    return grouped_apply(part, ["range_id"], finish)
 
 
 # --------------------------- BPE merge step (adjacent byte-pair counts)

@@ -31,7 +31,16 @@ def default_num_buckets(*, per_cpu: int = 2, floor: int = 16,
     rebalance), floored at 16 (single small node) and capped at 4096 (a
     bucket per ~2 cores of a 2048-core cluster — beyond that per-bucket
     scheduling overhead dominates). Falls back to ``os.cpu_count()`` when
-    Ray isn't initialised (pure-driver planning paths)."""
+    Ray isn't initialised (pure-driver planning paths).
+
+    CONTRACT: this bounds fan-out by the CLUSTER only — it has no data
+    term, so on a small cluster over a large corpus a bucket is
+    data/buckets rows materialized as ONE pandas frame inside a single
+    ``map_groups`` task. Callers shuffling corpus-proportional streams
+    whose size they know (or can bound) should pass an explicit
+    ``num_buckets ≈ rows / heap_budget`` when that exceeds the derived
+    value; iterative loops should size DOWN to their (small) loop state
+    instead (see ``cluster_pairs_ds``)."""
     import os
 
     import ray

@@ -217,10 +217,14 @@ def hamming_pairs(hashed_ds, *, id_col: str, hash_col: str,
 
     pairs = grouped_apply(exploded, ["band_key"], bucket_fn,
                           num_buckets=num_buckets)
-    # the surviving pair stream is far smaller than the banded explode,
-    # but still corpus-proportional — derive its fan-out too
+    # the surviving pair stream is far smaller than the banded explode
+    # but still corpus-proportional: scale the caller's fan-out down the
+    # same way minhash_lsh_pairs does (derived default when unset)
+    from .shuffle import default_num_buckets
+    nb = num_buckets if num_buckets is not None else default_num_buckets()
     return grouped_apply(pairs, ["id_a", "id_b"],
-                         lambda df: df.drop_duplicates())
+                         lambda df: df.drop_duplicates(),
+                         num_buckets=max(8, nb // 4))
 
 
 def simhash_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",

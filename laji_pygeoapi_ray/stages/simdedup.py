@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import textkernels as tk
-from .shuffle import grouped_apply
+from .shuffle import default_num_buckets, grouped_apply
 
 
 def shingle_explode(text_col: str = "text", id_col: str = "doc_id",
@@ -84,7 +84,6 @@ def ngram_pair_intersections(ds, *, id_col: str = "doc_id",
     """(id, gram) rows → (id_a, id_b, inter) with inter = |shared grams|.
     One shuffle on the gram hash; pair counts summed in a second small
     groupby."""
-    from .shuffle import default_num_buckets
     if num_buckets is None:
         num_buckets = default_num_buckets()
 
@@ -135,7 +134,6 @@ def minhash_lsh_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ``dedupe=False`` skips the final pair-dedup shuffle — correct whenever
     the consumer is idempotent under duplicate edges (min-label clustering
     is), saving one full exchange."""
-    from .shuffle import default_num_buckets
     from .text import minhash_stage
 
     nb = num_buckets if num_buckets is not None else default_num_buckets()
@@ -220,7 +218,6 @@ def hamming_pairs(hashed_ds, *, id_col: str, hash_col: str,
     # the surviving pair stream is far smaller than the banded explode
     # but still corpus-proportional: scale the caller's fan-out down the
     # same way minhash_lsh_pairs does (derived default when unset)
-    from .shuffle import default_num_buckets
     nb = num_buckets if num_buckets is not None else default_num_buckets()
     return grouped_apply(pairs, ["id_a", "id_b"],
                          lambda df: df.drop_duplicates(),
@@ -297,7 +294,6 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     """
     import ray.data as rd
 
-    from .shuffle import default_num_buckets
     caller_buckets = num_buckets
     if num_buckets is None:
         # fan-out for the single-pass stages over the raw (possibly

@@ -379,6 +379,8 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
     if caller_buckets is None:
         num_buckets = max(16, min(default_num_buckets(),
                                   edges.count() // 100_000 + 1))
+    if stats_out is not None:
+        stats_out["loop_num_buckets"] = num_buckets
 
     # initial labels = min(self, direct neighbors), endpoints only — one
     # shuffle; star-shaped dup families are already at their fixpoint here

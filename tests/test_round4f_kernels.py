@@ -438,3 +438,33 @@ def test_spill_checkpoint_cleans_up_at_exit():
            if e.name.startswith("unit_gc-")]
     spill._cleanup(cur[0])
     assert not os.path.exists(cur[0])
+
+
+def test_cluster_pairs_ds_loop_fanout_is_data_sized():
+    """The iterative CC loop sizes its per-round shuffles to the
+    CONTRACTED edge set (floor 16, cap = cluster-derived default), not
+    the cluster — per-round task overhead dominates tiny label tables —
+    while a caller-passed num_buckets overrides both."""
+    import pandas as pd
+
+    from laji_pygeoapi_ray.stages.simdedup import cluster_pairs_ds
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    ids = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(range(1, 12))}))
+
+    stats = {}
+    out = cluster_pairs_ds(pairs, ids, id_col="doc_id",
+                           stats_out=stats).to_pandas()
+    # tiny contracted edge set → the floor, regardless of cluster size
+    assert stats["loop_num_buckets"] == 16
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[1] == lab[2] == lab[3] == 1 and lab[10] == lab[11] == 10
+
+    stats = {}
+    out2 = cluster_pairs_ds(pairs, ids, id_col="doc_id", num_buckets=2,
+                            stats_out=stats).to_pandas()
+    # explicit caller value wins (tests pin small fan-outs)
+    assert stats["loop_num_buckets"] == 2
+    assert out2.sort_values("doc_id").reset_index(drop=True).equals(
+        out.sort_values("doc_id").reset_index(drop=True))

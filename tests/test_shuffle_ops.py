@@ -211,3 +211,43 @@ def test_pareto_mask_matches_bruteforce():
             & ((p[:, None] > p[None, :]) | (d[:, None] < d[None, :]))
         exp = ~dom.any(axis=0)
         assert (got == exp).all(), (trial, p, d)
+
+
+def test_grouped_apply_and_hash_join_invariant_to_bucket_count():
+    """The property the derived-fan-out defaults rely on: bucket count
+    only sizes parallelism — per-key colocation (all rows of a key in
+    one bucket) holds for ANY count, so results are identical across
+    counts. Locks the fan-out audit against a future bucket-leaking
+    bucket_fn."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from laji_pygeoapi_ray.stages.join import hash_join
+    from laji_pygeoapi_ray.stages.shuffle import grouped_apply
+
+    rng = np.random.default_rng(13)
+    big = np.int64(1) << 60                       # >2^53 value-integrity key
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, 900),
+        "v": rng.integers(0, 10**6, 900).astype(np.int64) + big})
+    right = pd.DataFrame({"k": np.arange(37), "w": np.arange(37) * 7})
+
+    def agg(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", as_index=False).agg(
+            n=("v", "size"), lo=("v", "min"), hi=("v", "max"))
+
+    outs, joins = [], []
+    for nb in (1, 3, 16, 64):
+        ds = ray.data.from_pandas(df).repartition(4)
+        o = grouped_apply(ds, ["k"], agg, num_buckets=nb).to_pandas()
+        outs.append(o.sort_values("k").reset_index(drop=True))
+        j = hash_join(ray.data.from_pandas(df).repartition(4),
+                      ray.data.from_pandas(right).repartition(2),
+                      on=["k"], num_buckets=nb).to_pandas()
+        joins.append(j.sort_values(["k", "v"]).reset_index(drop=True)
+                     [["k", "v", "w"]])
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    for j in joins[1:]:
+        pd.testing.assert_frame_equal(joins[0], j)

@@ -176,18 +176,27 @@ def image_decode_verify(sf_dir: str):
                         batch_format="pyarrow",
                         batch_size=512, concurrency=fixed_pool(), num_cpus=1)
 
-    def gates(t: pa.Table) -> pa.Table:
+    def gates_partial(t: pa.Table) -> pa.Table:
+        # combine-before-groupby: fold the gates to per-(batch, fmt)
+        # partial counts so the exchange moves ~|fmts| rows per block,
+        # not one row per image
         ok = pc.fill_null(t["decode_ok"], False)
         psnr_ok = pc.and_(ok, pc.fill_null(
             pc.greater_equal(t["psnr"], 40.0), False))
-        return pa.table({"fmt": t["fmt"],
-                         "decode_ok": pc.cast(ok, pa.int64()),
-                         "psnr_ok": pc.cast(psnr_ok, pa.int64())})
+        g = pa.table({"fmt": t["fmt"],
+                      "one": pa.array(np.ones(len(t), np.int64)),
+                      "decode_ok": pc.cast(ok, pa.int64()),
+                      "psnr_ok": pc.cast(psnr_ok, pa.int64())}) \
+            .group_by(["fmt"]).aggregate([("one", "sum"),
+                                          ("decode_ok", "sum"),
+                                          ("psnr_ok", "sum")])
+        return g.rename_columns(["fmt", "n", "n_decode_ok", "n_psnr_ok"])
 
-    agg = ds.map_batches(gates, batch_format="pyarrow") \
+    agg = ds.map_batches(gates_partial, batch_format="pyarrow") \
         .groupby("fmt").aggregate(
-            Count(alias_name="n"), Sum("decode_ok", alias_name="n_decode_ok"),
-            Sum("psnr_ok", alias_name="n_psnr_ok"))
+            Sum("n", alias_name="n"),
+            Sum("n_decode_ok", alias_name="n_decode_ok"),
+            Sum("n_psnr_ok", alias_name="n_psnr_ok"))
     return agg.map_batches(
         lambda t: t.rename_columns(["fmt", "n", "n_decode_ok", "n_psnr_ok"]),
         batch_format="pyarrow")

@@ -193,7 +193,7 @@ def hybrid_rrf_topk(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from ..stages.join import hash_join
-    from ..stages.shuffle import grouped_apply, partial_group_counts
+    from ..stages.shuffle import grouped_apply
 
     # --- embedding ranks (existing exact top-k machinery)
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])

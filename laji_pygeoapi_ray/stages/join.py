@@ -126,15 +126,38 @@ def hash_join(left_ds, right_ds, *, on: list[str], how: str = "inner",
     floor 16) so the shuffle fan-out tracks the cluster, not a constant.
     Pass ``left_schema`` / ``right_schema`` when known statically to
     skip ``_tag_union``'s limit-1 ``Dataset.schema()`` probes (a prefix
-    execution of each lineage)."""
+    execution of each lineage).
+
+    NULL join keys follow SQL semantics: a NULL never equals a NULL
+    (pandas merge would match NaN==NaN and emit a null-key cross
+    product), so null-key rows are excluded from the match and
+    re-appended unmatched per ``how``. Caveat: an INT key column that
+    carries nulls reaches the bucket as NaN-filled float64, which
+    rounds non-null key values above 2^53 — declare such keys upstream
+    (fill or split) before joining."""
     tagged, lcols, rcols, types, all_cols = _tag_union(
         left_ds, right_ds, left_schema=left_schema,
         right_schema=right_schema)
 
+    def _nullkey(d: pd.DataFrame) -> "np.ndarray":
+        m = np.zeros(len(d), bool)
+        for k in on:
+            m |= d[k].isna().to_numpy()
+        return m
+
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0][lcols]
         right = df[df["__side"] == 1][rcols]
-        return left.merge(right, on=on, how=how)
+        lm, rm = _nullkey(left), _nullkey(right)
+        out = left[~lm].merge(right[~rm], on=on, how=how)
+        extras = []
+        if how in ("left", "outer") and lm.any():
+            extras.append(left[lm])     # unmatched; concat null-fills
+        if how in ("right", "outer") and rm.any():
+            extras.append(right[rm])
+        if extras:
+            out = pd.concat([out] + extras, ignore_index=True)
+        return out
 
     # restore source dtypes: inside a bucket each side's columns are
     # null-filled for the other side's rows, so pandas upcasts int64
@@ -172,11 +195,12 @@ class BloomFilter:
 
     @staticmethod
     def _mix(x: "np.ndarray", salt: int) -> "np.ndarray":
-        x = x.astype(np.uint64) + np.uint64(
-            (salt * 0x9E3779B97F4A7C15) % (1 << 64))
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+        # splitmix64 over (x + salt·golden): delegate the finalizer to
+        # the single shared implementation (textkernels.mix64) so the
+        # hash stream can never silently diverge between copies
+        from ..functions.textkernels import mix64
+        return mix64(x.astype(np.uint64) + np.uint64(
+            (salt * 0x9E3779B97F4A7C15) % (1 << 64)))
 
     def add(self, keys: "np.ndarray") -> None:
         for s in range(self.probes):
@@ -344,7 +368,19 @@ def sort_merge_join(left_ds, right_ds, *, on: str, how: str = "inner",
                 .sort_values(on, kind="mergesort"))
         right = (df[df["__side"] == 1][rcols]
                  .sort_values(on, kind="mergesort"))
-        return left.merge(right, on=on, how=how, sort=False)
+        # SQL NULL-key semantics (NaN never matches NaN) — the hash
+        # backend's convention
+        lm = left[on].isna().to_numpy()
+        rm = right[on].isna().to_numpy()
+        out = left[~lm].merge(right[~rm], on=on, how=how, sort=False)
+        extras = []
+        if how in ("left", "outer") and lm.any():
+            extras.append(left[lm])
+        if how in ("right", "outer") and rm.any():
+            extras.append(right[rm])
+        if extras:
+            out = pd.concat([out] + extras, ignore_index=True)
+        return out
 
     out = (tagged.map_batches(add_range, batch_format="pandas")
            .groupby("__range")
@@ -455,7 +491,11 @@ def skew_split_join(big_ds, small_df: "pd.DataFrame", *, on: str,
             # globals by value, which would hand every task a fresh
             # copy of the counter frozen at graph-build time
             from laji_pygeoapi_ray.stages import join as _self
-            samp = df.iloc[[0, len(df) // 2, len(df) - 1]]
+            # sample the KEY column only: hash_pandas_object raises
+            # TypeError on unhashable payload cells (list/array columns),
+            # and the key alone (with pid+sequence below) already de-
+            # correlates clustered batches
+            samp = df[[on]].iloc[[0, len(df) // 2, len(df) - 1]]
             seed = np.array([pd.util.hash_pandas_object(
                 samp, index=False).to_numpy(np.uint64).sum()
                 ^ np.uint64(len(df))

@@ -179,19 +179,45 @@ def kth_values_2pass(ds, col: str, ks: list[int], *, n_bins: int = 4096):
     Scale contract: the candidate bins must fit in driver memory — with
     uniform-ish data that is |ks|·n/n_bins rows; a pathological
     single-value bin degenerates to that value being the answer anyway
-    (all equal). Returns (values list aligned with ks, n)."""
+    (all equal). Returns (values list aligned with ks, n).
+
+    Nulls and NaNs are EXCLUDED (SQL percentile semantics): ranks count
+    the non-null population only and n is the non-null count. (An int
+    column WITH nulls reaches numpy as NaN-filled float64; without the
+    mask a NaN would bin at 0 via the NaN→INT64_MIN cast yet sort to
+    the END of its bin — a silently wrong, possibly-NaN answer.)"""
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Max, Min
 
-    stats = ds.aggregate(Min(col), Max(col))
-    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    def mm(t: "pa.Table") -> "pa.Table":
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"lo": pa.array([np.inf]),
+                             "hi": pa.array([-np.inf]),
+                             "nn": pa.array([0], pa.int64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())]),
+                         "nn": pa.array([len(v)], pa.int64())})
+
+    lo, hi, n = np.inf, -np.inf, 0
+    for bt in (ds.map_batches(mm, batch_format="pyarrow")
+               .iter_batches(batch_size=None, batch_format="pyarrow")):
+        lo = min(lo, float(bt["lo"].to_numpy().min()))
+        hi = max(hi, float(bt["hi"].to_numpy().max()))
+        n += int(bt["nn"].to_numpy().sum())
+    if n == 0:
+        raise ValueError(f"kth_values_2pass: no non-null values in {col!r}")
+    for k in ks:
+        if not 0 <= k < n:
+            raise ValueError(f"k={k} out of range for n={n}")
     if lo == hi:
-        return [lo] * len(ks), None
+        return [lo] * len(ks), n
     width = (hi - lo) / n_bins
 
     def hist(t: "pa.Table") -> "pa.Table":
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
         b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
         cnt = np.bincount(b, minlength=n_bins)
         return pa.table({"bin": np.arange(n_bins, dtype=np.int64),
@@ -203,10 +229,6 @@ def kth_values_2pass(ds, col: str, ks: list[int], *, n_bins: int = 4096):
         total[bt["bin"].to_numpy(zero_copy_only=False)] += \
             bt["cnt"].to_numpy(zero_copy_only=False)
     cum = np.cumsum(total)
-    n = int(cum[-1])
-    for k in ks:
-        if not 0 <= k < n:
-            raise ValueError(f"k={k} out of range for n={n}")
     bins = {int(np.searchsorted(cum, k + 1)) for k in ks}
     bin_arr = np.array(sorted(bins), dtype=np.int64)
 
@@ -216,7 +238,8 @@ def kth_values_2pass(ds, col: str, ks: list[int], *, n_bins: int = 4096):
         # by one ulp and silently drop/duplicate boundary rows
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
         vb = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-        return t.select([col]).filter(pa.array(np.isin(vb, bin_arr)))
+        keep = np.isin(vb, bin_arr) & ~np.isnan(v)
+        return t.select([col]).filter(pa.array(keep))
 
     cand = np.concatenate(
         [bt[col].to_numpy(zero_copy_only=False) for bt in
@@ -250,20 +273,22 @@ def hll_partial(ids: "np.ndarray") -> "np.ndarray":
     tiny merge at the end)."""
     import numpy as np
 
-    x = ids.astype(np.uint64)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
+    from ..functions.textkernels import mix64
+
+    x = mix64(ids.astype(np.uint64))    # the one shared splitmix64
     m = np.uint64(1) << np.uint64(HLL_P)
     idx = (x & (m - np.uint64(1))).astype(np.int64)
     rest = x >> np.uint64(HLL_P)
     # rank = leading-zero count of the remaining 64-p bits + 1
+    #      = nbits - bit_length(rest) + 1, via the frexp exponent —
+    # EXACT because rest < 2^(64-p) ≤ 2^52 < 2^53 converts to float64
+    # losslessly and frexp returns its true binary exponent (log2 would
+    # round 2^k−1 up for large k); rest == 0 → exponent 0 → nbits+1.
+    # Replaces a 52-pass boolean-mask loop on the sketch hot path
+    # (bit-identity vs the loop asserted in tests/test_shuffle_ops.py).
     nbits = 64 - HLL_P
-    rank = np.full(len(x), nbits + 1, dtype=np.uint8)
-    for b in range(nbits):
-        hit = (rest >> np.uint64(nbits - 1 - b)) & np.uint64(1)
-        newly = (rank == nbits + 1) & (hit == 1)
-        rank[newly] = b + 1
+    _, exp = np.frexp(rest.astype(np.float64))
+    rank = (nbits + 1 - exp).astype(np.uint8)
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs

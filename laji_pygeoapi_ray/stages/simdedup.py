@@ -108,13 +108,28 @@ def ngram_pair_intersections(ds, *, id_col: str = "doc_id",
 def jaccard_pairs(ds, counts: dict[int, int], *, id_col: str = "doc_id",
                   threshold: float = 0.0, num_buckets: int | None = None):
     """Full n-gram Jaccard: intersections + broadcast per-doc shingle counts
-    → jaccard = inter / (|A| + |B| − inter); keeps pairs > threshold."""
+    → jaccard = inter / (|A| + |B| − inter); keeps pairs > threshold.
+
+    ``counts`` is broadcast ONCE via ``ray.put`` (not pickled into the
+    map function — a corpus-sized dict in the closure ships with every
+    task and can exceed the serialized-function limit); an id missing
+    from ``counts`` raises instead of silently dropping the pair
+    through a NaN comparison."""
+    import ray
+
     inter = ngram_pair_intersections(ds, id_col=id_col,
                                      num_buckets=num_buckets)
+    counts_ref = ray.put(counts)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        na = df["id_a"].map(counts).to_numpy(np.float64)
-        nb = df["id_b"].map(counts).to_numpy(np.float64)
+        c = ray.get(counts_ref)
+        na = df["id_a"].map(c).to_numpy(np.float64)
+        nb = df["id_b"].map(c).to_numpy(np.float64)
+        if np.isnan(na).any() or np.isnan(nb).any():
+            bad = df.loc[np.isnan(na) | np.isnan(nb),
+                         ["id_a", "id_b"]].head(3)
+            raise KeyError(
+                f"jaccard_pairs: pair ids missing from counts: {bad}")
         i = df["inter"].to_numpy(np.float64)
         df = df.copy()
         df["jaccard"] = i / (na + nb - i)
@@ -299,6 +314,10 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
         # fan-out for the single-pass stages over the raw (possibly
         # corpus-proportional) pair stream: cluster-derived
         num_buckets = default_num_buckets()
+    # the final singleton-resolve pass shuffles the FULL ids_ds (corpus-
+    # proportional), so it must keep this wide fan-out even after the
+    # loop below downsizes num_buckets to the contracted edge set
+    wide_buckets = num_buckets
 
     def _check_nonneg(a: np.ndarray, b: np.ndarray) -> None:
         # the -1 side-tag sentinel requires non-negative ids; fail loudly
@@ -395,7 +414,9 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
                         num_buckets=num_buckets).materialize()
     prev_sum = lab.sum("label")
 
+    rounds, converged = 0, False
     for _ in range(max_iters):
+        rounds += 1
         # ---- shuffle 1: neighbor candidates (edges ⋈ labels on src)
         tagged = edges.map_batches(
             lambda t: t.append_column(
@@ -485,11 +506,13 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
             num_buckets=num_buckets).materialize()
         s = lab.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
 
     if stats_out is not None:
-        stats_out["rounds"] = _ + 1          # per-partition metrics surface
+        stats_out["rounds"] = rounds         # per-partition metrics surface
+        stats_out["converged"] = converged   # False = max_iters truncation
         stats_out["label_sum"] = prev_sum
 
     # attach singletons (ids with no pair): one anti-join shuffle at the END
@@ -510,7 +533,7 @@ def cluster_pairs_ds(pairs_ds, ids_ds, *, id_col: str = "doc_id",
                              "label": lbl})
 
     final = grouped_apply(tagged_ids, ["id"], resolve,
-                          num_buckets=num_buckets)
+                          num_buckets=wide_buckets)
     return final.map_batches(
         lambda t: pa.table({id_col: t["id"], "cluster_id": t["label"]}),
         batch_format="pyarrow")

@@ -87,3 +87,35 @@ def test_cluster_pairs_ds_preserves_ints_above_2_53():
     assert got == {base + 0: base, base + 1: base, base + 2: base,
                    base + 3: base, base + 100: base + 100,
                    base + 101: base + 100, base + 200: base + 200}
+
+
+def test_join_null_keys_never_match_sql_semantics():
+    """SQL equi-join semantics on NULL keys: NULL = NULL is not a match.
+    Inner drops null-key rows; left/outer pass them through unmatched —
+    pandas merge alone would emit a null-key cross product."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from laji_pygeoapi_ray.stages.join import hash_join, sort_merge_join
+
+    left = pd.DataFrame({"k": [1.0, np.nan, np.nan, 2.0],
+                         "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [np.nan, 2.0], "rv": [100, 200]})
+
+    inner = hash_join(ray.data.from_pandas(left),
+                      ray.data.from_pandas(right),
+                      on=["k"], num_buckets=3).to_pandas()
+    assert len(inner) == 1 and float(inner["k"].iloc[0]) == 2.0
+
+    lj = hash_join(ray.data.from_pandas(left),
+                   ray.data.from_pandas(right),
+                   on=["k"], how="left", num_buckets=3).to_pandas()
+    assert len(lj) == 4                       # every left row exactly once
+    nulls = lj[lj["k"].isna()]
+    assert len(nulls) == 2 and nulls["rv"].isna().all()
+
+    sm = sort_merge_join(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right),
+                         on="k", num_ranges=2).to_pandas()
+    assert len(sm) == 1 and float(sm["k"].iloc[0]) == 2.0

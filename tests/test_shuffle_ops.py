@@ -251,3 +251,62 @@ def test_grouped_apply_and_hash_join_invariant_to_bucket_count():
         pd.testing.assert_frame_equal(outs[0], o)
     for j in joins[1:]:
         pd.testing.assert_frame_equal(joins[0], j)
+
+
+def test_hll_rank_vectorization_bit_identical():
+    """The frexp-based HLL rank must equal the bit-scan definition on
+    the full register path (regression for the vectorized rewrite)."""
+    import numpy as np
+
+    from laji_pygeoapi_ray.stages.shuffle import HLL_P, hll_partial
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(-(2**62), 2**62, 500_000).astype(np.int64)
+    got = hll_partial(ids)
+
+    # independent reference: same splitmix64, loop-scan rank
+    x = ids.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    m = np.uint64(1) << np.uint64(HLL_P)
+    idx = (x & (m - np.uint64(1))).astype(np.int64)
+    rest = x >> np.uint64(HLL_P)
+    nbits = 64 - HLL_P
+    rank = np.full(len(x), nbits + 1, dtype=np.uint8)
+    for b in range(nbits):
+        hit = (rest >> np.uint64(nbits - 1 - b)) & np.uint64(1)
+        newly = (rank == nbits + 1) & (hit == 1)
+        rank[newly] = b + 1
+    want = np.zeros(1 << HLL_P, dtype=np.uint8)
+    np.maximum.at(want, idx, rank)
+    assert (got == want).all()
+
+
+def test_kth_values_2pass_excludes_nulls_sql_semantics():
+    """Order statistics ignore NULL/NaN (SQL percentile semantics): n
+    counts non-null rows only and a NaN can never be returned as a
+    value; all-equal early path returns the REAL n and validates ks."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from laji_pygeoapi_ray.stages.shuffle import kth_values_2pass
+
+    df = pd.DataFrame({"v": [np.nan, 3.0, 1.0, np.nan, 2.0]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    vals, n = kth_values_2pass(ds, "v", [0, 1, 2])
+    assert n == 3 and vals == [1.0, 2.0, 3.0]
+    with pytest.raises(ValueError):
+        kth_values_2pass(ray.data.from_pandas(df), "v", [3])  # > non-null
+    # all-equal early path: real n, validated k
+    eq = ray.data.from_pandas(pd.DataFrame({"v": [7.0, np.nan, 7.0]}))
+    vals, n = kth_values_2pass(eq, "v", [0, 1])
+    assert n == 2 and vals == [7.0, 7.0]
+    with pytest.raises(ValueError):
+        kth_values_2pass(
+            ray.data.from_pandas(pd.DataFrame({"v": [7.0]})), "v", [1])
+    with pytest.raises(ValueError):
+        kth_values_2pass(
+            ray.data.from_pandas(pd.DataFrame({"v": [np.nan]})), "v", [0])

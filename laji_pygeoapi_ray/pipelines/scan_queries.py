@@ -332,18 +332,15 @@ def _str_index_layout(sf_dir: str) -> str:
     only ever touches ``{tag}-{pid}-{uuid}``-named checkpoint dirs, so
     the index tree is safe whether it sits beside the default spill
     root (/tmp) or nested under a user-provided one. Crashed builders'
-    ``*.tmp.*`` leftovers (corpus-sized) are reaped here under the same
-    ``spill._reap_ok`` policy. Promotion is concurrency-safe: each
-    builder writes a unique tmp dir and claims the final path with an
-    atomic ``os.rename``; losers defer to the winner's ``_DONE`` marker
-    (no pre-emptive rmtree of a dir another process may have just
-    promoted)."""
+    ``*.tmp.*`` leftovers (corpus-sized) are reaped under the same
+    ``spill._reap_ok`` policy. Promotion is concurrency-safe
+    (``spill.claim_layout``): each builder writes a unique tmp dir and
+    claims the final path with an atomic ``os.rename``; losers defer to
+    the winner's ``_DONE`` marker (no pre-emptive rmtree of a dir
+    another process may have just promoted)."""
     import hashlib
-    import shutil
-    import time as _time
-    import uuid as _uuid
 
-    from ..state.spill import (_reap_ok, _require_shared_root,
+    from ..state.spill import (_require_shared_root, claim_layout,
                                write_empty_sentinel)
 
     tag = hashlib.md5(f"{sf_dir}v{STRIDX_VERSION}".encode()) \
@@ -351,62 +348,19 @@ def _str_index_layout(sf_dir: str) -> str:
     root = os.path.join(os.environ.get("LAJI_RAY_SPILL_DIR", "/tmp"),
                         "laji_ray_str_index")
     out = os.path.join(root, tag)
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out                  # hot path: skip the shared-root probe
     _require_shared_root()
-    os.makedirs(root, exist_ok=True)
-    # reap corpus-sized tmp dirs leaked by crashed/killed builders (the
-    # spill sweep never scans this root); same conservative policy —
-    # locally-dead owner after a short grace on the default root, 6 h
-    # age otherwise
-    try:
-        now = _time.time()
-        for ent in os.scandir(root):
-            try:
-                if not ent.is_dir() or ".tmp." not in ent.name:
-                    continue
-                pid_s = ent.name.split(".tmp.", 1)[1].split(".", 1)[0]
-                pid = int(pid_s) if pid_s.isdigit() else None
-                if pid != os.getpid() and _reap_ok(
-                        pid, now - ent.stat().st_mtime):
-                    shutil.rmtree(ent.path, ignore_errors=True)
-            except OSError:
-                pass
-    except OSError:
-        pass
-    tmp = f"{out}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp)
-    _str_leaf_points(sf_dir).write_parquet(tmp)
-    if not any(os.scandir(tmp)):
-        # empty corpus: keep the re-read typed (statically known schema)
-        write_empty_sentinel(tmp, pa.schema([("leaf", pa.int64()),
-                                             ("x", pa.float64()),
-                                             ("y", pa.float64())]))
-    for wait in (0.0, 0.5, 1.0, 2.0, 4.0, 8.0):
-        _time.sleep(wait)
-        if os.path.exists(marker):          # another builder won
-            shutil.rmtree(tmp, ignore_errors=True)
-            return out
-        try:
-            os.rename(tmp, out)             # atomic claim
-            open(marker, "w").close()
-            return out
-        except OSError:
-            continue    # out exists: a winner is mid-promotion — wait
-            #             for its marker on the next iteration
-    # patience exhausted and still no marker: `out` is a stale partial
-    # from a crashed build — clear it and claim
-    shutil.rmtree(out, ignore_errors=True)
-    try:
-        os.rename(tmp, out)
-        open(marker, "w").close()
-        return out
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.exists(marker):          # raced another recoverer
-            return out
-        raise
+
+    def build(tmp: str) -> None:
+        _str_leaf_points(sf_dir).write_parquet(tmp)
+        if not any(os.scandir(tmp)):
+            # empty corpus: keep the re-read typed (static schema)
+            write_empty_sentinel(tmp, pa.schema([("leaf", pa.int64()),
+                                                 ("x", pa.float64()),
+                                                 ("y", pa.float64())]))
+
+    return claim_layout(out, build)
 
 
 def _str_directory(leaves):
@@ -557,35 +511,28 @@ def _events_day_layout(sf_dir: str) -> str:
     import hashlib
     import os
 
+    from ..state.spill import claim_layout
+
     tag = hashlib.md5(f"{sf_dir}v{TP_VERSION}".encode()).hexdigest()[:12]
     out = f"/tmp/laji_ray_events_days/{tag}"
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
-    import shutil
-
-    import ray.data
-
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts", "value"])
 
     def tag_day(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
         return t.append_column("day", pa.array(ts // TP_DAY_US))
 
-    # atomic materialization (the materialize_images pattern): write into
-    # a .tmp sibling and os.replace — an interrupted first run can never
-    # leave partial day=*/ files that a rerun would append to
-    tmp = out + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    ds.map_batches(tag_day, batch_format="pyarrow") \
-        .write_parquet(tmp, partition_cols=["day"])
-    os.replace(tmp, out)
-    open(marker, "w").close()
-    return out
+    def build(tmp: str) -> None:
+        import ray.data
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts", "value"])
+        ds.map_batches(tag_day, batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=["day"])
+
+    # concurrency-safe atomic materialization: unique per-process tmp +
+    # one atomic rename — an interrupted first run can never leave
+    # partial day=*/ files that a rerun would append to, and concurrent
+    # first-callers never share a build dir
+    return claim_layout(out, build)
 
 
 @register("time_pruned_read", sql=f"""

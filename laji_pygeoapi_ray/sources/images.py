@@ -92,26 +92,27 @@ def images_table(n_images: int) -> pa.Table:
 def materialize_images(n_images: int, base_dir: str = "/tmp/laji_ray_images",
                        *, shards: int = 16) -> str:
     """Generate the image table through Ray Data and write it sharded; the
-    done-marker makes repeated calls no-ops (resume-friendly)."""
+    done-marker makes repeated calls no-ops (resume-friendly), and
+    concurrent first-callers (e.g. a test session and a bench run on a
+    fresh box) each build into their own tmp dir and race for ONE atomic
+    rename — the old shared ``.tmp`` + ``os.replace`` here crashed the
+    loser with ENOTEMPTY and could interleave two writers' shard files
+    into a doubled corpus under a valid marker."""
+    from ..state.spill import claim_layout
+
     out = os.path.join(base_dir, f"n{n_images}v{CONTENT_VERSION}")
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
-    ds = ray.data.range(n_images, override_num_blocks=max(shards, 1))
-    ds = ds.map_batches(build_batch, batch_format="pyarrow", batch_size=512)
-    tmp = out + ".tmp"
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
-    # one file per shard (write_parquet would otherwise coalesce small
-    # datasets into a single file, defeating fragment-parallel reads and
-    # the ETL's file-group sharding)
-    ds.repartition(max(shards, 1)).write_parquet(
-        tmp, min_rows_per_file=max(1, n_images // max(shards, 1)))
-    os.replace(tmp, out)
-    with open(marker, "w") as f:
-        f.write(str(n_images))
-    return out
+
+    def build(tmp: str) -> None:
+        ds = ray.data.range(n_images, override_num_blocks=max(shards, 1))
+        ds = ds.map_batches(build_batch, batch_format="pyarrow",
+                            batch_size=512)
+        # one file per shard (write_parquet would otherwise coalesce small
+        # datasets into a single file, defeating fragment-parallel reads
+        # and the ETL's file-group sharding)
+        ds.repartition(max(shards, 1)).write_parquet(
+            tmp, min_rows_per_file=max(1, n_images // max(shards, 1)))
+
+    return claim_layout(out, build, marker_text=str(n_images))
 
 
 def read_images(path: str) -> "ray.data.Dataset":

@@ -73,23 +73,18 @@ def synth_occurrence_jsonl(n: int, base_dir: str = "/tmp/laji_ray_occjson",
                            *, shards: int = 4) -> str:
     """Write n deterministic records as sharded JSONL (≙ API pages);
     idempotent via a done-marker."""
+    from ..state.spill import claim_layout
+
     out = os.path.join(base_dir, f"n{n}v{JSONL_VERSION}")
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
-    os.makedirs(out + ".tmp", exist_ok=True)
-    for s in range(shards):
-        with open(os.path.join(out + ".tmp", f"page_{s:04d}.jsonl"),
-                  "w") as f:
-            for i in range(s, n, shards):
-                f.write(json.dumps(occurrence_record(i), sort_keys=True)
-                        + "\n")
-    import shutil
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(out + ".tmp", out)
-    with open(marker, "w") as f:
-        f.write(str(n))
-    return out
+
+    def build(tmp: str) -> None:
+        for s in range(shards):
+            with open(os.path.join(tmp, f"page_{s:04d}.jsonl"), "w") as f:
+                for i in range(s, n, shards):
+                    f.write(json.dumps(occurrence_record(i),
+                                       sort_keys=True) + "\n")
+
+    return claim_layout(out, build, marker_text=str(n))
 
 
 MAX_KEYWORDS = 4   # keyword-array expansion bound (json_normalize analogue)

@@ -83,7 +83,10 @@ def build_cell_index(data_dir: str, cell_col: str = "cell7") -> dict:
             index[os.path.relpath(f, data_dir)] = [int(lo), int(hi)]
     out = {"cell_col": cell_col, "files": index}
     path = os.path.join(data_dir, "_cell_index.json")
-    tmp = path + ".tmp"
+    # unique tmp: concurrent rebuilds over the same layout write identical
+    # deterministic content, but a SHARED tmp name lets one writer rename
+    # the other's half-written file away (loser crashes on the replace)
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     os.replace(tmp, path)

@@ -152,6 +152,89 @@ def _require_shared_root() -> None:
             "a shared filesystem path visible to every node.")
 
 
+def reap_stale_tmp(root: str) -> None:
+    """Best-effort removal of ``*.tmp.{pid}.{uuid}`` leftovers under a
+    layout root (crashed builders leak corpus-sized partial builds there;
+    the spill sweep never scans foreign roots). Same conservative policy
+    as the spill sweep: a locally-alive owner is never reaped; dead-owner
+    dirs go after a short grace on the node-local default root, 6 h age
+    otherwise."""
+    try:
+        now = time.time()
+        for ent in os.scandir(root):
+            try:
+                if not ent.is_dir() or ".tmp." not in ent.name:
+                    continue
+                pid_s = ent.name.split(".tmp.", 1)[1].split(".", 1)[0]
+                pid = int(pid_s) if pid_s.isdigit() else None
+                if pid != os.getpid() and _reap_ok(
+                        pid, now - ent.stat().st_mtime):
+                    shutil.rmtree(ent.path, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
+# rename-contention backoff before a marker-less `out` is declared a
+# stale partial from a crashed build (module-level so tests can shrink it)
+_CLAIM_BACKOFF = (0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
+
+
+def claim_layout(out: str, build, *, marker_text: str = "") -> str:
+    """Concurrency-safe idempotent materialization of a persistent layout
+    directory (synthesized fixture corpora, persisted indexes, partitioned
+    re-layouts). ``build(tmp_dir)`` writes the full content into a UNIQUE
+    per-process tmp dir; the final path is claimed with one atomic
+    ``os.rename`` and stamped with a ``_DONE`` marker. Concurrent builders
+    each write their own tmp and the losers defer to the winner's marker —
+    never a shared tmp dir (two Ray writers interleaving shard files) and
+    never a pre-emptive rmtree of a dir another process just promoted,
+    the two failure modes of the old ``out + ".tmp"`` + ``os.replace``
+    pattern (observed: ENOTEMPTY crash, and a potential doubled corpus
+    under a valid marker). Crashed builders' tmp leftovers in the same
+    root are reaped under the shared ``_reap_ok`` policy."""
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    root = os.path.dirname(out)
+    os.makedirs(root, exist_ok=True)
+    reap_stale_tmp(root)
+    tmp = f"{out}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    for wait in _CLAIM_BACKOFF:
+        time.sleep(wait)
+        if os.path.exists(marker):          # another builder won
+            shutil.rmtree(tmp, ignore_errors=True)
+            return out
+        try:
+            os.rename(tmp, out)             # atomic claim
+            with open(marker, "w") as f:
+                f.write(marker_text)
+            return out
+        except OSError:
+            continue    # out exists: a winner is mid-promotion — wait
+            #             for its marker on the next iteration
+    # patience exhausted and still no marker: `out` is a stale partial
+    # from a crashed build — clear it and claim
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+        with open(marker, "w") as f:
+            f.write(marker_text)
+        return out
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(marker):          # raced another recoverer
+            return out
+        raise
+
+
 def spill_checkpoint(ds, tag: str, *, columns: list[str] | None = None,
                      schema=None):
     """Write ``ds`` once to partitioned Parquet under a fresh directory

@@ -166,9 +166,13 @@ def token_values(text_arr) -> tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
         if flat.buffers()[2] is not None else np.array([], np.uint8)
     tlen = np.diff(off)
-    first = np.where(tlen > 0, data[np.minimum(off[:-1],
-                                               max(len(data) - 1, 0))],
-                     0).astype(np.int64)
+    if len(data):
+        first = np.where(tlen > 0,
+                         data[np.minimum(off[:-1], len(data) - 1)],
+                         0).astype(np.int64)
+    else:   # every text empty/null: no data buffer to index (observed:
+        # IndexError on an all-empty batch — a real corpus HAS those)
+        first = np.zeros(len(tlen), np.int64)
     return tlen * 256 + first, lens_doc
 
 

@@ -138,6 +138,25 @@ def test_rolling_fingerprint_edges():
     assert rows[0]["fingerprint"] == min(h0, h1)
 
 
+def test_token_values_all_empty_batch():
+    """Regression: a batch whose EVERY text is empty/null has no Arrow
+    data buffer to index — token_values used to IndexError (the earlier
+    edge test passed only because one non-empty string kept the buffer
+    non-empty). A 100-TB corpus has all-empty blocks."""
+    import pyarrow as pa
+
+    from laji_pygeoapi_ray.stages.text import (rolling_fingerprint_stage,
+                                               token_values)
+    for texts in (["", ""], [None, None], [None, ""]):
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        v, lens = token_values(t["text"])
+        assert v.tolist() == [0, 0] and lens.tolist() == [1, 1]
+        out = rolling_fingerprint_stage()(t)
+        assert out["n_windows"].to_pylist() == [0, 0]
+        assert out["fingerprint"].to_pylist() == [-1, -1]
+
+
 def test_poly_mix_hash_sql_parity():
     """The SQL-twinnable gram hash: numpy (poly_mix_hash) must equal the
     DuckDB expression chain (sql_poly_hash + sql_mix64_ctes) byte-for-byte

@@ -22,13 +22,23 @@ MOD32 = 1 << 32
 
 
 def id_hash(ids: np.ndarray) -> np.ndarray:
-    """Knuth multiplicative hash, exact in int64 (also exact in DuckDB:
-    ``(id * 2654435761) % 4294967296``)."""
-    return (ids.astype(np.int64) * np.int64(KNUTH)) % np.int64(MOD32)
+    """Knuth multiplicative hash. Multiplication mod 2³² depends only on
+    ``id mod 2³²``, so the id is reduced FIRST: the product then stays
+    below 2⁶⁴ (exact in uint64) for the ENTIRE int64 id range — the naive
+    ``id · KNUTH`` overflows int64 (numpy wraps silently, DuckDB raises)
+    once ids pass ~3.5e9, i.e. exactly at training-corpus scale. Identical
+    values to the naive form for all non-negative ids (the engine's id
+    contract; numpy floored-``%`` and SQL truncated-``%`` diverge on
+    negative ids)."""
+    k = (ids.astype(np.int64) % np.int64(MOD32)).astype(np.uint64)
+    return ((k * np.uint64(KNUTH)) % np.uint64(MOD32)).astype(np.int64)
 
 
 def sql_id_hash(key: str) -> str:
-    return f"(({key}) * {KNUTH}) % {MOD32}"
+    """DuckDB twin of :func:`id_hash` — the inner product runs in HUGEINT
+    for the same 2⁶³-overflow reason (BIGINT multiply raises)."""
+    return (f"CAST((CAST(({key}) % {MOD32} AS HUGEINT) * {KNUTH})"
+            f" % {MOD32} AS BIGINT)")
 
 
 def sample_frac(ds, pct: int, *, id_col: str):

@@ -188,3 +188,26 @@ def test_token_stats_matches_python(texts):
         assert got["distinct_tokens"][i] == len(set(toks))
         assert got["stop_tokens"][i] == sum(
             tok in tk.STOPWORDS for tok in toks)
+
+
+def test_id_hash_full_int64_range_sql_parity():
+    """id_hash must stay exact (and non-raising, both sides) over the FULL
+    int64 id range — the naive ``id·KNUTH`` form silently wraps numpy and
+    raises DuckDB once ids pass ~3.5e9 (training-corpus scale). Engine,
+    DuckDB twin and the mathematical value must agree everywhere."""
+    import duckdb
+    import numpy as np
+
+    from laji_pygeoapi_ray.stages.sampling import (KNUTH, MOD32, id_hash,
+                                                   sql_id_hash)
+
+    ids = np.array([0, 1, 2, 12345, 2**31 - 1, 2**32 - 1, 2**32,
+                    2**40 + 7, 2**62 - 3, 2**63 - 1], np.int64)
+    want = [(int(i) * KNUTH) % MOD32 for i in ids.tolist()]
+    assert id_hash(ids).tolist() == want
+    assert id_hash(ids).dtype == np.int64
+    lst = ", ".join(str(int(i)) for i in ids.tolist())
+    got = duckdb.sql(
+        f"SELECT {sql_id_hash('id')} AS h "
+        f"FROM (SELECT unnest([{lst}]) AS id)").df()["h"].tolist()
+    assert got == want

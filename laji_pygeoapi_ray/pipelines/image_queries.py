@@ -36,14 +36,21 @@ def n_images_for(sf_dir: str) -> int:
     return N_BY_SF.get(base, 20000)
 
 
-def images_ds(sf_dir: str, columns=None) -> "ray.data.Dataset":
+def images_ds(sf_dir: str, columns=None, *,
+              n_min: int = 0) -> "ray.data.Dataset":
+    """Image-corpus Dataset for ``sf_dir``. ``n_min`` floors the corpus
+    size: the fixed-subset queries (``img_no < PHASH_SUB``) are
+    sf-invariant only while the corpus holds at least PHASH_SUB images —
+    at sf0.001 (400 images) the unfloored corpus silently truncates the
+    subset. Image content is index-deterministic, so flooring never
+    changes any row the subset filter keeps."""
     import glob
     import math
     import os
 
     from ..sources.parquet import TARGET_BLOCK_BYTES, cluster_cpus
 
-    path = imgsrc.materialize_images(n_images_for(sf_dir))
+    path = imgsrc.materialize_images(max(n_images_for(sf_dir), n_min))
     size = sum(os.path.getsize(f)
                for f in glob.glob(os.path.join(path, "*.parquet")))
     blocks = max(min(cluster_cpus(), 16),
@@ -395,7 +402,8 @@ def image_phash_hamming_sub(sf_dir: str):
 
     from ..stages.simdedup import hamming_pairs
 
-    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+    ds = images_ds(sf_dir, columns=["image_id", "phash"],
+                   n_min=PHASH_SUB)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t["img_no"], PHASH_SUB))
@@ -454,7 +462,8 @@ def image_phash_components(sf_dir: str):
 
     from ..stages.simdedup import cluster_pairs_ds, hamming_pairs
 
-    ds = images_ds(sf_dir, columns=["image_id", "phash"])
+    ds = images_ds(sf_dir, columns=["image_id", "phash"],
+                   n_min=PHASH_SUB)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     sub = ds.map_batches(
         lambda t: t.filter(pc.less(t["img_no"], PHASH_SUB))
@@ -666,7 +675,8 @@ def phash_family_representatives(sf_dir: str):
     from ..stages.shuffle import grouped_apply
     from ..stages.simdedup import cluster_pairs_ds, hamming_pairs
 
-    ds = images_ds(sf_dir, columns=["image_id", "phash", "caption"])
+    ds = images_ds(sf_dir, columns=["image_id", "phash", "caption"],
+                   n_min=PHASH_SUB)
     ds = ds.map_batches(imgsrc.parse_image_no, batch_format="pyarrow")
     sub = ds.map_batches(
         lambda t: t.filter(pc.less(t["img_no"], PHASH_SUB)),

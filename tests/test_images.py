@@ -228,3 +228,16 @@ def test_transcode_stage_roundtrip_and_degrade():
     with pytest.raises(Exception):
         TranscodeStage(strict=True)(pa.Table.from_pydict(data,
                                                          schema=t.schema))
+
+
+def test_images_ds_n_min_floor():
+    """The fixed-subset queries (``img_no < PHASH_SUB``) are sf-invariant
+    only if the corpus holds ≥ PHASH_SUB images: at the unit scale the
+    corpus is 400, so without the floor the subset silently truncates
+    (caught by the sf0.001 cross-scale sweep, round 5)."""
+    from laji_pygeoapi_ray.pipelines import image_queries as iq
+
+    assert iq.n_images_for(SF_UNIT) < iq.PHASH_SUB  # the hazard is real
+    floored = iq.images_ds(SF_UNIT, columns=["image_id"],
+                           n_min=iq.PHASH_SUB)
+    assert floored.count() >= iq.PHASH_SUB

@@ -29,6 +29,21 @@ from .shuffle import grouped_apply
 _ROUTE_SEQ = itertools.count()
 
 
+def _normalize_pa_type(typ):
+    """Coerce a schema-probe type entry to a pyarrow DataType. Ray's
+    ``Dataset.schema()`` over PANDAS blocks yields pa types for
+    numeric/datetime columns but raw ``<class 'object'>`` for
+    object-dtype (string) columns — which crashes ``pa.types.is_integer``
+    / ``pa.nulls`` on contact. Map object→string (the engine's pandas
+    object columns are always strings) and numpy dtypes through
+    ``pa.from_numpy_dtype``."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    if typ is object:
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(typ))
+
+
 def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None,
                force_nullable_int=()):
     """Tag both sides with ``__side`` and union into one dataset with the
@@ -58,9 +73,9 @@ def _tag_union(left_ds, right_ds, *, left_schema=None, right_schema=None,
     # side defines it
     types = {}
     for name, typ in zip(rschema.names, rschema.types):
-        types[name] = typ
+        types[name] = _normalize_pa_type(typ)
     for name, typ in zip(lschema.names, lschema.types):
-        types[name] = typ
+        types[name] = _normalize_pa_type(typ)
 
     # Integer columns that are ABSENT on one side get null-filled there;
     # the pandas conversion inside grouped_apply would upcast such a column

@@ -209,32 +209,36 @@ def knn_cell_exact_ds(points_ds, queries_ds, res: int, k: int,
 
     Candidate rows (Q × k) never land on the driver. Returns a Dataset
     (query_id, neighbor_id, d2, rank)."""
+    import pyarrow.compute as pc
+
+    from .join import _tag_union
+
     approx = knn_cell_cogroup(points_ds, queries_ds, res, k,
                               ring=ring, num_buckets=num_buckets)
 
-    def tag_rows(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "query_id": t["query_id"], "neighbor_id": t["neighbor_id"],
-            "d2": t["d2"], "rank": t["rank"],
-            "qx": pa.nulls(len(t), pa.float64()),
-            "qy": pa.nulls(len(t), pa.float64())})
+    def to_meta(t: pa.Table) -> pa.Table:
+        return pa.table({"query_id": pc.cast(t["id"], pa.int64()),
+                         "qx": pc.cast(t["x"], pa.float64()),
+                         "qy": pc.cast(t["y"], pa.float64())})
 
-    def tag_meta(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table({
-            "query_id": t["id"],
-            "neighbor_id": pa.nulls(n, pa.int64()),
-            "d2": pa.nulls(n, pa.float64()),
-            "rank": pa.nulls(n, pa.int64()),
-            "qx": t["x"], "qy": t["y"]})
-
-    tagged = (approx.map_batches(tag_rows, batch_format="pyarrow")
-              .union(queries_ds.map_batches(tag_meta,
-                                            batch_format="pyarrow")))
+    # shared hardened tag-union (join.py): neighbor_id/rank are absent on
+    # the meta side, so they ride pandas nullable Int64 through the bucket
+    # — a local pa.nulls fill would float64-upcast them in mixed buckets,
+    # rounding ids above 2^53. Static schemas: probing the approx lineage
+    # would execute its groupby.
+    tagged, _, _, _, _ = _tag_union(
+        approx, queries_ds.map_batches(to_meta, batch_format="pyarrow"),
+        left_schema=pa.schema([("query_id", pa.int64()),
+                               ("neighbor_id", pa.int64()),
+                               ("d2", pa.float64()),
+                               ("rank", pa.int64())]),
+        right_schema=pa.schema([("query_id", pa.int64()),
+                                ("qx", pa.float64()),
+                                ("qy", pa.float64())]))
 
     def certify(df: pd.DataFrame) -> pd.DataFrame:
-        meta = df[df["qx"].notna()]
-        rows = df[df["qx"].isna()]
+        meta = df[df["__side"] == 1]
+        rows = df[df["__side"] == 0]
         safe2 = pd.Series(
             _safe_radius2(meta["qx"].to_numpy(np.float64),
                           meta["qy"].to_numpy(np.float64), res, ring),

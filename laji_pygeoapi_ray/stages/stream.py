@@ -46,32 +46,16 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
     matched row engine-dependent. Pass ``right_tie`` (a right-side column) to
     canonicalize: only the row with the MAX ``right_tie`` per (key, right_ts)
     survives — mirror the same rule in any SQL twin. Without it the result is
-    deterministic only for unique (key, right_ts) pairs."""
-    lschema, rschema = left_ds.schema(), right_ds.schema()
-    lcols, rcols = lschema.names, rschema.names
-    all_cols = list(dict.fromkeys(lcols + rcols))
-    # typed null-fill: an untyped pa.nulls column gives the two union sides
-    # DIFFERENT schemas for the same column name (Ray warns and downstream
-    # consumers may mis-concat); take each column's type from whichever
-    # side defines it
-    types = {}
-    for name, typ in zip(rschema.names, rschema.types):
-        types[name] = typ
-    for name, typ in zip(lschema.names, lschema.types):
-        types[name] = typ
+    deterministic only for unique (key, right_ts) pairs.
 
-    def tag(side: int, present: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            out = {"__side": pa.array(np.full(len(t), side, dtype=np.int8))}
-            for c in all_cols:
-                out[c] = (t[c] if c in present
-                          else pa.nulls(len(t), types[c]))
-            return pa.table(out)
-        return fn
+    Tag-union via the shared hardened ``join._tag_union``: integer columns
+    absent on one side ride pandas nullable Int64/UInt64 through the
+    bucket so values above 2^53 survive (a local ``pa.nulls`` fill would
+    float64-upcast them in mixed buckets — the join.py hardening lesson),
+    and ``out_dtypes`` restores the declared Arrow schema on the way out."""
+    from .join import _tag_union
 
-    tagged = (left_ds.map_batches(tag(0, lcols), batch_format="pyarrow")
-              .union(right_ds.map_batches(tag(1, rcols),
-                                          batch_format="pyarrow")))
+    tagged, lcols, rcols, types, all_cols = _tag_union(left_ds, right_ds)
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0][lcols].sort_values(
@@ -83,13 +67,17 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str,
                      .drop_duplicates([key, right_ts], keep="last"))
         right = right.sort_values(right_ts, kind="mergesort")
         if left.empty:
-            return pd.DataFrame(columns=all_cols)
+            # typed ARROW empty: Ray drops the schema of an empty PANDAS
+            # block (forks the union schema and warns); an Arrow empty
+            # keeps it
+            return pa.table({c: pa.array([], types[c]) for c in all_cols})
         return pd.merge_asof(left, right, left_on=left_ts,
                              right_on=right_ts, by=key,
                              direction="backward",
                              allow_exact_matches=True)
 
-    return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets)
+    return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets,
+                         out_dtypes={c: types[c] for c in all_cols})
 
 
 def session_windows(df: pd.DataFrame, key: str, ts_col: str,
@@ -181,41 +169,14 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
     Partitioning assumption (documented per the custom-operator rule):
     intervals of one key are DISJOINT (e.g. session windows) — with
     overlapping intervals only the latest-starting match is emitted.
-    Unmatched left rows are dropped (inner join)."""
-    lcols = left_ds.schema().names
-    icols = intervals_ds.schema().names
+    Unmatched left rows are dropped (inner join).
 
-    itypes = dict(zip(intervals_ds.schema().names,
-                      intervals_ds.schema().types))
+    Tag-union via the shared hardened ``join._tag_union`` (absent-side
+    integer columns ride pandas nullable Int64 so values above 2^53
+    survive the mixed bucket — the join.py hardening lesson)."""
+    from .join import _tag_union
 
-    def tag_left(t: pa.Table) -> pa.Table:
-        out = {"__side": pa.array(np.zeros(len(t), dtype=np.int8))}
-        for c in lcols:
-            out[c] = t[c]
-        for c in icols:
-            if c not in out:
-                # typed null-fill: the union sides must agree per column
-                # (an int64 null under a timestamp column forks the schema)
-                out[c] = pa.nulls(len(t), itypes[c])
-        return pa.table(out)
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        out = {"__side": pa.array(np.ones(len(t), dtype=np.int8))}
-        for c in lcols:
-            if c == key:
-                out[c] = t[c]
-            elif c not in icols:
-                typ = dict(zip(left_ds.schema().names,
-                               left_ds.schema().types))[c]
-                out[c] = pa.nulls(len(t), typ)
-        for c in icols:
-            if c not in out:
-                out[c] = t[c]
-        return pa.table(out)
-
-    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
-              .union(intervals_ds.map_batches(tag_right,
-                                              batch_format="pyarrow")))
+    tagged, lcols, icols, types, _ = _tag_union(left_ds, intervals_ds)
     out_cols = list(lcols) + [c for c in id_cols if c not in lcols]
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -227,17 +188,16 @@ def interval_join(left_ds, intervals_ds, *, key: str, ts_col: str,
         ivs = df[df["__side"] == 1][icols].sort_values(
             start_col, kind="mergesort")
         if left.empty or ivs.empty:
-            return pd.DataFrame(columns=out_cols)
+            # typed ARROW empty: Ray drops the schema of an empty PANDAS
+            # block; an Arrow empty keeps it
+            return pa.table({c: pa.array([], types[c]) for c in out_cols})
         m = pd.merge_asof(left, ivs, left_on=ts_col, right_on=start_col,
                           by=key, direction="backward",
                           allow_exact_matches=True)
         ok = m[start_col].notna() & (m[ts_col] <= m[end_col])
         return m[ok][out_cols].reset_index(drop=True)
 
-    # restore source dtypes (the tagged union's typed nulls float64-upcast
-    # integer columns for the whole pandas bucket)
-    ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
-    out_dtypes = {c: ltypes.get(c, itypes.get(c)) for c in out_cols}
+    out_dtypes = {c: types[c] for c in out_cols}
     return grouped_apply(tagged, [key], bucket_fn, num_buckets=num_buckets,
                          out_dtypes=out_dtypes)
 
@@ -257,25 +217,24 @@ def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
     range filter finishes. No row is double-emitted: an interval meets a
     row only in the row's own bin. Partitioning assumption: intervals
     spanning many bins replicate proportionally — pick ``bin_us`` near
-    the typical interval width."""
-    lcols = left_ds.schema().names
-    icols = intervals_ds.schema().names
-    itypes = dict(zip(intervals_ds.schema().names,
-                      intervals_ds.schema().types))
+    the typical interval width.
 
-    def tag_left(t: pa.Table) -> pa.Table:
+    ``__bin`` is derived per side BEFORE the shared hardened
+    ``join._tag_union`` (absent-side integer columns ride pandas nullable
+    Int64 so values above 2^53 survive the mixed bucket — the join.py
+    hardening lesson); ``__bin`` itself is present on both sides, so the
+    group key keeps the fast numpy path."""
+    from .join import _tag_union
+
+    lschema, ischema = left_ds.schema(), intervals_ds.schema()
+    lcols, icols = list(lschema.names), list(ischema.names)
+
+    def add_bin_left(t: pa.Table) -> pa.Table:
         ts = t[ts_col].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
-        out = {"__side": pa.array(np.zeros(len(t), dtype=np.int8)),
-               "__bin": pa.array(ts // np.int64(bin_us))}
-        for c in lcols:
-            out[c] = t[c]
-        for c in icols:
-            if c not in out:
-                out[c] = pa.nulls(len(t), itypes[c])
-        return pa.table(out)
+        return t.append_column("__bin", pa.array(ts // np.int64(bin_us)))
 
-    def tag_right(t: pa.Table) -> pa.Table:
+    def explode_right(t: pa.Table) -> pa.Table:
         st = t[start_col].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
         en = t[end_col].to_numpy(zero_copy_only=False) \
@@ -287,23 +246,14 @@ def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
         offs = (np.arange(int(reps.sum()))
                 - np.repeat(np.cumsum(reps) - reps, reps))
         bins = b0[idx] + offs
-        rt = t.take(pa.array(idx))
-        out = {"__side": pa.array(np.ones(len(rt), dtype=np.int8)),
-               "__bin": pa.array(bins)}
-        ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
-        for c in lcols:
-            if c == key:
-                out[c] = rt[c]
-            elif c not in icols:
-                out[c] = pa.nulls(len(rt), ltypes[c])
-        for c in icols:
-            if c not in out:
-                out[c] = rt[c]
-        return pa.table(out)
+        return t.take(pa.array(idx)).append_column("__bin", pa.array(bins))
 
-    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
-              .union(intervals_ds.map_batches(tag_right,
-                                              batch_format="pyarrow")))
+    # no explicit schemas: the inputs may carry pandas block schemas whose
+    # .types are numpy/Python classes — let _tag_union probe the mapped
+    # pyarrow datasets, whose schemas are always Arrow-typed
+    tagged, _, _, types, _ = _tag_union(
+        left_ds.map_batches(add_bin_left, batch_format="pyarrow"),
+        intervals_ds.map_batches(explode_right, batch_format="pyarrow"))
     out_cols = list(lcols) + [c for c in (*id_cols, start_col, end_col)
                               if c not in lcols]
 
@@ -311,15 +261,16 @@ def interval_join_all(left_ds, intervals_ds, *, key: str, ts_col: str,
         left = df[df["__side"] == 0]
         ivs = df[df["__side"] == 1]
         if left.empty or ivs.empty:
-            return pd.DataFrame(columns=out_cols)
+            # typed ARROW empty: Ray drops the schema of an empty PANDAS
+            # block; an Arrow empty keeps it
+            return pa.table({c: pa.array([], types[c]) for c in out_cols})
         m = left[["__bin"] + list(lcols)].merge(
             ivs[["__bin", key] + [c for c in icols if c != key]],
             on=["__bin", key])
         ok = (m[start_col] <= m[ts_col]) & (m[ts_col] <= m[end_col])
         return m[ok][out_cols].reset_index(drop=True)
 
-    ltypes2 = dict(zip(left_ds.schema().names, left_ds.schema().types))
-    out_dtypes = {c: ltypes2.get(c, itypes.get(c)) for c in out_cols}
+    out_dtypes = {c: types[c] for c in out_cols}
     return grouped_apply(tagged, [key, "__bin"], bucket_fn,
                          num_buckets=num_buckets, out_dtypes=out_dtypes)
 

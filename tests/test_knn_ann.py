@@ -162,3 +162,38 @@ def test_rect_overlap_pairs_matches_bruteforce_multicell():
     exp = exp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(got) == len(exp), (len(got), len(exp))
     pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_knn_cell_exact_preserves_neighbor_ids_above_2_53():
+    """The certify shuffle carries neighbor_id/rank as absent-side columns
+    of a tagged union (round-5 hardening: pandas nullable Int64, not a
+    float64-upcasting pa.nulls fill) — point ids above 2^53 must survive
+    bit-exact through certification."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from laji_pygeoapi_ray.functions.points import (FIN_X0, FIN_X1,
+                                                    FIN_Y0, FIN_Y1)
+    from laji_pygeoapi_ray.stages.knn import knn_cell_exact
+
+    big = (1 << 60) + 1
+    rng = np.random.default_rng(7)
+    n = 40
+    cx, cy = (FIN_X0 + FIN_X1) / 2, (FIN_Y0 + FIN_Y1) / 2
+    # DENSE cluster around the queries: the kth distance is far below the
+    # certified radius, so the hazardous certify path (not the exact redo
+    # fallback) produces the output rows
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(big + np.arange(n), pa.int64()),
+        "x": cx + rng.uniform(-1e-3, 1e-3, n),
+        "y": cy + rng.uniform(-1e-3, 1e-3, n)}))
+    qdf = pd.DataFrame({"id": np.array([1, 2], np.int64),
+                        "x": [cx] * 2, "y": [cy + 0.0005, cy - 0.0005]})
+    out = knn_cell_exact(pts, qdf, res=5, k=3, ring=1, num_buckets=4)
+    assert len(out) == 6
+    got = set(out["neighbor_id"].astype(np.int64))
+    assert all(big <= v < big + n for v in got), got
+    # bit-exactness: every id must be one of the planted values exactly
+    assert got <= set(range(big, big + n))

@@ -28,3 +28,72 @@ def test_session_windows_kernel():
     out = session_windows(df, "k", "ts", gap_us=30 * 60 * 1_000_000)
     # a: two sessions (10-min gap, then 110-min gap); b: one session
     assert out["session_id"].tolist() == [0, 0, 1, 2, 2]
+
+
+def test_asof_join_preserves_int64_above_2_53():
+    """Absent-one-side int64 columns in the as-of tagged union must ride
+    pandas nullable Int64 through the bucket (round-5 hardening): the old
+    pa.nulls fill float64-upcast them in mixed buckets, silently rounding
+    values above 2^53."""
+    import pyarrow as pa
+    import ray
+
+    from laji_pygeoapi_ray.stages.stream import asof_join
+
+    big = (1 << 60) + 1          # rounds to 2^60 through float64
+    left = ray.data.from_arrow(pa.table({
+        "user": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 01:00", "2024-01-01 03:00",
+                            "2024-01-01 02:00"]).astype("datetime64[us]")),
+        "left_big": pa.array([big, big + 2, big + 4], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "user": pa.array([1, 1, 2], pa.int64()),
+        "rts": pa.array(
+            pd.to_datetime(["2024-01-01 00:30", "2024-01-01 02:30",
+                            "2024-01-01 02:30"]).astype("datetime64[us]")),
+        "right_big": pa.array([big + 1, big + 3, big + 5], pa.int64()),
+    }))
+    # read via Arrow: a pandas conversion of int64-with-nulls would
+    # float64-upcast IN THE TEST and mask the engine's exactness
+    rows = sorted(asof_join(left, right, key="user", left_ts="ts",
+                            right_ts="rts").take_all(),
+                  key=lambda r: r["left_big"])
+    assert [r["left_big"] for r in rows] == [big, big + 2, big + 4]
+    # user 1: 01:00 matches 00:30, 03:00 matches 02:30; user 2 unmatched
+    assert [r["right_big"] for r in rows] == [big + 1, big + 3, None]
+
+
+def test_interval_join_preserves_int64_above_2_53():
+    """Same hazard for the range join: the interval-id column (right-only
+    int64) must survive above 2^53 exactly."""
+    import pyarrow as pa
+    import ray
+
+    from laji_pygeoapi_ray.stages.stream import interval_join
+
+    big = (1 << 59) + 7
+    left = ray.data.from_arrow(pa.table({
+        "user": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 01:00", "2024-01-01 05:00",
+                            "2024-01-01 01:30"]).astype("datetime64[us]")),
+    }))
+    ivs = ray.data.from_arrow(pa.table({
+        "user": pa.array([1, 2], pa.int64()),
+        "start": pa.array(
+            pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]
+                           ).astype("datetime64[us]")),
+        "end": pa.array(
+            pd.to_datetime(["2024-01-01 02:00", "2024-01-01 02:00"]
+                           ).astype("datetime64[us]")),
+        "interval_id": pa.array([big, big + 1], pa.int64()),
+    }))
+    rows = sorted(interval_join(left, ivs, key="user", ts_col="ts",
+                                start_col="start", end_col="end",
+                                id_cols=("interval_id",)).take_all(),
+                  key=lambda r: r["user"])
+    # 05:00 falls outside user 1's interval → dropped (inner join)
+    assert len(rows) == 2
+    assert [r["interval_id"] for r in rows] == [big, big + 1]

@@ -52,14 +52,20 @@ def to_pandas(result):
     return df
 
 
-def assert_query_matches_oracle(name: str, sf_dir: str = SF_ORACLE):
-    """Run queries()[name] and oracle_sql()[name] and compare exactly."""
+def assert_query_matches_oracle(name: str, sf_dir: str = SF_ORACLE,
+                                *, sql_transform=None):
+    """Run queries()[name] and oracle_sql()[name] and compare exactly.
+    ``sql_transform`` rewrites the oracle SQL before execution (the
+    cross-scale sweep uses it to repoint image-corpus paths that a static
+    SQL string pins to the sf0.01 corpus)."""
     import pandas as pd
     import sys
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
     q = e.queries()[name]
     sql = e.oracle_sql()[name]
+    if sql_transform is not None:
+        sql = sql_transform(sql)
     got = normalize(to_pandas(q(sf_dir)))
     con = duck_con(sf_dir)  # keep alive until .df() finishes
     exp = normalize(con.sql(sql).df())

@@ -10,11 +10,14 @@ query directly.
 Cross-scale mode: ``LAJI_SWEEP_SF_DIR=/root/testdata/sf0.1 pytest
 tests/test_oracle_sweep.py`` re-runs the whole sweep at another scale
 factor (run once per round; it caught the T=64 SRP-LSH recall miss that
-sf0.01 was too small to expose). The image-family queries are SKIPPED
-there: their oracle SQL strings embed the fixed sf0.01 image-corpus
-path (``image_queries.ORACLE_N`` — a static SQL string cannot receive
-``sf_dir``) while the engine side scales with ``sf_dir``, so comparing
-at any other sf mismatches BY DESIGN, not by defect.
+sf0.01 was too small to expose, and the PHASH_SUB corpus-floor
+truncation that only sf0.001 could expose). The image-family queries'
+oracle SQL strings embed the fixed sf0.01 image-corpus path
+(``image_queries.ORACLE_N`` — a static SQL string cannot receive
+``sf_dir``); in cross-scale mode the sweep REWRITES that path to the
+sweep sf's corpus (image content is index-deterministic, so the
+rewritten oracle is the correct twin), so the pinned set is
+value-checked at every scale factor too — no skips.
 """
 from __future__ import annotations
 
@@ -26,11 +29,12 @@ from tests.conftest import SF_ORACLE, assert_query_matches_oracle
 
 SF_SWEEP = os.environ.get("LAJI_SWEEP_SF_DIR", SF_ORACLE)
 
-# Oracle pinned to the ORACLE_N=2000 (sf0.01) image corpus — the engine
-# side follows sf_dir, so these only compare equal at SF_ORACLE. (The
-# other image queries — image_phash_components, image_phash_hamming_sub
-# — restrict themselves to a fixed img_no subset, which is sf-invariant
-# because image content is index-deterministic, so they stay in.)
+# Oracle pinned to the ORACLE_N=2000 (sf0.01) image corpus — in
+# cross-scale mode their SQL is REWRITTEN to the sweep sf's corpus path
+# (valid because image content is index-deterministic). The other image
+# queries — image_phash_components, image_phash_hamming_sub — restrict
+# themselves to a fixed img_no subset (corpus floored at PHASH_SUB), so
+# their unrewritten oracle is already sf-invariant.
 IMAGE_PINNED = frozenset({
     "aspect_ratio_histogram", "caption_integrity", "caption_stats",
     "cell_image_doc_join", "cross_k_image_doc", "dedup_method_agreement",
@@ -53,8 +57,19 @@ def _oracle_names() -> list[str]:
     return sorted(e.oracle_sql())
 
 
+def _pinned_rewrite(sql: str) -> str:
+    """Repoint the fixed sf0.01 image-corpus path to the sweep sf's corpus
+    (materialized by the engine side, which runs first in the compare)."""
+    from laji_pygeoapi_ray.pipelines import image_queries as iq
+    from laji_pygeoapi_ray.sources.images import CONTENT_VERSION as cv
+
+    n = iq.n_images_for(SF_SWEEP)
+    return sql.replace(f"/n{iq.ORACLE_N}v{cv}/", f"/n{n}v{cv}/")
+
+
 @pytest.mark.parametrize("name", _oracle_names())
 def test_oracle_sweep(name: str):
-    if SF_SWEEP != SF_ORACLE and name in IMAGE_PINNED:
-        pytest.skip("oracle SQL embeds the fixed sf0.01 image corpus")
-    assert_query_matches_oracle(name, SF_SWEEP)
+    transform = (_pinned_rewrite
+                 if SF_SWEEP != SF_ORACLE and name in IMAGE_PINNED
+                 else None)
+    assert_query_matches_oracle(name, SF_SWEEP, sql_transform=transform)

@@ -97,3 +97,93 @@ def test_interval_join_preserves_int64_above_2_53():
     # 05:00 falls outside user 1's interval → dropped (inner join)
     assert len(rows) == 2
     assert [r["interval_id"] for r in rows] == [big, big + 1]
+
+
+def test_asof_join_randomized_equals_pandas_reference():
+    """Distributed as-of join == single-process merge_asof on a randomized
+    fixture with heavy key ties, equal timestamps (right_tie canonical-
+    ization) and keys missing from either side — the oracle query covers
+    one data shape; this covers the space around it."""
+    import pyarrow as pa
+    import ray
+
+    from laji_pygeoapi_ray.stages.stream import asof_join
+
+    rng = np.random.default_rng(42)
+    nl, nr = 400, 300
+    lk = rng.integers(0, 25, nl)
+    rk = rng.integers(0, 30, nr)
+    lts = pd.to_datetime(rng.integers(0, 500, nl), unit="s") \
+        .astype("datetime64[us]")
+    rts = pd.to_datetime(rng.integers(0, 500, nr), unit="s") \
+        .astype("datetime64[us]")
+    lval = rng.integers(0, 10**6, nl)
+    rval = rng.integers(0, 10**6, nr)
+    left = pd.DataFrame({"k": lk, "ts": lts, "lv": lval})
+    right = pd.DataFrame({"k": rk, "rts": rts, "rv": rval})
+
+    got = (asof_join(ray.data.from_arrow(pa.Table.from_pandas(left)),
+                     ray.data.from_arrow(pa.Table.from_pandas(right)),
+                     key="k", left_ts="ts", right_ts="rts",
+                     right_tie="rv", num_buckets=7)
+           .to_pandas().sort_values(["k", "ts", "lv"])
+           .reset_index(drop=True))
+
+    # reference: canonicalize right ties (max rv per (k, rts)), then
+    # plain merge_asof over the whole frame
+    ref_r = (right.sort_values(["k", "rts", "rv"])
+             .drop_duplicates(["k", "rts"], keep="last")
+             .sort_values("rts"))
+    ref = pd.merge_asof(left.sort_values("ts"), ref_r,
+                        left_on="ts", right_on="rts", by="k",
+                        direction="backward")
+    ref = ref.sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    assert len(got) == len(ref) == nl
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "lv", "rts", "rv"]],
+        ref[["k", "ts", "lv", "rts", "rv"]],
+        check_dtype=False, check_exact=True)
+
+
+def test_interval_join_all_randomized_equals_bruteforce():
+    """interval_join_all (bin-replicated general range join) == the O(n·m)
+    pandas cross-filter on a randomized overlapping-interval fixture —
+    exercises multi-bin replication, bin-boundary intervals and
+    overlapping intervals per key."""
+    import pyarrow as pa
+    import ray
+
+    from laji_pygeoapi_ray.stages.stream import interval_join_all
+
+    rng = np.random.default_rng(3)
+    ne, ni = 300, 60
+    ek = rng.integers(0, 6, ne)
+    ets = pd.to_datetime(rng.integers(0, 7200, ne), unit="s") \
+        .astype("datetime64[us]")
+    ik = rng.integers(0, 6, ni)
+    st = rng.integers(0, 7200, ni)
+    dur = rng.integers(0, 5400, ni)          # spans several 1h bins
+    left = pd.DataFrame({"k": ek, "ts": ets,
+                         "eid": np.arange(ne, dtype=np.int64)})
+    ivs = pd.DataFrame({
+        "k": ik,
+        "start": pd.to_datetime(st, unit="s").astype("datetime64[us]"),
+        "end": pd.to_datetime(st + dur, unit="s").astype("datetime64[us]"),
+        "iid": np.arange(ni, dtype=np.int64)})
+
+    got = (interval_join_all(
+        ray.data.from_arrow(pa.Table.from_pandas(left)),
+        ray.data.from_arrow(pa.Table.from_pandas(ivs)),
+        key="k", ts_col="ts", start_col="start", end_col="end",
+        id_cols=("iid",), num_buckets=5)
+        .to_pandas().sort_values(["eid", "iid"]).reset_index(drop=True))
+
+    m = left.merge(ivs, on="k")
+    ref = (m[(m["start"] <= m["ts"]) & (m["ts"] <= m["end"])]
+           [["k", "ts", "eid", "iid", "start", "end"]]
+           .sort_values(["eid", "iid"]).reset_index(drop=True))
+    assert len(got) == len(ref)
+    pd.testing.assert_frame_equal(
+        got[["k", "eid", "iid"]].astype("int64"),
+        ref[["k", "eid", "iid"]].astype("int64"),
+        check_exact=True)

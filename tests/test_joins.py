@@ -119,3 +119,55 @@ def test_join_null_keys_never_match_sql_semantics():
                          ray.data.from_pandas(right),
                          on="k", num_ranges=2).to_pandas()
     assert len(sm) == 1 and float(sm["k"].iloc[0]) == 2.0
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_join_backends_agree_randomized(how):
+    """hash_join and sort_merge_join must produce identical result SETS on
+    a randomized fixture with key skew, nulls on both sides and values
+    above 2^53 — the backend-certifying oracle exercises one query shape;
+    this covers the space around it (nulls never match per SQL semantics
+    in BOTH backends)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from laji_pygeoapi_ray.stages.join import hash_join, sort_merge_join
+
+    rng = np.random.default_rng(11)
+    big = (1 << 60) + 1
+    nl, nr = 300, 200
+    lk = rng.integers(0, 40, nl).astype(np.float64)
+    rk = rng.integers(0, 50, nr).astype(np.float64)
+    lk[rng.random(nl) < 0.05] = np.nan          # null keys
+    rk[rng.random(nr) < 0.05] = np.nan
+    left = pa.table({"k": pa.array(lk),
+                     "lv": pa.array(big + rng.integers(0, 1000, nl),
+                                    pa.int64())})
+    right = pa.table({"k": pa.array(rk),
+                      "rv": pa.array(big + rng.integers(0, 1000, nr),
+                                     pa.int64())})
+
+    def collect(ds):
+        rows = ds.take_all()
+        # None/NaN sentinels keep the tuples sortable
+        return sorted((float("-inf") if r["k"] is None or r["k"] != r["k"]
+                       else r["k"], r["lv"],
+                       -1 if r.get("rv") is None else r["rv"])
+                      for r in rows)
+
+    h = collect(hash_join(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right),
+                          on=["k"], how=how, num_buckets=6))
+    s = collect(sort_merge_join(ray.data.from_arrow(left),
+                                ray.data.from_arrow(right),
+                                on="k", how=how, num_ranges=5))
+    assert h == s
+    # cross-check cardinality against pandas with SQL null semantics
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    lnn, rnn = ldf[ldf["k"].notna()], rdf[rdf["k"].notna()]
+    n_inner = len(lnn.merge(rnn, on="k", how="inner"))
+    want = n_inner if how == "inner" else n_inner + ldf["k"].isna().sum() \
+        + len(lnn) - len(lnn.merge(rnn[["k"]].drop_duplicates(), on="k"))
+    assert len(h) == want

@@ -254,23 +254,36 @@ def knn_cell_exact_ds(points_ds, queries_ds, res: int, k: int,
         return pd.concat([out, redo], ignore_index=True)
 
     from .shuffle import grouped_apply
-    # out_dtypes: the meta rows' typed nulls make pandas float64-upcast
-    # neighbor_id/rank for the whole bucket; restore declared int64
     res_ds = grouped_apply(tagged, ["query_id"], certify,
                            num_buckets=num_buckets,
                            out_dtypes={"query_id": pa.int64(),
                                        "neighbor_id": pa.int64(),
-                                       "rank": pa.int64()}).materialize()
+                                       "rank": pa.int64()})
 
-    import pyarrow.compute as pc
-    cert_rows = res_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["certified"], True)).select(
-            ["query_id", "neighbor_id", "d2", "rank"]),
-        batch_format="pyarrow")
-    redo_df = res_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["certified"], False)).select(
-            ["query_id", "qx", "qy"]),
-        batch_format="pyarrow").to_pandas()
+    # TWO consumers (certified rows + redo set) of one Q×k-row lineage:
+    # spill once to Parquet instead of materialize() — the certify table
+    # is proportional to the QUERY set, which this function's contract
+    # says may be large, and each consumer re-reads column-pruned with a
+    # `certified` filter (the scale policy of state/spill.py)
+    import pyarrow.dataset as pads
+
+    from ..state.spill import spill_checkpoint
+    read_cert = spill_checkpoint(
+        res_ds, "knn_certify",
+        schema=pa.schema([("query_id", pa.int64()),
+                          ("neighbor_id", pa.int64()),
+                          ("d2", pa.float64()),
+                          ("rank", pa.int64()),
+                          ("qx", pa.float64()),
+                          ("qy", pa.float64()),
+                          ("certified", pa.bool_())]))
+    cert_rows = read_cert(columns=["query_id", "neighbor_id", "d2",
+                                   "rank", "certified"],
+                          filter=(pads.field("certified") == True)  # noqa: E712
+                          ).drop_columns(["certified"])
+    redo_df = read_cert(columns=["query_id", "qx", "qy", "certified"],
+                        filter=(pads.field("certified") == False)  # noqa: E712
+                        ).drop_columns(["certified"]).to_pandas()
     if redo_df.empty:
         return cert_rows
     redo_df = redo_df.rename(columns={"query_id": "id", "qx": "x",

@@ -1921,7 +1921,18 @@ def km_session_survival(sf_dir: str):
     from ..stages.stream import session_windows_ds
 
     ds = read_table(sf_dir, "events", ["user_id", "ts"])
-    sess = session_windows_ds(ds, "user_id", "ts", GAP_US).materialize()
+    # two consumers (global max probe + the derive scan) of the
+    # one-row-per-session table — input-proportional, so spill once to
+    # Parquet instead of pinning in the object store (spill.py policy)
+    from ..state.spill import spill_checkpoint
+    read_sess = spill_checkpoint(
+        session_windows_ds(ds, "user_id", "ts", GAP_US), "sess_windows",
+        schema=pa.schema([("user_id", pa.int64()),
+                          ("session_id", pa.int64()),
+                          ("n_events", pa.int64()),
+                          ("start_ts", pa.timestamp("us")),
+                          ("end_ts", pa.timestamp("us"))]))
+    sess = read_sess()
 
     mend = sess.aggregate(_Max("end_ts"))["max(end_ts)"]
     m_us = int(pd.Timestamp(mend).value // 1000)

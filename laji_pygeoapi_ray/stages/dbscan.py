@@ -203,29 +203,45 @@ def dbscan(pts_ds, *, eps_u: int, minpts: int, num_buckets: int | None = None):
     of the core-connected component, border points labeled by MIN core
     neighbor, noise = -1."""
     # Multi-consumer fan-out points (core/border split + final join read
-    # this 3×): pin the narrow one-row-per-point table instead of
-    # re-running the quadratic grid pass per consumer.
-    counts = neighbor_counts(pts_ds, eps_u=eps_u, minpts=minpts,
-                             num_buckets=num_buckets).materialize()
+    # this 3×; core feeds 3 more): the one-row-per-point tables are
+    # INPUT-proportional, so spill them once to Parquet and re-read
+    # column-pruned/filtered per consumer instead of pinning them in the
+    # object store (state/spill.py scale policy — materialize() is for
+    # bounded intermediates only).
+    import pyarrow.dataset as pads
 
-    def split(keep_core: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            m = t["is_core"] if keep_core else pc.invert(t["is_core"])
-            return t.filter(m).select(["id", "qx", "qy"])
-        return fn
+    from ..state.spill import spill_checkpoint
 
-    core = counts.map_batches(split(True), batch_format="pyarrow")
-    border = counts.map_batches(split(False), batch_format="pyarrow")
+    read_counts = spill_checkpoint(
+        neighbor_counts(pts_ds, eps_u=eps_u, minpts=minpts,
+                        num_buckets=num_buckets),
+        "dbscan_counts",
+        schema=pa.schema([("id", pa.int64()), ("qx", pa.int64()),
+                          ("qy", pa.int64()), ("n_in_eps", pa.int64()),
+                          ("is_core", pa.bool_())]))
+
+    def side(is_core: bool):
+        return read_counts(
+            columns=["id", "qx", "qy", "is_core"],
+            filter=(pads.field("is_core") == is_core)) \
+            .drop_columns(["is_core"])
+
+    core = side(True)
+    border = side(False)
     edges = core_edges(core, eps_u=eps_u, num_buckets=num_buckets)
     labels = cluster_pairs_ds(edges, core.select_columns(["id"]),
                               id_col="id", num_buckets=num_buckets)
-    core_lab = hash_join(core, labels, on=["id"],
-                         num_buckets=num_buckets).materialize()
-    blab = border_labels(core_lab, border, eps_u=eps_u,
+    read_core_lab = spill_checkpoint(
+        hash_join(core, labels, on=["id"], num_buckets=num_buckets),
+        "dbscan_core_lab",
+        schema=pa.schema([("id", pa.int64()), ("qx", pa.int64()),
+                          ("qy", pa.int64()),
+                          ("cluster_id", pa.int64())]))
+    blab = border_labels(read_core_lab(), border, eps_u=eps_u,
                          num_buckets=num_buckets)
-    lab_all = (core_lab.select_columns(["id", "cluster_id"])
+    lab_all = (read_core_lab(columns=["id", "cluster_id"])
                .union(blab))
-    out = hash_join(counts, lab_all, on=["id"], how="left",
+    out = hash_join(read_counts(), lab_all, on=["id"], how="left",
                     num_buckets=num_buckets)
 
     def finalize(t: pa.Table) -> pa.Table:

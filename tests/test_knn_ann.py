@@ -197,3 +197,63 @@ def test_knn_cell_exact_preserves_neighbor_ids_above_2_53():
     assert all(big <= v < big + n for v in got), got
     # bit-exactness: every id must be one of the planted values exactly
     assert got <= set(range(big, big + n))
+
+
+def test_dwithin_pairs_ring2_matches_bruteforce():
+    """Every production config picks res so ring == 1; force ring >= 2
+    (radius ~ 2.5 cell widths at res 6) and require the ghost-replicated
+    self-join to match the O(n²) scan exactly — the multi-ring
+    exactly-once rule (pair emitted only in the smaller-id home cell) is
+    otherwise untested."""
+    from laji_pygeoapi_ray.functions.points import (FIN_X0, FIN_X1,
+                                                    FIN_Y0, FIN_Y1)
+    from laji_pygeoapi_ray.stages.knn import dwithin_pairs
+
+    rng = np.random.default_rng(9)
+    n = 250
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "x": rng.uniform(FIN_X0, FIN_X1, n),
+                       "y": rng.uniform(FIN_Y0, FIN_Y1, n)})
+    radius = 0.5                       # res-6 cell ≈ 0.2 → ring = 3
+    got = (dwithin_pairs(ray.data.from_pandas(df), radius, res=6,
+                         num_buckets=8)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    d2 = (x[:, None] - x) ** 2 + (y[:, None] - y) ** 2
+    ia, ib = np.nonzero((d2 <= radius * radius)
+                        & (np.arange(n)[:, None] < np.arange(n)))
+    assert len(got) == len(ia), (len(got), len(ia))
+    assert (got["id_a"].to_numpy() == ia).all()
+    assert (got["id_b"].to_numpy() == ib).all()
+    assert np.array_equal(got["d2"].to_numpy(), d2[ia, ib])  # bit-exact
+
+
+def test_dwithin_cross_pairs_ring2_matches_bruteforce():
+    """Cross-table variant at ring >= 2: each (a, b) must meet exactly
+    once (a home-only, b ghost-ringed) with no dedup convention."""
+    from laji_pygeoapi_ray.functions.points import (FIN_X0, FIN_X1,
+                                                    FIN_Y0, FIN_Y1)
+    from laji_pygeoapi_ray.stages.knn import dwithin_cross_pairs
+
+    rng = np.random.default_rng(10)
+    na, nb = 200, 150
+    a = pd.DataFrame({"id": np.arange(na, dtype=np.int64),
+                      "x": rng.uniform(FIN_X0, FIN_X1, na),
+                      "y": rng.uniform(FIN_Y0, FIN_Y1, na)})
+    b = pd.DataFrame({"id": np.arange(nb, dtype=np.int64),
+                      "x": rng.uniform(FIN_X0, FIN_X1, nb),
+                      "y": rng.uniform(FIN_Y0, FIN_Y1, nb)})
+    radius = 0.45
+    got = (dwithin_cross_pairs(ray.data.from_pandas(a),
+                               ray.data.from_pandas(b), radius, res=6,
+                               num_buckets=8)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    d2 = ((a["x"].to_numpy()[:, None] - b["x"].to_numpy()) ** 2
+          + (a["y"].to_numpy()[:, None] - b["y"].to_numpy()) ** 2)
+    ia, ib = np.nonzero(d2 <= radius * radius)
+    assert len(got) == len(ia), (len(got), len(ia))
+    assert (got["id_a"].to_numpy() == ia).all()
+    assert (got["id_b"].to_numpy() == ib).all()
+    assert np.array_equal(got["d2"].to_numpy(), d2[ia, ib])
